@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship co-engagement query at sf0.001 (smoke check).
+queries()       — name -> fn(spark, sf_dir) -> DataFrame, one per operator.
+oracle_sql()    — name -> equivalent DuckDB SQL (omitted for non-SQL ops).
+
+All real logic lives in the echo_chambers_detection_spark package; this
+module just adapts the catalog to the driver's calling convention.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+from echo_chambers_detection_spark.operators.coengagement import coengagement_edges
+from echo_chambers_detection_spark.sources.domain import (
+    engagements_from_events,
+    users_from_events,
+)
+from echo_chambers_detection_spark.sources.tables import load_table
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: weighted co-engagement edges joined back to user attributes
+    (SURVEY.md §7.3 M0 exit criterion)."""
+    events = load_table(spark, "events", SMOKE_SF_DIR)
+    edges = coengagement_edges(engagements_from_events(events))
+    users = users_from_events(events)
+    return (
+        edges.join(users, edges.u1 == users.did)
+        .select("u1", "u2", "weight", "handle")
+        .orderBy("u1", "u2")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in QUERY_REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in QUERY_REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,55 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+from echo_chambers_detection_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers once so timings measure the queries,
+    # not session startup.
+    next(iter(QUERY_REGISTRY.values())).spark(spark, SF_DIR).count()
+
+    t_total = time.perf_counter()
+    for name, spec in QUERY_REGISTRY.items():
+        t0 = time.perf_counter()
+        df = spec.spark(spark, SF_DIR)
+        # foreach-noop forces full materialization without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

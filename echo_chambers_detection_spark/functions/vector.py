@@ -1,0 +1,93 @@
+"""Vector math as native Catalyst array expressions (SURVEY.md F7-F9).
+
+The reference's hottest defect is one sklearn cosine_similarity() call per
+edge inside a Python loop (project/metrics/metrics.py:23-24,143-146).
+Here every operation is a higher-order array function — zip_with /
+aggregate / transform — evaluated JVM-side inside whole-stage codegen, so
+per-edge Python disappears entirely.
+
+All expressions compute in double precision regardless of the stored
+element type (vectors are array<float> on disk — half the scan bytes of
+double at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """‖a‖₂."""
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖), null-safe on zero vectors.
+
+    Reference: sklearn cosine_similarity per edge
+    (project/metrics/metrics.py:24,104,146; SURVEY.md F7)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """v / ‖v‖ with zero-vector guard: zero vectors pass through unchanged,
+    matching the reference's l2_normalize
+    (project/metrics/metrics_interface.py:53-55; SURVEY.md F8)."""
+    col = _c(a)
+    n = l2_norm(col)
+    return F.when(n > 0, F.transform(col, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(col, lambda x: x.cast("double"))
+    )
+
+
+def squared_l2_distance(a: Column | str, b: Column | str) -> Column:
+    """‖a−b‖² (reference np distance to centroid,
+    project/metrics/metrics.py:49,179; SURVEY.md F9)."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def array_mean(vec_col: Column | str) -> Column:
+    """Aggregate expression: element-wise mean of an array column.
+
+    Used for community centroids (A6) and per-user mean embeddings (A7).
+    Implemented as element-wise sum aggregate / count — stays JVM-side:
+    zip_with-based reduce inside a plain `agg`, no explode, no shuffle
+    amplification by vector dimension."""
+    col = _c(vec_col)
+    summed = F.aggregate(
+        F.collect_list(col),
+        # initial accumulator: zero vector of the right length is unknown
+        # statically; use the first element transformed to 0.0
+        F.transform(F.first(col), lambda x: x.cast("double") * 0.0),
+        lambda acc, v: F.zip_with(acc, v, lambda s, x: s + x.cast("double")),
+    )
+    return F.transform(summed, lambda s: s / F.count(col))

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Single entry point for engine sessions; every knob here is a deliberate
+scale decision:
+
+- AQE on: runtime coalescing + skew-join splitting, the first line of
+  defense against skewed co-engagement keys at 100 TB.
+- shuffle.partitions sized for local test runs via SPARK_GRAFT_CPUS;
+  on a real cluster this is overridden (or left to AQE's coalescing,
+  which makes the static number much less load-bearing).
+- Arrow enabled: every pandas_udf / applyInPandas boundary is batched.
+- UTC session timezone: deterministic timestamp semantics vs the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "echo_chambers_detection_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Defaults target local[N] testing; on a cluster, master/memory come
+    from spark-submit and only the semantic confs below matter.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata carries TIMESTAMP(NANOS) parquet columns
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

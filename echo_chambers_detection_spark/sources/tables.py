@@ -1,0 +1,57 @@
+"""Parquet loaders for the driver test tables.
+
+The reference's many read paths (Qdrant scroll pagination, Neo4j Cypher
+reads, Postgres selects, pd.read_csv — SURVEY.md §2.1 S10-S18) all become
+one thing here: a parquet scan that Catalyst can push filters and column
+pruning into. Pagination is a non-concept.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from echo_chambers_detection_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one test table by name from a scale-factor directory.
+
+    The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark 4 rejects by default; we read nanos-as-long (runtime conf, set
+    here so it also applies under a driver-owned session) and rebuild a
+    proper TimestampType column with integer division — ns epoch values
+    (~1.7e18) overflow double precision, so `div`, never `/`.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Load every test table; also registers each as a temp view so that
+    `spark.sql` works against the same names the DuckDB oracle uses."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink, mirroring the reference's `{algo}_clusters.csv` artifacts
+    (reference /louvain_clusters.csv et al., SURVEY.md S19)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with explicit schema (reference pd.read_csv of cluster
+    files, project/metrics/metrics_interface.py:47-50, SURVEY.md S18)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)
