@@ -344,6 +344,150 @@ def q_engagement_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Vector layer (SURVEY.md M1: F7-F9, A7, T1/T2, G10)
+# ===========================================================================
+
+# DuckDB's list_cosine_similarity computes in float32 (~1e-7 error), so
+# oracles use explicit unnest + double math to match Spark's double exprs.
+_ORACLE_EMB_EXPLODED = """
+ex AS (
+    SELECT CAST(vec_id AS VARCHAR) AS post_cid,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+)
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query vector: embedding of vec_id=0."""
+    from echo_chambers_detection_spark.sources.domain import post_embeddings
+
+    emb = post_embeddings(_t(spark, sf_dir, "embeddings"))
+    return emb.where(F.col("post_cid") == "0").select(
+        F.col("vector").alias("qvec")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.sources.domain import post_embeddings
+
+    return post_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
+scores AS (
+    SELECT e.post_cid,
+           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
+    FROM ex e JOIN q ON e.i = q.i
+    GROUP BY e.post_cid
+)
+SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
+""",
+    doc="Exact cosine top-k search (reference Qdrant search limit=1000, "
+    "SURVEY.md G10/T1; TakeOrderedAndProject, no global sort)",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "ann_extremes",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
+scores AS (
+    SELECT e.post_cid,
+           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
+    FROM ex e JOIN q ON e.i = q.i
+    GROUP BY e.post_cid
+)
+SELECT * FROM (
+    SELECT post_cid, score, 'closest' AS side FROM scores
+    ORDER BY score DESC, post_cid LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+    SELECT post_cid, score, 'farthest' AS side FROM scores
+    ORDER BY score ASC, post_cid LIMIT 5
+)
+""",
+    doc="Closest/farthest head-tail slice (reference "
+    "project/qdrant/post_distance_test.py:33-35, SURVEY.md T2)",
+)
+def q_ann_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import cosine_extremes
+
+    return cosine_extremes(_emb(spark, sf_dir), _query_vec(spark, sf_dir), n=5)
+
+
+@register(
+    "embedding_similarity_join",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+scores AS (
+    SELECT a.post_cid AS v1, b.post_cid AS v2,
+           ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    GROUP BY 1, 2
+)
+SELECT v1, v2, score FROM scores WHERE score >= 0.3
+""",
+    doc="Exact all-pairs similarity join above threshold (O(n²) baseline; "
+    "LSH-banded variant is the 100 TB path, SURVEY.md M6)",
+)
+def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import similarity_self_join
+
+    return similarity_self_join(_emb(spark, sf_dir), threshold=0.3)
+
+
+@register(
+    "user_mean_embeddings",
+    f"""
+WITH {_ORACLE_ENGAGEMENTS_CTE},
+ex AS (
+    SELECT CAST(vec_id AS VARCHAR) AS post_cid,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+nrm AS (
+    SELECT post_cid, i,
+           x / SQRT(SUM(x * x) OVER (PARTITION BY post_cid)) AS val
+    FROM ex
+),
+joined AS (
+    SELECT e.user_did, n.i AS dim, n.val
+    FROM e JOIN nrm n ON n.post_cid = e.post_uri
+),
+mean AS (
+    SELECT user_did, dim, AVG(val) AS mval FROM joined GROUP BY 1, 2
+)
+SELECT user_did, dim,
+       ROUND(mval / SQRT(SUM(mval * mval) OVER (PARTITION BY user_did)), 6) AS val
+FROM mean
+""",
+    doc="Per-user embedding = normalized mean of normalized engaged-post "
+    "vectors, exploded to (user, dim, val) — reference "
+    "project/metrics/metrics_interface.py:53-77 (SURVEY.md A7/F8)",
+)
+def q_user_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import (
+        user_mean_embeddings_exploded,
+    )
+
+    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    return user_mean_embeddings_exploded(eng, _emb(spark, sf_dir))
+
+
 @register(
     "user_profiles_cleaned",
     """

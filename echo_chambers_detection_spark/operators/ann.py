@@ -1,0 +1,146 @@
+"""Vector search operators (SURVEY.md T1/T2, G10, A7).
+
+The reference stores 384-d post vectors in Qdrant and searches with HNSW
+(project/qdrant/consumer_post.py:42-49, post_distance_test.py:26-31).
+Spark-first: embeddings are a plain ArrayType(FloatType) column, cosine
+is a codegen'd array expression, top-k is TakeOrderedAndProject — no
+index service, no pagination, no per-point round trips.
+
+Scale posture:
+- `cosine_topk` is a single scan + per-partition top-k merge: O(n) work,
+  O(k) driver result — this is the exact path and stays viable at any
+  row count (it's embarrassingly parallel).
+- `similarity_self_join` is the O(n²) exact baseline; at 100 TB you use
+  the LSH-bucketed variant (operators/dedup.py / MinHashLSH-style
+  banding) and keep this for verification at sampled scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from echo_chambers_detection_spark.functions.vector import (
+    cosine_similarity,
+    l2_normalize,
+)
+
+
+def with_query_vector(embeddings: DataFrame, query: DataFrame) -> DataFrame:
+    """Attach a single-row query vector (column `qvec`) to every row via a
+    broadcast cross join — the Spark phrasing of 'search(query_vector=…)'
+    (reference project/qdrant/post_distance_test.py:26-31)."""
+    return embeddings.crossJoin(F.broadcast(query.select(F.col("qvec"))))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 1000,
+    vec_col: str = "vector",
+    id_col: str = "post_cid",
+) -> DataFrame:
+    """Exact cosine top-k (reference ANN search with limit=1000, G10/T1).
+
+    Returns (id, score) ordered by score desc with id tiebreak; Catalyst
+    plans TakeOrderedAndProject (per-partition heap + driver merge), so
+    no global sort materializes."""
+    scored = with_query_vector(embeddings, query).select(
+        F.col(id_col),
+        F.round(cosine_similarity(vec_col, "qvec"), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def cosine_extremes(
+    embeddings: DataFrame,
+    query: DataFrame,
+    n: int = 5,
+    vec_col: str = "vector",
+    id_col: str = "post_cid",
+) -> DataFrame:
+    """Closest n + farthest n with a `side` discriminator — the reference's
+    head/tail slice of a sorted search result
+    (project/qdrant/post_distance_test.py:33-35, T2)."""
+    scored = with_query_vector(embeddings, query).select(
+        F.col(id_col),
+        F.round(cosine_similarity(vec_col, "qvec"), 6).alias("score"),
+    )
+    closest = (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(n)
+        .withColumn("side", F.lit("closest"))
+    )
+    farthest = (
+        scored.orderBy(F.asc("score"), id_col)
+        .limit(n)
+        .withColumn("side", F.lit("farthest"))
+    )
+    return closest.unionByName(farthest)
+
+
+def similarity_self_join(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "vector",
+    id_col: str = "post_cid",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (v1 < v2) — exact O(n²) baseline.
+
+    The cross join is expressed as a self-join so Catalyst broadcasts the
+    smaller side when it fits; the LSH-banded variant in operators/dedup.py
+    is the 100 TB path."""
+    a = embeddings.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("vec1")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("vec2")
+    )
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine_similarity("vec1", "vec2"), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def user_mean_embeddings_exploded(
+    engagements: DataFrame,
+    embeddings: DataFrame,
+    user_col: str = "user_did",
+    post_col: str = "post_uri",
+    emb_id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Per-user embedding: L2-normalized mean of the L2-normalized vectors
+    of posts the user engaged with (reference
+    project/metrics/metrics_interface.py:53-77; SURVEY.md A7/F8).
+
+    Returned exploded as (user_did, dim, val) — dim 0-based — which keeps
+    the whole pipeline in scalar columns: posexplode -> groupBy(user, dim)
+    mean -> window-normalize. Two shuffles total ((user,dim) agg, then the
+    user-partition window), both on keys that scale with users x dims, and
+    every step is codegen'd — no Python, no vector collect."""
+    pairs = engagements.select(user_col, post_col).dropDuplicates(
+        [user_col, post_col]
+    )
+    normed = embeddings.select(
+        F.col(emb_id_col),
+        F.posexplode(l2_normalize(vec_col)).alias("dim", "val"),
+    )
+    joined = pairs.join(
+        normed, pairs[post_col] == normed[emb_id_col], "inner"
+    ).select(user_col, "dim", "val")
+    mean = joined.groupBy(user_col, "dim").agg(F.avg("val").alias("mval"))
+    w = Window.partitionBy(user_col)
+    norm = F.sqrt(F.sum(F.col("mval") * F.col("mval")).over(w))
+    return mean.select(
+        F.col(user_col),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(
+            F.when(norm > 0, F.col("mval") / norm).otherwise(F.col("mval")), 6
+        ).alias("val"),
+    )

@@ -1,0 +1,91 @@
+"""Hand-computed checks for the native vector expressions (SURVEY.md F7-F9),
+including the zero-vector guards the reference carries
+(project/metrics/metrics_interface.py:53-55)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from echo_chambers_detection_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    l2_normalize,
+    squared_l2_distance,
+)
+
+
+def _df(spark, a, b):
+    return spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    )
+
+
+def test_dot_and_norm(spark):
+    row = (
+        _df(spark, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
+        .select(
+            dot("a", "b").alias("d"),
+            l2_norm("a").alias("na"),
+        )
+        .first()
+    )
+    assert row.d == 32.0
+    assert math.isclose(row.na, math.sqrt(14.0), rel_tol=1e-12)
+
+
+def test_cosine_orthogonal_and_identical(spark):
+    row = (
+        _df(spark, [1.0, 0.0], [0.0, 1.0])
+        .select(cosine_similarity("a", "b").alias("c"))
+        .first()
+    )
+    assert row.c == 0.0
+    row = (
+        _df(spark, [2.0, 0.0], [4.0, 0.0])
+        .select(cosine_similarity("a", "b").alias("c"))
+        .first()
+    )
+    assert row.c == 1.0
+
+
+def test_cosine_zero_vector_is_null(spark):
+    row = (
+        _df(spark, [0.0, 0.0], [1.0, 1.0])
+        .select(cosine_similarity("a", "b").alias("c"))
+        .first()
+    )
+    assert row.c is None
+
+
+def test_l2_normalize_and_zero_guard(spark):
+    row = (
+        _df(spark, [3.0, 4.0], [0.0, 0.0])
+        .select(
+            l2_normalize("a").alias("na"),
+            l2_normalize("b").alias("nb"),
+        )
+        .first()
+    )
+    assert [round(x, 9) for x in row.na] == [0.6, 0.8]
+    assert row.nb == [0.0, 0.0]  # zero vector passes through
+
+
+def test_squared_l2_distance(spark):
+    row = (
+        _df(spark, [1.0, 2.0], [4.0, 6.0])
+        .select(squared_l2_distance("a", "b").alias("d"))
+        .first()
+    )
+    assert row.d == 25.0
+
+
+def test_vector_exprs_are_codegen_not_python(spark):
+    """The whole point: no BatchEvalPython / PythonUDF in the plan."""
+    df = _df(spark, [1.0, 0.0], [0.0, 1.0]).select(
+        cosine_similarity("a", "b").alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
