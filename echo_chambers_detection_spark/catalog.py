@@ -488,6 +488,259 @@ def q_user_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_mean_embeddings_exploded(eng, _emb(spark, sf_dir))
 
 
+# ===========================================================================
+# Community metrics (SURVEY.md M2: A4-A12) over the post co-engagement graph
+# ===========================================================================
+
+# World: nodes = posts (events props.k), edges = posts sharing a user,
+# labels = embeddings.label with 9 remapped to the reference's -1 noise
+# convention then filtered (P4), vectors = embeddings.embedding.
+
+
+def _metric_world(spark: SparkSession, sf_dir: str):
+    from echo_chambers_detection_spark.operators.metrics import restrict_to_members
+
+    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    edges = coengagement_edges(
+        eng, user_col="post_uri", post_col="user_did"
+    ).select("u1", "u2")
+    raw = _t(spark, sf_dir, "embeddings")
+    labels = (
+        raw.select(
+            F.col("vec_id").cast("string").alias("node"),
+            F.when(F.col("label") == 9, F.lit(-1))
+            .otherwise(F.col("label"))
+            .alias("label"),
+        )
+        .where(F.col("label") != -1)
+    )
+    emb = raw.select(
+        F.col("vec_id").cast("string").alias("node"),
+        F.col("embedding").alias("vector"),
+    )
+    edges_m, members = restrict_to_members(edges, labels, emb)
+    return edges_m, members, emb
+
+
+# Shared oracle CTE prelude for the metric world.
+_ORACLE_METRIC_WORLD = """
+pe AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+           json_extract_string(props, '$.k') AS p
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+edges0 AS (
+    SELECT a.p AS u1, b.p AS u2
+    FROM pe a JOIN pe b ON a.u = b.u AND a.p < b.p
+    GROUP BY 1, 2
+),
+lab AS (
+    SELECT CAST(vec_id AS VARCHAR) AS node,
+           CASE WHEN label = 9 THEN -1 ELSE label END AS label
+    FROM embeddings WHERE label != 9
+),
+edges AS (
+    SELECT e.u1, e.u2 FROM edges0 e
+    JOIN lab la ON la.node = e.u1
+    JOIN lab lb ON lb.node = e.u2
+),
+ex AS (
+    SELECT CAST(vec_id AS VARCHAR) AS node,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+sims AS (
+    SELECT e.u1, e.u2,
+           SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))) AS sim
+    FROM edges e
+    JOIN ex a ON a.node = e.u1
+    JOIN ex b ON b.node = e.u2 AND a.i = b.i
+    GROUP BY 1, 2
+),
+we AS (
+    SELECT s.u1, s.u2, s.sim, la.label AS l1, lb.label AS l2
+    FROM sims s
+    JOIN lab la ON la.node = s.u1
+    JOIN lab lb ON lb.node = s.u2
+),
+gnodes AS (SELECT u1 AS node FROM edges UNION SELECT u2 AS node FROM edges),
+comm AS (SELECT l.node, l.label FROM lab l JOIN gnodes g ON g.node = l.node),
+deg AS (
+    SELECT node, COUNT(*) AS degree
+    FROM (SELECT u1 AS node FROM edges UNION ALL SELECT u2 AS node FROM edges)
+    GROUP BY 1
+),
+tot AS (SELECT 2 * COUNT(*) AS total_deg FROM edges)
+"""
+
+
+@register(
+    "community_metrics_table",
+    f"""
+WITH {_ORACLE_METRIC_WORLD},
+sizes AS (SELECT label, COUNT(*) AS size FROM comm GROUP BY 1),
+internal AS (
+    SELECT l1 AS label, COUNT(*) AS internal_edge_count, AVG(sim) AS cohesion
+    FROM we WHERE l1 = l2 GROUP BY 1
+),
+extc AS (
+    SELECT label, COUNT(*) AS cut_edges, AVG(sim) AS mes FROM (
+        SELECT l1 AS label, sim FROM we WHERE l1 != l2
+        UNION ALL
+        SELECT l2 AS label, sim FROM we WHERE l1 != l2
+    ) GROUP BY 1
+),
+vol AS (
+    SELECT c.label, SUM(COALESCE(d.degree, 0)) AS vol_c
+    FROM comm c LEFT JOIN deg d ON d.node = c.node GROUP BY 1
+),
+exv AS (SELECT c.label, c.node, e.x, e.i FROM comm c JOIN ex e ON e.node = c.node),
+cent AS (SELECT label, i, AVG(x) AS cx FROM exv GROUP BY 1, 2),
+sqd AS (
+    SELECT v.label, v.node, SUM((v.x - c.cx) ** 2) AS sqd
+    FROM exv v JOIN cent c ON c.label = v.label AND c.i = v.i
+    GROUP BY 1, 2
+),
+varc AS (SELECT label, AVG(sqd) AS variance FROM sqd GROUP BY 1)
+SELECT s.label, s.size,
+    ROUND(i.cohesion, 6) AS cohesion,
+    ROUND(1 - e.mes, 6) AS separation,
+    ROUND(i.cohesion * (1 - e.mes), 6) AS ecs,
+    ROUND(CASE WHEN LEAST(v.vol_c, t.total_deg - v.vol_c) > 0
+          THEN COALESCE(e.cut_edges, 0) / LEAST(v.vol_c, t.total_deg - v.vol_c)
+          END, 6) AS conductance,
+    ROUND(varc.variance, 6) AS variance,
+    ROUND(i.cohesion, 6) AS homophily,
+    ROUND(CASE WHEN s.size > 1
+          THEN COALESCE(i.internal_edge_count, 0) / (s.size * (s.size - 1) / 2.0)
+          END, 6) AS density_internal,
+    COALESCE(i.internal_edge_count, 0) AS internal_edge_count
+FROM sizes s
+LEFT JOIN internal i USING (label)
+LEFT JOIN extc e USING (label)
+LEFT JOIN vol v USING (label)
+LEFT JOIN varc USING (label), tot t
+""",
+    doc="Per-community metric table (reference per_community_table, "
+    "project/metrics/metrics.py:127-205; SURVEY.md A12) — one distributed "
+    "pipeline instead of an O(C·E) driver loop",
+)
+def q_community_metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.metrics import community_metrics
+
+    edges_m, members, emb = _metric_world(spark, sf_dir)
+    t = community_metrics(edges_m, members, emb)
+    return t.select(
+        "label",
+        "size",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round("ecs", 6).alias("ecs"),
+        F.round("conductance", 6).alias("conductance"),
+        F.round("variance", 6).alias("variance"),
+        F.round("homophily", 6).alias("homophily"),
+        F.round("density_internal", 6).alias("density_internal"),
+        "internal_edge_count",
+    )
+
+
+@register(
+    "global_echo_metrics",
+    f"""
+WITH {_ORACLE_METRIC_WORLD},
+gstats AS (
+    SELECT ROUND(AVG(sim), 6) AS homophily,
+        ROUND(COALESCE(AVG(CASE WHEN l1 = l2 THEN sim END), 0), 6) AS cohesion,
+        ROUND(COALESCE(1 - AVG(CASE WHEN l1 != l2 THEN sim END), 0), 6) AS separation,
+        ROUND(COALESCE(AVG(CASE WHEN l1 = l2 THEN sim END), 0)
+            * COALESCE(1 - AVG(CASE WHEN l1 != l2 THEN sim END), 0), 6) AS ecs
+    FROM we
+),
+vsz AS (
+    SELECT label FROM (SELECT label, COUNT(*) AS c FROM comm GROUP BY 1) WHERE c >= 2
+),
+vm AS (SELECT c.node, c.label FROM comm c JOIN vsz v USING (label)),
+sub AS (
+    SELECT w.u1, w.u2, la.label AS l1, lb.label AS l2
+    FROM edges w
+    JOIN vm la ON la.node = w.u1
+    JOIN vm lb ON lb.node = w.u2
+),
+subm AS (SELECT COUNT(*) AS m FROM sub),
+dc AS (
+    SELECT label, COUNT(*) AS d_c
+    FROM (SELECT l1 AS label FROM sub UNION ALL SELECT l2 AS label FROM sub)
+    GROUP BY 1
+),
+lc AS (SELECT l1 AS label, COUNT(*) AS l_c FROM sub WHERE l1 = l2 GROUP BY 1),
+modq AS (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM vsz) >= 2
+           THEN ROUND(SUM(COALESCE(l.l_c, 0) * 1.0 / s.m - (d.d_c / (2.0 * s.m)) ** 2), 6)
+           END AS modularity
+    FROM dc d LEFT JOIN lc l USING (label), subm s
+)
+SELECT g.homophily, g.cohesion, g.separation, g.ecs, m.modularity
+FROM gstats g, modq m
+""",
+    doc="Global homophily / cohesion / separation / ECS / modularity in two "
+    "aggregate passes (reference ecs()+homophily()+compute_modularity, "
+    "project/metrics/metrics.py:8-106; SURVEY.md A4/A5/A9)",
+)
+def q_global_echo_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.metrics import (
+        global_metrics,
+        modularity,
+    )
+
+    edges_m, members, emb = _metric_world(spark, sf_dir)
+    g = global_metrics(edges_m, members, emb).select(
+        F.round("homophily", 6).alias("homophily"),
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round("ecs", 6).alias("ecs"),
+    )
+    m = modularity(edges_m, members).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+    return g.crossJoin(m)
+
+
+@register(
+    "conductance_sentinel",
+    f"""
+WITH {_ORACLE_METRIC_WORLD},
+cut AS (
+    SELECT label, COUNT(*) AS cut_edges FROM (
+        SELECT l1 AS label FROM we WHERE l1 != l2
+        UNION ALL
+        SELECT l2 AS label FROM we WHERE l1 != l2
+    ) GROUP BY 1
+),
+vol AS (
+    SELECT c.label, SUM(COALESCE(d.degree, 0)) AS vol_c
+    FROM comm c LEFT JOIN deg d ON d.node = c.node GROUP BY 1
+)
+SELECT v.label,
+    ROUND(CASE WHEN LEAST(v.vol_c, t.total_deg - v.vol_c) > 0
+        THEN COALESCE(c.cut_edges, 0) / LEAST(v.vol_c, t.total_deg - v.vol_c)
+        ELSE 10000.0 END, 6) AS conductance
+FROM vol v LEFT JOIN cut c USING (label), tot t
+""",
+    doc="Standalone conductance with the reference's 10000 empty-side "
+    "sentinel (compute_conductance, project/metrics/metrics.py:108-124)",
+)
+def q_conductance_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.metrics import (
+        conductance_with_sentinel,
+    )
+
+    edges_m, members, _ = _metric_world(spark, sf_dir)
+    return conductance_with_sentinel(edges_m, members).select(
+        "label", F.round("conductance", 6).alias("conductance")
+    )
+
+
 @register(
     "user_profiles_cleaned",
     """
