@@ -741,6 +741,162 @@ def q_conductance_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Graph algorithms (SURVEY.md M3: G2, G4-G8) — iterative, not SQL-
+# expressible (except connected components, which gets a recursive-CTE
+# oracle); the driver records rows-only checks, invariants live in
+# tests/test_graph_algorithms.py.
+# ===========================================================================
+
+
+def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted user co-engagement graph — the reference's userGraph
+    projection (project/metrics/community_detection.py:22-38)."""
+    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    return coengagement_edges(eng)
+
+
+def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    return coengagement_edges(eng, user_col="post_uri", post_col="user_did")
+
+
+@register(
+    "kcore_user_graph",
+    None,
+    doc="k-core decomposition of the weighted user co-engagement graph "
+    "(reference gds.kcore.stream; SURVEY.md G4). Invariants in tests.",
+)
+def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import kcore
+
+    return kcore(_user_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "louvain_user_communities",
+    None,
+    doc="Louvain over the weighted user co-engagement graph (reference "
+    "gds.louvain.stream; SURVEY.md G7). Deterministic min-node community ids.",
+)
+def q_louvain_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import louvain
+
+    return louvain(_user_graph(spark, sf_dir), max_levels=2, max_rounds=6)
+
+
+@register(
+    "label_propagation_communities",
+    None,
+    doc="Synchronous label propagation, unweighted like the reference's "
+    "gds.labelPropagation.stream (SURVEY.md G5)",
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import label_propagation
+
+    return label_propagation(_post_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "leiden_communities",
+    None,
+    doc="Leiden-flavored Louvain + connectivity refinement (reference "
+    "gds.leiden.stream; SURVEY.md G6, documented substitution)",
+)
+def q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import leiden
+
+    return leiden(_post_graph(spark, sf_dir), max_levels=2, max_rounds=4)
+
+
+@register(
+    "modularity_optimization_communities",
+    None,
+    doc="Single-level modularity-gain local moves (reference "
+    "gds.modularityOptimization.stream; SURVEY.md G8)",
+)
+def q_modularity_optimization_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        modularity_optimization,
+    )
+
+    return modularity_optimization(_post_graph(spark, sf_dir), max_rounds=4)
+
+
+@register(
+    "fastrp_embeddings",
+    None,
+    doc="Deterministic FastRP node embeddings, dim=32, over the weighted "
+    "post graph (reference gds.fastRP.mutate dim=128; SURVEY.md G2)",
+)
+def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import fastrp
+
+    return fastrp(_post_graph(spark, sf_dir), dim=32)
+
+
+@register(
+    "density_clusters",
+    None,
+    doc="The reference's full analytical chain re-expressed: co-engagement "
+    "projection -> FastRP embeddings -> density clustering with -1 noise "
+    "(reference HDBSCAN on FastRP, SURVEY.md G3 substitution)",
+)
+def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        density_cluster,
+        fastrp,
+    )
+
+    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
+        "embedding", "vector"
+    )
+    return density_cluster(emb, min_sim=0.6, min_pts=2)
+
+
+@register(
+    "connected_components_strong",
+    f"""
+WITH RECURSIVE
+{_ORACLE_ENGAGEMENTS_CTE},
+pedges AS (
+    SELECT a.post_uri AS u1, b.post_uri AS u2, COUNT(*) AS weight
+    FROM e a JOIN e b ON a.user_did = b.user_did AND a.post_uri < b.post_uri
+    GROUP BY 1, 2
+),
+thr AS (SELECT 1.2 * AVG(weight) AS t FROM pedges),
+strong AS (SELECT u1, u2 FROM pedges, thr WHERE weight >= t),
+sym AS (
+    SELECT u1 AS s, u2 AS d FROM strong
+    UNION ALL SELECT u2 AS s, u1 AS d FROM strong
+),
+vertices AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, lab) AS (
+    SELECT node, node FROM vertices
+    UNION
+    SELECT s.d, r.lab FROM reach r JOIN sym s ON s.s = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+""",
+    doc="Connected components of the strong (above 1.2x mean weight) "
+    "co-engagement backbone; min-label propagation vs a recursive-CTE "
+    "transitive-closure oracle",
+)
+def q_connected_components_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    pg = _post_graph(spark, sf_dir)
+    thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
+    strong = pg.crossJoin(F.broadcast(thr)).where(
+        F.col("weight") >= F.col("t")
+    ).select("u1", "u2")
+    return connected_components(strong)
+
+
 @register(
     "user_profiles_cleaned",
     """

@@ -1,0 +1,666 @@
+"""Graph algorithms (SURVEY.md §2.10 G2, G4-G8) as iterative DataFrame loops.
+
+The reference runs these inside Neo4j GDS over the projected co-engagement
+graph (project/metrics/community_detection.py:49-83) and streams label
+frames back. Here each algorithm is a driver-coordinated loop over
+distributed joins/aggregations:
+
+- every iteration is a handful of shuffles on (node) or (node, dim) keys,
+  which partition evenly at any scale;
+- `localCheckpoint` truncates lineage each round so plans don't grow
+  unboundedly (the classic iterative-Spark failure mode);
+- driver-side state is O(1) scalars (round counters, change counts) —
+  never node/edge collections.
+
+Edge convention: undirected graphs enter as canonical pairs
+(u1 < u2, weight); `_symmetrize` expands to directed (src, dst, weight)
+for neighbor aggregation.
+
+Determinism: GDS results are nondeterministic (thread interleaving); ours
+are deterministic by construction (min-label tie-breaks, hash-seeded
+initialization) so tests can assert exact fixpoints. Community ids are
+canonicalized to the minimum member node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _symmetrize(edges: DataFrame, weighted: bool = True) -> DataFrame:
+    w = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
+    fwd = edges.select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"), w.cast("double").alias("weight")
+    )
+    rev = edges.select(
+        F.col("u2").alias("src"), F.col("u1").alias("dst"), w.cast("double").alias("weight")
+    )
+    return fwd.unionAll(rev)
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u1").alias("node"))
+        .unionAll(edges.select(F.col("u2").alias("node")))
+        .distinct()
+    )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + force computation (iterative-loop hygiene)."""
+    out = df.localCheckpoint(eager=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# G4 — k-core decomposition (reference gds.kcore.stream,
+# project/metrics/community_detection.py:56-58)
+# ---------------------------------------------------------------------------
+
+
+def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
+    """Core number per node via distributed peeling with min-degree jumping.
+
+    Classic peel: remove nodes with degree <= k, assigning them core k;
+    k advances to max(k, current min degree) each round, so dense graphs
+    (where naive peeling would crawl k up one at a time through empty
+    levels) finish in a handful of rounds. Each round is one degree
+    aggregation + two anti-joins. Returns (node, core_value).
+    """
+    sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
+    assigned: list[DataFrame] = []
+    k = 0
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        row = deg.agg(
+            F.min("deg").alias("mind"), F.count("*").alias("n")
+        ).first()
+        if row["n"] == 0:
+            break
+        k = max(k, int(row["mind"]))
+        low = deg.where(F.col("deg") <= k).select("src")
+        assigned.append(
+            low.select(F.col("src").alias("node"), F.lit(k).alias("core_value"))
+        )
+        sym = _materialize(
+            sym.join(low, "src", "leftanti").join(
+                low.withColumnRenamed("src", "dst"), "dst", "leftanti"
+            )
+        )
+    if not assigned:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, core_value int"
+        )
+    out = assigned[0]
+    for part in assigned[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components (building block for Leiden refinement + DBSCAN-style
+# clustering; exposed as an operator in its own right)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Min-label propagation to fixpoint: component id = min node id in the
+    component. O(diameter) rounds; each round one join + one groupBy.
+    Returns (node, component).
+
+    (For graphs with huge diameters, the two-phase large-star/small-star
+    algorithm [Kiveris et al., COCOA'14] halves round counts; co-engagement
+    graphs are short-diameter so min-propagation is the simpler win.)
+    """
+    sym = _symmetrize(edges, weighted=False).select("src", "dst")
+    labels = _nodes(edges).withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = _materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# G5 — label propagation (reference gds.labelPropagation.stream,
+# project/metrics/community_detection.py:60-62; unweighted in reference)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 10, weighted: bool = False
+) -> DataFrame:
+    """Synchronous LPA: each node adopts the most frequent (or highest
+    total weight, if weighted) label among its neighbors; ties break to the
+    smallest label, making the result deterministic where GDS's async
+    implementation is not. Stops at fixpoint or max_iter.
+    Returns (node, community).
+    """
+    sym = _materialize(_symmetrize(edges, weighted=weighted))
+    labels = _nodes(edges).withColumn("community", F.col("node"))
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "community", "weight")
+        counts = msgs.groupBy("node", "community").agg(
+            F.sum("weight").alias("score")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("score"), F.asc("community")
+        )
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        # nodes with no neighbors keep their previous label (none exist in
+        # an edge list, but keep the operator total)
+        new_labels = _materialize(
+            labels.withColumnRenamed("community", "_prev")
+            .join(new_labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce("community", F.col("_prev")).alias("community"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.community") != F.col("o.community"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# G7/G8/G6 — Louvain family (reference gds.louvain / modularityOptimization /
+# leiden .stream, project/metrics/community_detection.py:64-83)
+# ---------------------------------------------------------------------------
+
+
+def weighted_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Q = Σ_c [Σ_in(c)/2m − (Σ_tot(c)/2m)²] over an undirected weighted
+    graph — the invariant the Louvain family must not decrease. One-row
+    frame (column `q`); used by tests and the local-move stop condition."""
+    sym = _symmetrize(edges)
+    lab_s = labels.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    lab_d = labels.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    we = sym.join(lab_s, "src").join(lab_d, "dst")
+    deg = sym.groupBy("src").agg(F.sum("weight").alias("k"))
+    sigma = (
+        labels.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .na.fill({"k": 0.0})
+        .groupBy("community")
+        .agg(F.sum("k").alias("sigma_tot"))
+    )
+    sigma_in = (
+        we.where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("weight").alias("sigma_in"))
+    )
+    totals = sym.agg((F.sum("weight") / 2).alias("m"))
+    per_c = (
+        sigma.join(sigma_in, "community", "left")
+        .na.fill({"sigma_in": 0.0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.col("sigma_in") / (2 * F.col("m"))
+                - F.pow(F.col("sigma_tot") / (2 * F.col("m")), 2)
+            ).alias("term")
+        )
+    )
+    return per_c.agg(F.coalesce(F.sum("term"), F.lit(0.0)).alias("q"))
+
+
+def _local_moves(
+    sym: DataFrame,
+    selfw: DataFrame,
+    comm: DataFrame,
+    m: float,
+    max_rounds: int,
+) -> tuple[DataFrame, int]:
+    """One Louvain phase of modularity-gain local moves.
+
+    sym:    (src, dst, weight) both directions, no self edges
+    selfw:  (node, w_self) self-loop weight (counted once)
+    comm:   (node, community) current assignment
+    m:      total edge weight (undirected sum incl. self loops)
+
+    Synchronous best-move with alternating hash-parity application (only
+    half the nodes move per round), the standard trick to prevent the
+    two-community swap oscillation of fully synchronous Louvain. Moves are
+    deterministic: ties break to the smallest community id. Returns
+    (new comm, total moves applied).
+    """
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("k_adj")
+    )
+    k_i = _materialize(
+        selfw.join(deg, "node", "outer")
+        .na.fill({"w_self": 0.0, "k_adj": 0.0})
+        .select("node", (F.col("k_adj") + 2 * F.col("w_self")).alias("k"))
+    )
+
+    total_moves = 0
+    for rnd in range(max_rounds):
+        sigma = (
+            comm.join(k_i, "node")
+            .groupBy("community")
+            .agg(F.sum("k").alias("sigma_tot"))
+        )
+        # weight from each node to each neighboring community
+        w_nc = (
+            sym.join(
+                comm.select(
+                    F.col("node").alias("dst"), F.col("community").alias("nbr_c")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nbr_c")
+            .agg(F.sum("weight").alias("w_ic"))
+        )
+        cand = (
+            w_nc.withColumnRenamed("src", "node")
+            .join(comm, "node")
+            .join(k_i, "node")
+            .join(
+                sigma.withColumnRenamed("community", "nbr_c"),
+                "nbr_c",
+            )
+        )
+        own = F.col("nbr_c") == F.col("community")
+        # staying: exclude own k from sigma_tot; joining: full sigma_tot
+        score = F.when(
+            own,
+            F.col("w_ic")
+            - F.col("k") * (F.col("sigma_tot") - F.col("k")) / (2 * m),
+        ).otherwise(
+            F.col("w_ic") - F.col("k") * F.col("sigma_tot") / (2 * m)
+        )
+        # a node with no intra-community neighbors has no own-row in w_nc;
+        # synthesize the stay-score 0 - k*(sigma_own - k)/2m via union
+        stay_base = (
+            comm.join(k_i, "node")
+            .join(sigma, "community")
+            .select(
+                "node",
+                F.col("community").alias("nbr_c"),
+                (
+                    F.lit(0.0)
+                    - F.col("k") * (F.col("sigma_tot") - F.col("k")) / (2 * m)
+                ).alias("score"),
+                F.col("community"),
+            )
+        )
+        scored = cand.select(
+            "node", "nbr_c", score.alias("score"), "community"
+        ).unionByName(stay_base)
+        w = Window.partitionBy("node").orderBy(
+            F.desc("score"), F.asc("nbr_c")
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "node",
+                F.col("community").alias("old_c"),
+                F.col("nbr_c").alias("new_c"),
+            )
+        )
+        # apply only to one hash-parity half per round
+        parity = F.pmod(F.xxhash64(F.col("node")) + F.lit(rnd), F.lit(2)) == 0
+        applied = best.select(
+            "node",
+            F.when(parity & (F.col("new_c") != F.col("old_c")), F.col("new_c"))
+            .otherwise(F.col("old_c"))
+            .alias("community"),
+            (parity & (F.col("new_c") != F.col("old_c"))).alias("moved"),
+        )
+        applied = _materialize(applied)
+        moves = applied.where(F.col("moved")).count()
+        comm = applied.select("node", "community")
+        total_moves += moves
+        if moves == 0 and rnd > 0:
+            break
+    return comm, total_moves
+
+
+def _coarsen(
+    sym: DataFrame, selfw: DataFrame, comm: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Aggregate the graph by community: communities become nodes, edge
+    weights sum, internal weight folds into self-loops."""
+    lab_s = comm.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    lab_d = comm.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    we = sym.join(lab_s, "src").join(lab_d, "dst")
+    new_edges = (
+        we.where(F.col("c_src") < F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("u1"), F.col("c_dst").alias("u2"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+    internal = (
+        we.where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("node"))
+        .agg((F.sum("weight") / 2).alias("w_int"))
+    )
+    carried = (
+        selfw.join(comm, "node")
+        .groupBy(F.col("community").alias("node"))
+        .agg(F.sum("w_self").alias("w_carried"))
+    )
+    new_selfw = (
+        internal.join(carried, "node", "outer")
+        .na.fill({"w_int": 0.0, "w_carried": 0.0})
+        .select("node", (F.col("w_int") + F.col("w_carried")).alias("w_self"))
+    )
+    return new_edges, new_selfw
+
+
+def louvain(
+    edges: DataFrame, max_levels: int = 3, max_rounds: int = 8
+) -> DataFrame:
+    """Distributed Louvain (reference gds.louvain.stream with
+    relationshipWeightProperty, project/metrics/community_detection.py:71-76):
+    repeated (local moves -> coarsen) levels over DataFrames.
+
+    Level mappings compose through joins; final community ids are
+    canonicalized to the min member node id, so results are stable across
+    runs (the reference's GDS ids are not). Returns (node, community).
+    """
+    spark = edges.sparkSession
+    sym = _materialize(_symmetrize(edges))
+    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    m = float(m_row["m"] or 0.0)
+    if m <= 0:
+        return _nodes(edges).withColumn("community", F.col("node"))
+
+    selfw = _nodes(edges).select(
+        "node", F.lit(0.0).alias("w_self")
+    )
+    mapping = _nodes(edges).withColumn("community", F.col("node"))
+
+    for _level in range(max_levels):
+        comm0 = (
+            mapping.select(F.col("community").alias("node")).distinct()
+            .withColumn("community", F.col("node"))
+        )
+        comm, moves = _local_moves(sym, selfw, comm0, m, max_rounds)
+        if moves == 0:
+            break
+        # compose: node -> old community -> new community
+        mapping = _materialize(
+            mapping.join(
+                comm.select(
+                    F.col("node").alias("community"),
+                    F.col("community").alias("_next"),
+                ),
+                "community",
+            ).select("node", F.col("_next").alias("community"))
+        )
+        new_edges, selfw = _coarsen(sym, selfw, comm)
+        sym = _materialize(_symmetrize(new_edges))
+        if sym.isEmpty():
+            break
+    # canonicalize ids to min member node
+    canon = mapping.groupBy("community").agg(F.min("node").alias("_canon"))
+    return mapping.join(canon, "community").select(
+        "node", F.col("_canon").alias("community")
+    )
+
+
+def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Single-level modularity-gain local moves (reference
+    gds.modularityOptimization.stream,
+    project/metrics/community_detection.py:78-83) — Louvain's phase one
+    without coarsening. Returns (node, community) canonicalized to min
+    member node id."""
+    sym = _materialize(_symmetrize(edges))
+    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    m = float(m_row["m"] or 0.0)
+    nodes = _nodes(edges)
+    if m <= 0:
+        return nodes.withColumn("community", F.col("node"))
+    selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
+    comm0 = nodes.withColumn("community", F.col("node"))
+    comm, _ = _local_moves(sym, selfw, comm0, m, max_rounds)
+    canon = comm.groupBy("community").agg(F.min("node").alias("_canon"))
+    return comm.join(canon, "community").select(
+        "node", F.col("_canon").alias("community")
+    )
+
+
+def leiden(
+    edges: DataFrame, max_levels: int = 3, max_rounds: int = 8
+) -> DataFrame:
+    """Leiden-flavored refinement (reference gds.leiden.stream,
+    project/metrics/community_detection.py:64-69): Louvain, then each
+    community is split into its connected components — enforcing Leiden's
+    headline guarantee (communities are internally connected) which plain
+    Louvain violates. The full Leiden refinement phase (randomized
+    sub-community merging) is intentionally simplified; documented as a
+    capability substitution (SURVEY.md §7.2).
+    Returns (node, community), ids = min member node."""
+    base = louvain(edges, max_levels=max_levels, max_rounds=max_rounds)
+    lab_s = base.select(F.col("node").alias("u1"), F.col("community").alias("c1"))
+    lab_d = base.select(F.col("node").alias("u2"), F.col("community").alias("c2"))
+    intra = (
+        edges.join(lab_s, "u1")
+        .join(lab_d, "u2")
+        .where(F.col("c1") == F.col("c2"))
+        .select("u1", "u2")
+    )
+    comps = connected_components(intra)
+    # nodes whose community has no intra edges become singletons
+    return base.join(comps, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — FastRP node embeddings (reference gds.fastRP.mutate with
+# embeddingDimension=128, relationshipWeightProperty="weight",
+# project/metrics/community_detection.py:40-45)
+# ---------------------------------------------------------------------------
+
+
+def fastrp(
+    edges: DataFrame,
+    dim: int = 64,
+    iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
+    seed: int = 42,
+) -> DataFrame:
+    """FastRP (Chen et al., CIKM'19) on DataFrames.
+
+    - init: very sparse random projection per node — value ±√3 with
+      probability 1/6 each, else 0 (Achlioptas s=3), seeded from
+      xxhash64(node, dim, seed) so the embedding is DETERMINISTIC, unlike
+      the reference's GDS run;
+    - iterate: r_t = L2-normalize-per-node( D⁻¹·A · r_{t-1} ) — a join on
+      the degree-normalized edge list + a (node, dim) sum;
+    - output: Σ_t iteration_weights[t] · r_t, assembled to array<float>.
+
+    Everything lives in the exploded (node, dim, val) representation:
+    shuffles key on (node, dim) — scale-out is by node count × dim, with
+    no vector-width skew. Returns (node, embedding array<float>).
+    """
+    spark = edges.sparkSession
+    sym = _materialize(_symmetrize(edges))
+    degw = sym.groupBy("src").agg(F.sum("weight").alias("degw"))
+    trans = _materialize(
+        sym.join(degw, "src").select(
+            "src", "dst", (F.col("weight") / F.col("degw")).alias("p")
+        )
+    )
+    nodes = _nodes(edges)
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("dim"))
+
+    sqrt3 = 3.0 ** 0.5
+    h = F.pmod(
+        F.xxhash64(F.col("node"), F.col("dim"), F.lit(seed)), F.lit(6)
+    )
+    init = (
+        nodes.crossJoin(dims)
+        .select(
+            "node",
+            "dim",
+            F.when(h == 0, F.lit(sqrt3))
+            .when(h == 1, F.lit(-sqrt3))
+            .otherwise(F.lit(0.0))
+            .alias("val"),
+        )
+        .where(F.col("val") != 0.0)
+    )
+    cur = _materialize(init)
+
+    terms: list[DataFrame] = []
+    for t, wt in enumerate(iteration_weights):
+        if t > 0:
+            propagated = (
+                trans.join(
+                    cur.select(F.col("node").alias("dst"), "dim", "val"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "dim")
+                .agg(F.sum(F.col("p") * F.col("val")).alias("val"))
+            )
+            w = Window.partitionBy("node")
+            norm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))
+            cur = _materialize(
+                propagated.select(
+                    "node",
+                    "dim",
+                    F.when(norm > 0, F.col("val") / norm)
+                    .otherwise(F.col("val"))
+                    .alias("val"),
+                )
+            )
+        if wt != 0.0:
+            terms.append(
+                cur.select("node", "dim", (F.col("val") * F.lit(wt)).alias("val"))
+            )
+
+    combined = terms[0]
+    for part in terms[1:]:
+        combined = combined.unionAll(part)
+    summed = combined.groupBy("node", "dim").agg(F.sum("val").alias("val"))
+
+    dense = (
+        nodes.crossJoin(dims)
+        .join(summed, ["node", "dim"], "left")
+        .na.fill({"val": 0.0})
+    )
+    return (
+        dense.groupBy("node")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "val"))
+            ).alias("_pairs")
+        )
+        .select(
+            "node",
+            F.transform(
+                F.col("_pairs"), lambda s: s["val"].cast("float")
+            ).alias("embedding"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — density clustering on embeddings (reference gds.hdbscan.stream on
+# FastRP embeddings, project/metrics/community_detection.py:49-54).
+# HDBSCAN itself is not honestly distributable (single-linkage hierarchy
+# over a mutual-reachability graph); the documented substitution
+# (SURVEY.md §7.2) is a DBSCAN-style density clustering: cosine-threshold
+# neighbor graph -> core points -> connected components, with the
+# reference's noise label -1 convention.
+# ---------------------------------------------------------------------------
+
+
+def density_cluster(
+    embeddings: DataFrame,
+    min_sim: float = 0.8,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN-flavored clustering over (node, vector).
+
+    - neighbors: pairs with cosine >= min_sim (exact self-join here; at
+      scale substitute the LSH-bucketed candidate pairs from
+      operators/dedup.py and keep the same downstream);
+    - core nodes: >= min_pts neighbors;
+    - clusters: connected components of the core-core graph; border nodes
+      attach to the smallest adjacent core cluster; everything else is
+      noise, labeled '-1' (reference HDBSCAN noise rows,
+      /root/reference/hdbscan_clusters.csv).
+
+    Returns (node, cluster) with cluster = min member node id or '-1'.
+    """
+    from echo_chambers_detection_spark.functions.vector import cosine_similarity
+
+    a = embeddings.select(F.col("node").alias("na"), F.col("vector").alias("va"))
+    b = embeddings.select(F.col("node").alias("nb"), F.col("vector").alias("vb"))
+    nbrs = _materialize(
+        a.join(b, F.col("na") < F.col("nb"))
+        .where(cosine_similarity("va", "vb") >= min_sim)
+        .select("na", "nb")
+    )
+    sym_nbrs = nbrs.unionAll(
+        nbrs.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
+    )
+    deg = sym_nbrs.groupBy(F.col("na").alias("node")).agg(
+        F.count("*").alias("n_nbrs")
+    )
+    core = deg.where(F.col("n_nbrs") >= min_pts).select("node")
+
+    core_edges = (
+        nbrs.join(core.withColumnRenamed("node", "na"), "na", "leftsemi")
+        .join(core.withColumnRenamed("node", "nb"), "nb", "leftsemi")
+        .select(F.col("na").alias("u1"), F.col("nb").alias("u2"))
+    )
+    comps = connected_components(core_edges)
+    core_clusters = core.join(comps, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("cluster")
+    )
+
+    border = (
+        sym_nbrs.join(
+            core_clusters.select(
+                F.col("node").alias("nb"), F.col("cluster")
+            ),
+            "nb",
+        )
+        .groupBy(F.col("na").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+        .join(core_clusters.select("node"), "node", "leftanti")
+    )
+
+    labeled = core_clusters.unionByName(border)
+    return (
+        embeddings.select("node")
+        .join(labeled, "node", "left")
+        .select("node", F.coalesce("cluster", F.lit("-1")).alias("cluster"))
+    )

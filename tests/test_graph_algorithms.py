@@ -1,0 +1,163 @@
+"""Invariant tests for the iterative graph algorithms (SURVEY.md §5.3):
+k-core degree invariants, LPA fixpoints, Louvain-family modularity, and
+Leiden connectivity — on hand-computed graphs plus a planted-partition
+fixture, mirroring the algorithm surface of
+reference project/metrics/community_detection.py:49-83."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from echo_chambers_detection_spark.operators.graph import (
+    connected_components,
+    kcore,
+    label_propagation,
+    leiden,
+    louvain,
+    modularity_optimization,
+    weighted_modularity,
+)
+
+
+def _edges_df(spark, pairs, weighted=False):
+    if weighted:
+        return spark.createDataFrame(pairs, "u1 string, u2 string, weight double")
+    return spark.createDataFrame(pairs, "u1 string, u2 string")
+
+
+def _clique(names):
+    return [(a, b) for a, b in itertools.combinations(sorted(names), 2)]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Three 6-cliques with single bridges: communities are obvious,
+    modularity of the planted partition ≈ 0.58."""
+    groups = [
+        [f"a{i}" for i in range(6)],
+        [f"b{i}" for i in range(6)],
+        [f"c{i}" for i in range(6)],
+    ]
+    pairs = []
+    for g in groups:
+        pairs += _clique(g)
+    pairs += [("a0", "b0"), ("b1", "c0")]
+    return _edges_df(spark, [(u, v, 1.0) for u, v in pairs], weighted=True)
+
+
+def test_kcore_triangle_with_tail(spark):
+    edges = _edges_df(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    cores = {r["node"]: r["core_value"] for r in kcore(edges).collect()}
+    assert cores == {"a": 2, "b": 2, "c": 2, "d": 1}
+
+
+def test_kcore_invariant_on_planted(planted):
+    """Every node with core value k has >= k neighbors of core >= k."""
+    cores = kcore(planted.select("u1", "u2"))
+    sym = planted.select("u1", "u2").unionAll(
+        planted.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
+    )
+    c1 = cores.withColumnRenamed("node", "u1").withColumnRenamed(
+        "core_value", "k1"
+    )
+    c2 = cores.withColumnRenamed("node", "u2").withColumnRenamed(
+        "core_value", "k2"
+    )
+    good_nbrs = (
+        sym.join(c1, "u1")
+        .join(c2, "u2")
+        .where(F.col("k2") >= F.col("k1"))
+        .groupBy("u1", "k1")
+        .agg(F.count("*").alias("n"))
+    )
+    bad = good_nbrs.where(F.col("n") < F.col("k1")).count()
+    assert bad == 0
+    # a 6-clique is a 5-core
+    vals = {r["core_value"] for r in cores.collect()}
+    assert 5 in vals
+
+
+def test_connected_components_two_islands(spark):
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["a"] != comps["x"]
+
+
+def test_label_propagation_planted(planted):
+    labels = label_propagation(planted.select("u1", "u2"), max_iter=10)
+    rows = labels.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["node"][0], set()).add(r["community"])
+    # each clique collapses to one label
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+
+
+def test_louvain_planted_recovers_cliques(planted):
+    comm = louvain(planted)
+    rows = comm.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["node"][0], set()).add(r["community"])
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    # three distinct communities
+    assert len({r["community"] for r in rows}) == 3
+    # modularity positive and near the planted value
+    q = weighted_modularity(planted, comm).first()["q"]
+    assert q > 0.5
+
+
+def test_louvain_beats_singletons(planted):
+    singletons = (
+        planted.select(F.col("u1").alias("node"))
+        .unionAll(planted.select(F.col("u2").alias("node")))
+        .distinct()
+        .withColumn("community", F.col("node"))
+    )
+    q0 = weighted_modularity(planted, singletons).first()["q"]
+    q1 = weighted_modularity(planted, louvain(planted)).first()["q"]
+    assert q1 > q0
+
+
+def test_modularity_optimization_improves(planted):
+    comm = modularity_optimization(planted)
+    q = weighted_modularity(planted, comm).first()["q"]
+    assert q > 0.3
+
+
+def test_leiden_communities_connected(spark):
+    """A community that is internally disconnected must be split — the
+    Leiden guarantee plain Louvain lacks."""
+    # two triangles NOT connected to each other
+    edges = _edges_df(
+        spark,
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0),
+         ("x", "y", 1.0), ("x", "z", 1.0), ("y", "z", 1.0)],
+        weighted=True,
+    )
+    comm = leiden(edges)
+    labels = {r["node"]: r["community"] for r in comm.collect()}
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["x"] == labels["y"] == labels["z"]
+    assert labels["a"] != labels["x"]
+
+
+def test_weighted_modularity_closed_form(spark):
+    """Two triangles + bridge with the planted labels: Q = 5/14."""
+    edges = _edges_df(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+         ("d", "e"), ("d", "f"), ("e", "f")],
+    )
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("d", "B"), ("e", "B"), ("f", "B")],
+        "node string, community string",
+    )
+    q = weighted_modularity(edges, labels).first()["q"]
+    assert abs(q - 5 / 14) < 1e-12
