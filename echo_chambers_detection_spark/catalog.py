@@ -897,6 +897,179 @@ def q_connected_components_strong(spark: SparkSession, sf_dir: str) -> DataFrame
     return connected_components(strong)
 
 
+# ===========================================================================
+# SCD-2 temporal membership + run catalog (SURVEY.md M4: W1/W2, §1.4)
+# ===========================================================================
+
+# World: the events stream is a membership changelog — each event moves its
+# user into community props.k at time ts. Timestamps exported as epoch ms
+# (exact integers on both engines; ns-vs-us parquet precision cancels
+# under floor-to-ms).
+
+
+def _membership_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("user_did"),
+        F.get_json_object("props", "$.k").alias("community"),
+        "ts",
+        "event_id",
+    ).where(F.col("community").isNotNull())
+
+
+_ORACLE_CHANGELOG_CTE = """
+ch AS (
+    SELECT CAST(user_id AS VARCHAR) AS user_did,
+           json_extract_string(props, '$.k') AS community,
+           ts, event_id
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+hist AS (
+    SELECT user_did, community,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_did ORDER BY ts, event_id) AS valid_to
+    FROM ch
+)
+"""
+
+
+@register(
+    "scd2_membership_history",
+    f"""
+WITH {_ORACLE_CHANGELOG_CTE}
+SELECT user_did, community,
+       epoch_ms(valid_from) AS valid_from_ms,
+       epoch_ms(valid_to) AS valid_to_ms
+FROM hist
+""",
+    doc="Changelog -> SCD-2 validity intervals via one lead() window — the "
+    "read-side dual of the reference's expire/append mutation "
+    "(project/db/postgres.py:38-47, postgres-schema.sql:42-48; SURVEY.md W1)",
+)
+def q_scd2_membership_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import scd2_from_changelog
+
+    hist = scd2_from_changelog(
+        _membership_changelog(spark, sf_dir),
+        key_col="user_did",
+        value_col="community",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_did",
+        "community",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+    )
+
+
+@register(
+    "scd2_current_membership",
+    f"""
+WITH {_ORACLE_CHANGELOG_CTE}
+SELECT user_did, community, epoch_ms(valid_from) AS valid_from_ms
+FROM hist WHERE valid_to IS NULL
+""",
+    doc="Current rows: valid_to IS NULL (reference predicate, "
+    "project/db/postgres.py:44; SURVEY.md P9)",
+)
+def q_scd2_current_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import (
+        current_rows,
+        scd2_from_changelog,
+    )
+
+    hist = scd2_from_changelog(
+        _membership_changelog(spark, sf_dir),
+        key_col="user_did",
+        value_col="community",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return current_rows(hist).select(
+        "user_did", "community", F.unix_millis("valid_from").alias("valid_from_ms")
+    )
+
+
+@register(
+    "scd2_membership_as_of",
+    f"""
+WITH {_ORACLE_CHANGELOG_CTE}
+SELECT user_did, community, epoch_ms(valid_from) AS valid_from_ms
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+""",
+    doc="As-of temporal read (implied by the reference schema, "
+    "postgres-schema.sql:45-47; SURVEY.md W2)",
+)
+def q_scd2_membership_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import (
+        as_of,
+        scd2_from_changelog,
+    )
+
+    hist = scd2_from_changelog(
+        _membership_changelog(spark, sf_dir),
+        key_col="user_did",
+        value_col="community",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return as_of(hist, "2024-01-15 00:00:00").select(
+        "user_did", "community", F.unix_millis("valid_from").alias("valid_from_ms")
+    )
+
+
+@register(
+    "community_catalog_save",
+    """
+SELECT md5('r1:' || CAST(label AS VARCHAR)) AS id,
+       'r1' AS run_id,
+       label,
+       CAST(COUNT(*) AS INTEGER) AS total_amount
+FROM embeddings
+WHERE label != -1
+GROUP BY label
+""",
+    doc="save_communities persist shape: distinct labels -> community rows "
+    "with deterministic md5 ids replacing the reference's uuid4 "
+    "(project/metrics/community_detection.py:85-122; SURVEY.md S16/A3/F2/F3)",
+)
+def q_community_catalog_save(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import save_communities
+
+    labels = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node_id"), "label"
+    )
+    community, _ = save_communities(labels, "r1")
+    return community
+
+
+@register(
+    "community_membership_save",
+    """
+SELECT md5('r1:' || CAST(label AS VARCHAR)) AS community_id,
+       CAST(vec_id AS VARCHAR) AS node_id
+FROM embeddings
+WHERE label != -1
+""",
+    doc="save_communities membership rows (community_id, node_id) — the "
+    "label->community_id attach join (reference J1, "
+    "community_detection.py:114-120)",
+)
+def q_community_membership_save(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import save_communities
+
+    labels = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node_id"), "label"
+    )
+    _, membership = save_communities(labels, "r1")
+    return membership
+
+
 @register(
     "user_profiles_cleaned",
     """
