@@ -1,0 +1,187 @@
+"""Structured-streaming ingest (SURVEY.md §2.9 X1-X6, §3.1).
+
+The reference runs five OS processes: a Kafka producer and per-sink
+consumer loops doing per-record JSON decode + MERGE round trips
+(project/main.py:20-54, consumer_user.py:66-82). Here the whole topology
+is one Spark job graph:
+
+  readStream (kafka or files) -> from_json(explicit schema) ->
+  type fork (filter) -> dedup -> foreachBatch upsert to parquet tables
+
+Kafka specifics map 1:1 when a broker exists
+(`spark.readStream.format("kafka")`, startingOffsets latest/earliest =
+the reference's per-consumer offset reset policy, SURVEY.md X2); this
+container has no broker, so the file source stands in — the pipeline from
+`from_json` down is byte-identical either way, and that is the part the
+reference implements by hand.
+
+Idempotency (X3): the reference's MERGE-by-key absorbs at-least-once
+duplicates. The engine's equivalent is last-write-wins row_number dedup
+inside foreachBatch against the existing table — exactly-once table state
+from at-least-once delivery.
+
+Watermarks/windows (X4): the reference has no event time at all; windows
+are a capability superset exercised over the driver's events table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from echo_chambers_detection_spark.schemas import (
+    POST_TOPIC_MESSAGE,
+    USER_TOPIC_MESSAGE,
+)
+
+
+def read_json_topic(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-backed stand-in for a Kafka topic: each line is one message
+    `value`. With a broker this is format('kafka') + the same from_json."""
+    reader = spark.readStream.schema("value string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(path).withColumnRenamed("value", "raw")
+    # Unparseable lines are captured in an explicit corrupt-record column
+    # and dropped (the reference would crash on them — json.loads at
+    # consumer_user.py:75 — so they never reach a sink there either);
+    # messages that parse but miss fields flow on and get the reference's
+    # 'unknown' coalescing. PERMISSIVE from_json alone can't distinguish
+    # the two: it returns an all-null struct for garbage.
+    from pyspark.sql import types as T
+
+    schema_c = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    return (
+        raw.select(
+            F.from_json(
+                "raw", schema_c, {"columnNameOfCorruptRecord": "_corrupt"}
+            ).alias("m")
+        )
+        .where(F.col("m._corrupt").isNull())
+        .select("m.*")
+        .drop("_corrupt")
+    )
+
+
+def fork_user_topic(msgs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The multiplexed users topic split (reference routes on
+    data['type'] == 'LIKED', consumer_user.py:79-82; SURVEY.md X5/P5).
+
+    Returns (profiles, likes):
+      profiles(did, handle, display_name) with unknown-coalescing (P1)
+      likes(user_did, post_uri)
+    """
+    from echo_chambers_detection_spark.functions.cleaning import clean_unknown
+
+    profiles = msgs.where(
+        (F.col("type").isNull()) | (F.col("type") != "LIKED")
+    ).select(
+        clean_unknown("did").alias("did"),
+        clean_unknown("handle").alias("handle"),
+        clean_unknown("display_name").alias("display_name"),
+    )
+    likes = msgs.where(F.col("type") == "LIKED").select(
+        F.col("user_did"), F.col("uri").alias("post_uri")
+    )
+    return profiles, likes
+
+
+def parse_post_topic(msgs: DataFrame) -> DataFrame:
+    """posts topic -> posts(uri, cid, text, author_did) with the presence
+    filter (reference skips empty text / missing cid,
+    consumer_post.py:79-87; SURVEY.md P2)."""
+    from echo_chambers_detection_spark.functions.cleaning import presence_filter
+
+    return msgs.where(presence_filter("text", "cid")).select(
+        "uri", "cid", "text", F.col("author").alias("author_did")
+    )
+
+
+def upsert_parquet(
+    batch: DataFrame, target: str, keys: list[str], order_col: str | None = None
+) -> None:
+    """Last-write-wins MERGE of a micro-batch into a parquet table — the
+    engine's stand-in for the reference's per-record Cypher MERGE
+    (consumer_user.py:44-53). Reads current state, unions, keeps one row
+    per key (newest batch wins), rewrites.
+
+    On a real lake this is a Delta/Iceberg MERGE on the same keys; the
+    copy-on-write formulation keeps the semantics testable here. `_src`
+    orders existing (0) below incoming (1); order_col breaks ties inside
+    the batch."""
+    spark = batch.sparkSession
+    incoming = batch.withColumn("_src", F.lit(1))
+    if os.path.exists(target):
+        existing = spark.read.parquet(target).withColumn("_src", F.lit(0))
+        all_rows = existing.unionByName(incoming)
+    else:
+        all_rows = incoming
+    order = [F.desc("_src")] + (
+        [F.desc(order_col)] if order_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    deduped = (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    # materialize before overwrite (reading and overwriting the same path)
+    deduped.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+
+def run_user_topic_ingest(
+    spark: SparkSession,
+    source_path: str,
+    users_path: str,
+    engagements_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """End-to-end users-topic pipeline with availableNow trigger: fork,
+    dedup, MERGE-upsert profiles, append-dedup LIKED edges (the
+    reference's consumer pair, SURVEY.md S3/S6/S7)."""
+
+    msgs = read_json_topic(spark, source_path, USER_TOPIC_MESSAGE)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        profiles, likes = fork_user_topic(batch)
+        upsert_parquet(profiles, users_path, keys=["did"])
+        edges = likes.withColumn("kind", F.lit("LIKED"))
+        upsert_parquet(
+            edges, engagements_path, keys=["user_did", "post_uri", "kind"]
+        )
+
+    (
+        msgs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts with a watermark (X4 superset).
+    Works identically on a static or streaming events frame."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return df.groupBy(win.alias("w"), "event_type").agg(
+        F.count("*").alias("n_events")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
