@@ -1184,6 +1184,368 @@ def q_session_windows_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Training-data pipeline ops (SURVEY.md M6 / BASELINE.json north star):
+# text analysis, dedup family, multimodal plumbing over `documents`.
+# ===========================================================================
+
+_ORACLE_TOKS_CTE = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in generate_series(1, len(t) - 2)]) AS s
+        FROM toks
+    )
+)
+"""
+
+
+@register(
+    "text_token_stats",
+    f"""
+WITH {_ORACLE_TOKS_CTE}
+SELECT doc_id,
+       len(t) AS n_tokens,
+       ROUND(CASE WHEN len(t) > 0
+             THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             END, 6) AS avg_token_len
+FROM toks
+""",
+    doc="Whitespace/punct tokenizer + token stats (M6 text analysis)",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    t = tokenize("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(t) > 0,
+                F.aggregate(
+                    F.transform(t, lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.size(t),
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+feat AS (
+    SELECT d.doc_id, tk.t,
+           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
+           CASE WHEN len(tk.t) > 0
+                THEN len(list_filter(tk.t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','on','for','with'], x)))
+                     * 1.0 / len(tk.t)
+                ELSE 0.0 END AS sw_ratio,
+           CASE WHEN length(d.text) > 0
+                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(d.text)
+                ELSE 0.0 END AS punct
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+)
+SELECT doc_id,
+       ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+       AS quality
+FROM feat
+""",
+    doc="Heuristic quality score: length saturation x stopword "
+    "plausibility x punctuation sanity (M6 text analysis)",
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+_SW_SQL = {
+    "en": "['the','a','and','of','to','in','is','on','for','with']",
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "de": "['der','die','das','und','ist','von','mit','den','im','ein']",
+    "fr": "['le','la','de','et','les','des','un','une','dans','est']",
+}
+
+
+@register(
+    "language_id_pred",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+hits AS (
+    SELECT d.doc_id, d.lang AS lang_actual,
+           len(list_filter(tk.t, x -> list_contains({_SW_SQL['en']}, x))) AS h_en,
+           len(list_filter(tk.t, x -> list_contains({_SW_SQL['es']}, x))) AS h_es,
+           len(list_filter(tk.t, x -> list_contains({_SW_SQL['de']}, x))) AS h_de,
+           len(list_filter(tk.t, x -> list_contains({_SW_SQL['fr']}, x))) AS h_fr
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+)
+SELECT doc_id, lang_actual,
+       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+            WHEN h_de >= h_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+""",
+    doc="Stopword-hit language ID heuristic with deterministic tie-break "
+    "chain (M6 text analysis)",
+)
+def q_language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import language_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in generate_series(1, len(t) - 2)],
+           s -> md5(s))) AS fingerprint
+FROM toks
+""",
+    doc="Single-permutation minhash document fingerprint (M6 "
+    "fingerprinting; md5-string min so the oracle is byte-identical)",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import minhash_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", minhash_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
+    "exact_dedup_groups",
+    """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS survivor_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup by content hash, deterministic min-id survivor "
+    "(M6 dedup: the O(n) baseline)",
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+perms AS (SELECT UNNEST(generate_series(0, 15)) AS perm),
+sig AS (
+    SELECT doc_id, perm, MIN(md5(perm || ':' || s)) AS minhash
+    FROM sh, perms GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, perm // 4 AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+    FROM sig GROUP BY doc_id, perm // 4
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+    doc="MinHash(16)+LSH(4 bands x 4 rows) near-dup candidates — the "
+    "bucket-join path that replaces all-pairs at 100 TB (M6 dedup)",
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingles, num_perm=16)
+    return lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band=4))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(c * 1.0 / (s1.sz + s2.sz - c), 6) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
+""",
+    doc="Exact 3-gram Jaccard >= 0.5 via shared-shingle join — ground "
+    "truth for the LSH operating point (M6 dedup; finds the fixture's "
+    "planted near-duplicates)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(shingles, threshold=0.5).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "simhash_signatures",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+tokex AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN substr(md5(token), j + 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END AS vote
+    FROM tokex, (SELECT UNNEST(generate_series(0, 15)) AS j)
+),
+sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS simhash
+FROM sums GROUP BY 1
+""",
+    doc="16-bit SimHash signatures from md5 nibble votes (M6 dedup; "
+    "production width 64 via native hash, same plan shape)",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+tokex AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN substr(md5(token), j + 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END AS vote
+    FROM tokex, (SELECT UNNEST(generate_series(0, 15)) AS j)
+),
+sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY 1
+),
+halves AS (
+    SELECT doc_id, simhash, simhash >> 8 AS hi, simhash % 256 AS lo FROM sig
+),
+cand AS (
+    SELECT a.doc_id d1, b.doc_id d2, a.simhash s1, b.simhash s2
+    FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id d1, b.doc_id d2, a.simhash s1, b.simhash s2
+    FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, bit_count(CAST(xor(s1, s2) AS BIGINT)) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(s1, s2) AS BIGINT)) <= 1
+""",
+    doc="SimHash near-dup pairs via half-signature banding (pigeonhole: "
+    "hamming<=1 implies an exact half match) + exact hamming verify",
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash16,
+        simhash_candidate_pairs,
+    )
+
+    sigs = simhash16(_t(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs(sigs, max_hamming=1)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+scores AS (
+    SELECT a.post_cid AS v1, b.post_cid AS v2,
+           ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    GROUP BY 1, 2
+)
+SELECT v1, v2, score FROM scores WHERE score >= 0.4
+""",
+    doc="Embedding-cosine near-dup pairs (semantic dedup variant, M6; "
+    "exact baseline — the LSH-bucketed candidates are the scale path)",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import similarity_self_join
+
+    return similarity_self_join(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "multimodal_blob_stats",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'text/plain' AS media_type
+FROM documents
+""",
+    doc="Opaque-binary column plumbing: payload bytes + typed metadata "
+    "(M6 multimodal; decode stubs live in operators/multimodal.py)",
+)
+def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.multimodal import (
+        with_blob_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), "text"
+    )
+    return with_blob_metadata(docs).select(
+        "doc_id", "n_bytes", "content_md5", "media_type"
+    )
+
+
 @register(
     "user_profiles_cleaned",
     """

@@ -1,0 +1,118 @@
+"""Text-analysis expressions for large-scale training-data pipelines
+(BASELINE.json north star: dedup / quality / language-id / fingerprinting
+over the documents table).
+
+Everything is a native Catalyst expression (split/filter/transform/
+aggregate over arrays) — no Python in the row path, so these run at
+whole-stage-codegen speed over 100 TB of text.
+
+Cross-engine determinism: every hash is md5 (hex string), the one hash
+both Spark and DuckDB implement identically; minhash 'permutations' are
+md5(i:shingle) string minima, so oracle SQL reproduces signatures
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small and overlapping (de/la/en appear in
+# multiple languages) — the classifier is a heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+}
+
+# Tie-break order is the CASE-chain order: en > es > de > fr.
+LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase word tokens: split on non-alphanumeric runs."""
+    return F.filter(
+        F.split(F.lower(_c(col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def word_ngrams(tokens: Column | str, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc has
+    fewer than n tokens."""
+    t = _c(tokens)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+
+
+def stopword_ratio(tokens: Column | str, lang: str = "en") -> Column:
+    t = _c(tokens)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]:
+    length saturation x stopword plausibility x punctuation sanity.
+    Same closed form is written in the oracle SQL."""
+    t = tokenize(col)
+    n = F.size(t)
+    length_term = F.least(n / F.lit(20.0), F.lit(1.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_ratio = F.when(
+        n > 0, F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / n
+    ).otherwise(F.lit(0.0))
+    sw_term = 0.5 + 0.5 * F.least(sw_ratio * 5, F.lit(1.0))
+    p_term = 1 - punct_ratio(col)
+    return length_term * sw_term * p_term
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-hit language ID with a deterministic CASE-chain tie-break
+    (en > es > de > fr) — the same chain the oracle SQL uses."""
+    t = tokenize(col)
+    hits = {}
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    expr = F.lit("fr")
+    # build the chain backwards so evaluation order matches LANG_ORDER
+    expr = F.when(
+        (hits["de"] >= hits["fr"]), F.lit("de")
+    ).otherwise(expr)
+    expr = F.when(
+        (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]), F.lit("es")
+    ).otherwise(expr)
+    expr = F.when(
+        (hits["en"] >= hits["es"])
+        & (hits["en"] >= hits["de"])
+        & (hits["en"] >= hits["fr"]),
+        F.lit("en"),
+    ).otherwise(expr)
+    return expr
+
+
+def minhash_fingerprint(col: Column | str, ngram: int = 3) -> Column:
+    """Single-permutation minhash document fingerprint: the lexicographic
+    minimum of md5(shingle) over word n-grams. Deterministic, identical in
+    DuckDB (list_min over list_transform). NULL for docs shorter than n
+    tokens."""
+    shingles = word_ngrams(tokenize(col), ngram)
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))

@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star; SURVEY.md M6): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the reason each variant exists):
+- exact:        one hash-groupBy. The O(n) baseline; catches byte dups.
+- minhash+LSH:  shingle -> k minhashes -> band buckets -> join INSIDE
+                buckets only. Candidate generation is linear in bucket
+                occupancy, never all-pairs — this is THE 100 TB near-dup
+                path (the GPL/C4/RefinedWeb recipe).
+- ngram-jaccard: exact Jaccard via a shared-shingle join; quadratic only
+                within shingle-sharing groups. Ground truth for tuning
+                the LSH operating point at sampled scale.
+- simhash:      per-doc signature whose Hamming distance tracks cosine of
+                token multisets; banding over signature halves gives
+                near-dup candidates with one equality join.
+- embedding:    similarity_self_join (operators/ann.py) over vectors at a
+                high threshold — semantic near-dup.
+
+All hashing is md5-string based so DuckDB oracles reproduce every
+signature exactly (see functions/text.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from echo_chambers_detection_spark.functions.text import (
+    minhash_fingerprint,
+    tokenize,
+    word_ngrams,
+)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_md5, survivor_id,
+    group_size). Survivor = min id (deterministic keep-first policy)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(tokenize(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
+    """Exploded minhash signatures: (doc_id, perm, minhash) with
+    minhash = min over shingles of md5(perm || ':' || shingle).
+
+    One groupBy per doc — the k 'permutations' are computed as k
+    conditional mins in a single aggregation pass, not k passes."""
+    perms = F.explode(
+        F.sequence(F.lit(0), F.lit(num_perm - 1))
+    ).alias("perm")
+    exploded = shingles.select("doc_id", "shingle", perms)
+    return exploded.groupBy("doc_id", "perm").agg(
+        F.min(
+            F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """Collapse signature rows into band keys: (doc_id, band, band_key).
+    band_key = md5 of the band's minhashes in perm order; docs sharing a
+    band_key in any band are near-dup candidates."""
+    banded = signatures.withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Bucket-join: pairs sharing at least one band (d1 < d2). The join is
+    per (band, band_key) bucket — no all-pairs comparison ever happens."""
+    a = band_keys.select(
+        "band", "band_key", F.col("doc_id").alias("d1")
+    )
+    b = band_keys.select(
+        "band", "band_key", F.col("doc_id").alias("d2")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every shingle-sharing pair:
+    (d1, d2, jaccard) with jaccard >= threshold.
+
+    |A ∩ B| from the shared-shingle join; |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Quadratic only within shingle groups; a max_shingle_freq cap (drop
+    shingles appearing in > N docs, e.g. boilerplate) is the standard
+    guard at scale — not needed on the fixture where max freq is 7."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared")
+                / (F.col("sz1") + F.col("sz2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash16(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash per document: (doc_id, simhash).
+
+    Bit j is the sign of Σ_tokens (±1), where token t votes +1 on bit j
+    iff hex digit j of md5(t) has its high nibble bit set (digit in
+    '89abcdef'). Pure string ops — reproducible in the DuckDB oracle.
+    Production width is 64 bits via a native hash; 16 bits keeps the
+    oracle exact while exercising the identical plan shape."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    hashed = tok.select("doc_id", F.md5("token").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        "h",
+    ).select(
+        "doc_id",
+        "j",
+        F.when(
+            F.col("h").substr(F.col("j") + 1, F.lit(1)).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1, j)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, max_hamming: int = 1
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 16-bit signature
+    into two 8-bit halves; by pigeonhole, any pair within Hamming
+    distance 1 agrees exactly on at least one half — one equality join
+    per half, then an exact Hamming verify. Returns (d1, d2, hamming)."""
+    halves = signatures.select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), 8).alias("hi"),
+        (F.col("simhash") % 256).alias("lo"),
+    )
+    cands = None
+    for half in ("hi", "lo"):
+        a = halves.select(
+            F.col("doc_id").alias("d1"),
+            F.col("simhash").alias("s1"),
+            F.col(half).alias("k"),
+        )
+        b = halves.select(
+            F.col("doc_id").alias("d2"),
+            F.col("simhash").alias("s2"),
+            F.col(half).alias("k"),
+        )
+        p = a.join(b, "k").where(F.col("d1") < F.col("d2")).select(
+            "d1", "d2", "s1", "s2"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    verified = cands.distinct().select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+    )
+    return verified.where(F.col("hamming") <= max_hamming)

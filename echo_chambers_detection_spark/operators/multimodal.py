@@ -1,0 +1,158 @@
+"""Multimodal column plumbing (BASELINE.json north star / SURVEY.md M6).
+
+Images/audio/video ride through the engine as opaque `binary` payload
+columns with typed metadata; transforms (decode, resize, frame-sample,
+feature-extract) are Arrow-batched mapInPandas stages.
+
+The decode step itself is STUBBED: the image/audio libraries are not in
+this container, so `decode_image_stub` produces a deterministic fake
+(dimensions + checksum-derived pixels) and `decode_image_real` raises
+NotImplementedError with the intended implementation documented. The
+Spark-side plumbing — schema, partition sizing, UDF signature, Arrow
+batch shape — is real and tested; swapping the stub for PIL/ffmpeg is a
+function-body change, not a pipeline change.
+
+Scale notes:
+- binary payloads inflate row size: `repartition_for_payloads` targets a
+  row-group/partition budget in BYTES, not rows, so 100 MB images don't
+  produce 10 GB tasks;
+- metadata (n_bytes, md5, media_type) is computed JVM-side so pruning/
+  filtering on it never touches Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def with_blob_metadata(
+    df: DataFrame, payload_col: str = "payload", text_col: str = "text"
+) -> DataFrame:
+    """Attach typed metadata to an opaque binary payload column —
+    JVM-side expressions only, so metadata filters stay prunable."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(payload_col)),
+            "content_md5": F.md5(F.col(text_col)),
+            "media_type": F.lit("text/plain"),
+        }
+    )
+
+
+def repartition_for_payloads(
+    df: DataFrame, avg_payload_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions by payload BYTES: binary columns break the
+    rows-per-partition heuristics every row-count-based default assumes."""
+    rows = df.count()
+    total = rows * max(avg_payload_bytes, 1)
+    parts = max(1, min(rows, total // target_partition_bytes + 1))
+    return df.repartition(int(parts))
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int, float]:
+    """Real decode — intentionally unimplemented in this container.
+
+    Intended body (requires pillow):
+        from PIL import Image; import io, numpy as np
+        img = np.asarray(Image.open(io.BytesIO(payload)))
+        return img.shape[1], img.shape[0], img.shape[2], float(img.mean())
+    """
+    raise NotImplementedError(
+        "image decode requires pillow/ffmpeg, not present in this "
+        "container; use decode_image_stub for the pipeline path"
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic fake decode: dimensions and mean pixel derived from
+    payload length and a byte checksum — stable across runs, so the
+    pipeline around it is fully testable."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    channels = 3
+    mean_pixel = (sum(payload[:256]) % 256000) / 1000.0 if n else 0.0
+    return width, height, channels, mean_pixel
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas with the stub decoder.
+
+    The iterator signature processes one Arrow batch at a time, so peak
+    Python memory is one batch of payloads — the batch size is governed
+    by spark.sql.execution.arrow.maxRecordsPerBatch, which callers with
+    large payloads should lower (see repartition_for_payloads)."""
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "mean_pixel": [],
+            }
+            for payload in pdf[payload_col]:
+                w, h, c, m = decode_image_stub(bytes(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["mean_pixel"].append(m)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split the payload
+    into fixed-size pseudo-frames and keep every nth — the explode/
+    posexplode shape a real ffmpeg-backed sampler would produce."""
+    frame_size = 1024
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                (F.octet_length(F.col(payload_col)) / frame_size).cast("int") - 1,
+                F.lit(0),
+            ),
+        ),
+        lambda i: i,
+    )
+    return (
+        df.select(
+            id_col,
+            F.posexplode(frames).alias("frame_idx", "_i"),
+            F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        )
+        .where(F.col("frame_idx") % every_nth == 0)
+        .drop("_i")
+    )
