@@ -27,6 +27,14 @@ def main() -> None:
     # not session startup.
     next(iter(QUERY_REGISTRY.values())).spark(spark, SF_DIR).count()
 
+    def release_persisted() -> None:
+        """Drop cache + localCheckpoint blocks left by iterative
+        algorithms so one query's working set can't throttle the next."""
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+
     t_total = time.perf_counter()
     for name, spec in QUERY_REGISTRY.items():
         t0 = time.perf_counter()
@@ -34,6 +42,7 @@ def main() -> None:
         # foreach-noop forces full materialization without driver collect
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()
     total = round(time.perf_counter() - t_total, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -89,19 +89,35 @@ def similarity_self_join(
 
     The cross join is expressed as a self-join so Catalyst broadcasts the
     smaller side when it fits; the LSH-banded variant in operators/dedup.py
-    is the 100 TB path."""
-    a = embeddings.select(
-        F.col(id_col).alias("v1"), F.col(vec_col).alias("vec1")
+    is the 100 TB path.
+
+    Each vector's norm is computed ONCE up front, so the per-pair work is
+    a single dot product — naive per-pair cosine recomputes both norms n
+    times each (3x the array folds on an n² join)."""
+    from echo_chambers_detection_spark.functions.vector import dot, l2_norm
+
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_norm")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("v2"), F.col(vec_col).alias("vec2")
+    a = with_norm.select(
+        F.col(id_col).alias("v1"),
+        F.col(vec_col).alias("vec1"),
+        F.col("_norm").alias("n1"),
     )
+    b = with_norm.select(
+        F.col(id_col).alias("v2"),
+        F.col(vec_col).alias("vec2"),
+        F.col("_norm").alias("n2"),
+    )
+    denom = F.col("n1") * F.col("n2")
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .select(
             "v1",
             "v2",
-            F.round(cosine_similarity("vec1", "vec2"), 6).alias("score"),
+            F.round(
+                F.when(denom > 0, dot("vec1", "vec2") / denom), 6
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

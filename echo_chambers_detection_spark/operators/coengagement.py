@@ -62,6 +62,115 @@ def coengagement_edges(
     )
 
 
+def coengagement_edges_grouped(
+    engagements: DataFrame,
+    user_col: str = "user_did",
+    post_col: str = "post_uri",
+    max_post_degree: int | None = None,
+) -> DataFrame:
+    """Alternative formulation of `coengagement_edges`: aggregate each
+    post's (sorted, distinct) engager list, generate ordered pairs with a
+    nested array transform (pure codegen — no join), explode, group-count.
+
+    Same semantics, different shuffle profile: ONE exchange on post_col
+    (the self-join needs the same exchange but adds join machinery) plus
+    the unavoidable exchange on the pair key. Wins when posts are small
+    and numerous; loses to the join when single posts are huge (a 1M-user
+    post materializes a 1M-element array on one task — use
+    max_post_degree there, or prefer the join form which AQE skew-splits).
+    Benchmarked against the join form in bench.py; both are oracle-equal.
+    """
+    e = engagements.select(user_col, post_col).dropDuplicates(
+        [user_col, post_col]
+    )
+    grouped = e.groupBy(post_col).agg(
+        F.array_sort(F.collect_set(user_col)).alias("_users")
+    )
+    if max_post_degree is not None:
+        grouped = grouped.where(F.size("_users") <= max_post_degree)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_users"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("_users"),
+                            i + 2,
+                            F.greatest(
+                                F.size("_users") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("u1"), y.alias("u2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.u1").alias("u1"), F.col("p.u2").alias("u2")
+    ).agg(F.count("*").alias("weight"))
+
+
+def coengagement_edges_bitmap(
+    engagements: DataFrame,
+    user_col: str = "user_did",
+    post_col: str = "post_uri",
+    num_slots: int | None = 2,
+) -> DataFrame:
+    """Bitmap-index formulation for BOUNDED item spaces: when the post/item
+    key is an integer < 64*num_slots, each user's engagement set packs
+    into num_slots longs (bit_or aggregate), and the pair weight is
+    bit_count(mask1 & mask2) — a cross join of users instead of a
+    shared-item row explosion.
+
+    Cost model: users n, items m, engagements E. The self-join streams
+    Σ_item deg² rows (26M at sf0.1); this streams n²/2 pairs of fixed-width
+    masks (1.1M at sf0.1) — a ~20x row reduction when items are dense.
+    The classic bitmap-join-index trade: only valid for small item
+    vocabularies (here catalogs/taxonomies, not open post ids); the
+    general path is `coengagement_edges`. Results are identical
+    (oracle-checked through the same queries).
+    """
+    item = F.col(post_col).cast("int")
+    if num_slots is None:
+        mx = engagements.agg(F.max(item)).first()[0]
+        num_slots = (int(mx) // 64) + 1 if mx is not None else 1
+    e = (
+        engagements.select(F.col(user_col).alias("u"), item.alias("k"))
+        .where(F.col("k").isNotNull() & (F.col("k") >= 0) & (F.col("k") < 64 * num_slots))
+        .dropDuplicates(["u", "k"])
+    )
+    slot_masks = [
+        F.bit_or(
+            F.when(
+                (F.col("k") >= 64 * s) & (F.col("k") < 64 * (s + 1)),
+                F.expr(f"shiftleft(1L, k - {64 * s})"),
+            )
+        ).alias(f"m{s}")
+        for s in range(num_slots)
+    ]
+    masks = e.groupBy("u").agg(*slot_masks).na.fill(0)
+
+    a = masks.select(
+        F.col("u").alias("u1"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(num_slots)]
+    )
+    b = masks.select(
+        F.col("u").alias("u2"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(num_slots)]
+    )
+    weight = None
+    for s in range(num_slots):
+        term = F.bit_count(F.col(f"a{s}").bitwiseAND(F.col(f"b{s}")))
+        weight = term if weight is None else weight + term
+    return (
+        a.join(F.broadcast(b), F.col("u1") < F.col("u2"))
+        .select("u1", "u2", weight.cast("long").alias("weight"))
+        .where(F.col("weight") > 0)
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected edge list (u1<u2 canonical form) -> both directions
     (src, dst, weight), for algorithms that iterate over neighbors.

@@ -321,16 +321,23 @@ def _local_moves(
         scored = cand.select(
             "node", "nbr_c", score.alias("score"), "community"
         ).unionByName(stay_base)
-        w = Window.partitionBy("node").orderBy(
-            F.desc("score"), F.asc("nbr_c")
-        )
+        # argmax via max_by with a (score, nbr_c) ordering struct: map-side
+        # partial aggregation collapses the candidate table before the
+        # shuffle — a per-node window sort would shuffle-sort ALL
+        # candidates (ties break to the largest community id,
+        # deterministic either way)
         best = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            scored.groupBy("node")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("nbr_c"), F.col("community")),
+                    F.struct(F.col("score"), F.col("nbr_c")),
+                ).alias("b")
+            )
             .select(
                 "node",
-                F.col("community").alias("old_c"),
-                F.col("nbr_c").alias("new_c"),
+                F.col("b.community").alias("old_c"),
+                F.col("b.nbr_c").alias("new_c"),
             )
         )
         # apply only to one hash-parity half per round
