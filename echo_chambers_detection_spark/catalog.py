@@ -517,10 +517,16 @@ def _metric_world(spark: SparkSession, sf_dir: str):
     )
     edges_m, members = restrict_to_members(edges, labels, emb)
     # The metric DAGs reference edges_m/members from many branches
-    # (degrees, node sets, modularity subgraph, similarities); without a
-    # cache Catalyst re-executes the events self-join once per branch —
-    # measured 185s -> ~8s at sf0.1 for global_echo_metrics.
-    return edges_m.cache(), members.cache(), emb
+    # (degrees, node sets, modularity subgraph, similarities); without
+    # materialization Catalyst re-executes the events self-join once per
+    # branch — measured 185s -> ~8s at sf0.1 for global_echo_metrics.
+    # These frames are community-graph sized (≤ |labeled members| rows,
+    # thousands even when the raw data is 100 TB), so compact them to one
+    # partition: every downstream branch join becomes a single-task
+    # broadcast instead of 32 near-empty tasks per stage (23s -> 13s).
+    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
+    members = members.coalesce(1).localCheckpoint(eager=True)
+    return edges_m, members, emb
 
 
 # Shared oracle CTE prelude for the metric world.
@@ -771,7 +777,12 @@ def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         coengagement_edges_bitmap,
     )
 
-    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    # Checkpoint the parsed engagement relation: the bitmap path reads it
+    # twice (max-key probe + mask build), and JSON extraction over the
+    # events scan is the expensive part of this query at any scale.
+    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     return coengagement_edges_bitmap(
         eng, user_col="post_uri", post_col="user_did", num_slots=None
     )

@@ -27,6 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# Node-state frames (labels, degrees, community sums) are one row per node
+# or per community. After localCheckpoint Catalyst loses their size stats
+# and plans full shuffle joins of the edge table against them every round.
+# Below this node count we hint broadcast explicitly — the echo-chamber
+# regime (77k users in the reference, millions at scale) is far under it;
+# at billions of nodes the auto-probe flips the loops back to shuffle
+# joins, which is the correct plan there.
+BROADCAST_NODE_LIMIT = 10_000_000
+
+
+def _state_hint(small_state: bool):
+    """Join-side hint for per-node/per-community state frames."""
+    return F.broadcast if small_state else (lambda df: df)
+
+
+def _probe_small(nodes: DataFrame) -> bool:
+    return nodes.limit(BROADCAST_NODE_LIMIT + 1).count() <= BROADCAST_NODE_LIMIT
+
 
 def _symmetrize(edges: DataFrame, weighted: bool = True) -> DataFrame:
     w = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
@@ -69,6 +87,7 @@ def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     aggregation + two anti-joins. Returns (node, core_value).
     """
     sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
+    hint = _state_hint(_probe_small(sym.select("src").distinct()))
     assigned: list[DataFrame] = []
     k = 0
     for _ in range(max_rounds):
@@ -84,8 +103,8 @@ def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
             low.select(F.col("src").alias("node"), F.lit(k).alias("core_value"))
         )
         sym = _materialize(
-            sym.join(low, "src", "leftanti").join(
-                low.withColumnRenamed("src", "dst"), "dst", "leftanti"
+            sym.join(hint(low), "src", "leftanti").join(
+                hint(low.withColumnRenamed("src", "dst")), "dst", "leftanti"
             )
         )
     if not assigned:
@@ -113,11 +132,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     algorithm [Kiveris et al., COCOA'14] halves round counts; co-engagement
     graphs are short-diameter so min-propagation is the simpler win.)
     """
-    sym = _symmetrize(edges, weighted=False).select("src", "dst")
-    labels = _nodes(edges).withColumn("component", F.col("node"))
+    sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
+    labels = _materialize(_nodes(edges).withColumn("component", F.col("node")))
+    hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym.join(hint(labels.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -133,7 +153,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         new_labels = _materialize(new_labels)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(hint(labels.alias("o")), "node")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -159,10 +179,11 @@ def label_propagation(
     Returns (node, community).
     """
     sym = _materialize(_symmetrize(edges, weighted=weighted))
-    labels = _nodes(edges).withColumn("community", F.col("node"))
+    labels = _materialize(_nodes(edges).withColumn("community", F.col("node")))
+    hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
         msgs = sym.join(
-            labels.withColumnRenamed("node", "src"), "src"
+            hint(labels.withColumnRenamed("node", "src")), "src"
         ).select(F.col("dst").alias("node"), "community", "weight")
         counts = msgs.groupBy("node", "community").agg(
             F.sum("weight").alias("score")
@@ -187,7 +208,7 @@ def label_propagation(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(hint(labels.alias("o")), "node")
             .where(F.col("n.community") != F.col("o.community"))
             .count()
         )
@@ -244,6 +265,7 @@ def _local_moves(
     comm: DataFrame,
     m: float,
     max_rounds: int,
+    small_state: bool = False,
 ) -> tuple[DataFrame, int]:
     """One Louvain phase of modularity-gain local moves.
 
@@ -258,6 +280,7 @@ def _local_moves(
     deterministic: ties break to the smallest community id. Returns
     (new comm, total moves applied).
     """
+    hint = _state_hint(small_state)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.sum("weight").alias("k_adj")
     )
@@ -270,15 +293,18 @@ def _local_moves(
     total_moves = 0
     for rnd in range(max_rounds):
         sigma = (
-            comm.join(k_i, "node")
+            comm.join(hint(k_i), "node")
             .groupBy("community")
             .agg(F.sum("k").alias("sigma_tot"))
         )
         # weight from each node to each neighboring community
         w_nc = (
             sym.join(
-                comm.select(
-                    F.col("node").alias("dst"), F.col("community").alias("nbr_c")
+                hint(
+                    comm.select(
+                        F.col("node").alias("dst"),
+                        F.col("community").alias("nbr_c"),
+                    )
                 ),
                 "dst",
             )
@@ -287,10 +313,10 @@ def _local_moves(
         )
         cand = (
             w_nc.withColumnRenamed("src", "node")
-            .join(comm, "node")
-            .join(k_i, "node")
+            .join(hint(comm), "node")
+            .join(hint(k_i), "node")
             .join(
-                sigma.withColumnRenamed("community", "nbr_c"),
+                hint(sigma.withColumnRenamed("community", "nbr_c")),
                 "nbr_c",
             )
         )
@@ -306,8 +332,8 @@ def _local_moves(
         # a node with no intra-community neighbors has no own-row in w_nc;
         # synthesize the stay-score 0 - k*(sigma_own - k)/2m via union
         stay_base = (
-            comm.join(k_i, "node")
-            .join(sigma, "community")
+            comm.join(hint(k_i), "node")
+            .join(hint(sigma), "community")
             .select(
                 "node",
                 F.col("community").alias("nbr_c"),
@@ -359,13 +385,14 @@ def _local_moves(
 
 
 def _coarsen(
-    sym: DataFrame, selfw: DataFrame, comm: DataFrame
+    sym: DataFrame, selfw: DataFrame, comm: DataFrame, small_state: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Aggregate the graph by community: communities become nodes, edge
     weights sum, internal weight folds into self-loops."""
+    hint = _state_hint(small_state)
     lab_s = comm.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
     lab_d = comm.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
-    we = sym.join(lab_s, "src").join(lab_d, "dst")
+    we = sym.join(hint(lab_s), "src").join(hint(lab_d), "dst")
     new_edges = (
         we.where(F.col("c_src") < F.col("c_dst"))
         .groupBy(F.col("c_src").alias("u1"), F.col("c_dst").alias("u2"))
@@ -410,33 +437,39 @@ def louvain(
     selfw = _nodes(edges).select(
         "node", F.lit(0.0).alias("w_self")
     )
-    mapping = _nodes(edges).withColumn("community", F.col("node"))
+    mapping = _materialize(_nodes(edges).withColumn("community", F.col("node")))
+    small = _probe_small(mapping)
+    hint = _state_hint(small)
 
     for _level in range(max_levels):
         comm0 = (
             mapping.select(F.col("community").alias("node")).distinct()
             .withColumn("community", F.col("node"))
         )
-        comm, moves = _local_moves(sym, selfw, comm0, m, max_rounds)
+        comm, moves = _local_moves(
+            sym, selfw, comm0, m, max_rounds, small_state=small
+        )
         if moves == 0:
             break
         # compose: node -> old community -> new community
         mapping = _materialize(
             mapping.join(
-                comm.select(
-                    F.col("node").alias("community"),
-                    F.col("community").alias("_next"),
+                hint(
+                    comm.select(
+                        F.col("node").alias("community"),
+                        F.col("community").alias("_next"),
+                    )
                 ),
                 "community",
             ).select("node", F.col("_next").alias("community"))
         )
-        new_edges, selfw = _coarsen(sym, selfw, comm)
+        new_edges, selfw = _coarsen(sym, selfw, comm, small_state=small)
         sym = _materialize(_symmetrize(new_edges))
         if sym.isEmpty():
             break
     # canonicalize ids to min member node
     canon = mapping.groupBy("community").agg(F.min("node").alias("_canon"))
-    return mapping.join(canon, "community").select(
+    return mapping.join(hint(canon), "community").select(
         "node", F.col("_canon").alias("community")
     )
 
@@ -454,10 +487,11 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     if m <= 0:
         return nodes.withColumn("community", F.col("node"))
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
-    comm0 = nodes.withColumn("community", F.col("node"))
-    comm, _ = _local_moves(sym, selfw, comm0, m, max_rounds)
+    comm0 = _materialize(nodes.withColumn("community", F.col("node")))
+    small = _probe_small(comm0)
+    comm, _ = _local_moves(sym, selfw, comm0, m, max_rounds, small_state=small)
     canon = comm.groupBy("community").agg(F.min("node").alias("_canon"))
-    return comm.join(canon, "community").select(
+    return comm.join(_state_hint(small)(canon), "community").select(
         "node", F.col("_canon").alias("community")
     )
 
