@@ -160,3 +160,174 @@ def user_mean_embeddings_exploded(
             F.when(norm > 0, F.col("mval") / norm).otherwise(F.col("mval")), 6
         ).alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the 100 TB scale path for similarity search (SURVEY.md
+# G10 note: "BucketedRandomProjectionLSH/MinHashLSH as the approximate
+# option at 100 TB"). Random-hyperplane signatures (SimHash for dense
+# vectors, Charikar STOC'02): bit p of a vector's signature is the sign of
+# its projection onto hyperplane p. Cosine-similar vectors agree on most
+# bits, so candidate generation is a cheap integer filter / bucket join and
+# the exact cosine runs only on candidates.
+#
+# Determinism across engines (so the DuckDB oracle reproduces the SAME
+# approximation bit-for-bit):
+# - hyperplane coefficients are ±1 drawn from md5(f"{plane}:{dim}") hex
+#   parity — both engines evaluate the identical md5 string;
+# - projections are integer dot products over round(x * 1e6) — float
+#   summation order can flip the sign of a near-zero projection between
+#   engines, integer sums cannot.
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_coefs(num_planes: int, dim: int) -> list[list[int]]:
+    """coef[p][i] = +1 if the first hex digit of md5(f"{p}:{i}") is even,
+    else -1 (i is the 0-based vector position)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(id, sig) — sig packs num_planes sign bits into one long.
+
+    Per row this is num_planes codegen'd integer fold-adds over the
+    vector — a single scan, no shuffle; the signature column is 8 bytes
+    regardless of vector width, which is the point: all candidate logic
+    downstream touches longs, not arrays."""
+    coefs = _hyperplane_coefs(num_planes, dim)
+    xi = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        cvec = F.array(*[F.lit(c) for c in coefs[p]])
+        proj = F.aggregate(
+            F.zip_with(cvec, xi, lambda c, v: c * v),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 16,
+    max_hamming: int = 6,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Approximate cosine top-k: signature hamming prune, then exact
+    cosine rerank of the candidates only.
+
+    The prune scans (id, sig) longs — at 100 TB the signature table is
+    ~1/50th the vector table and the vectors of non-candidates are never
+    read (column pruning keeps them out of the scan). Returns
+    (id, score, hamming). Recall is tunable via num_planes/max_hamming;
+    the exact `cosine_topk` stays the verification baseline."""
+    sigs = hyperplane_signatures(
+        embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
+    )
+    qsig = hyperplane_signatures(
+        query.select(F.lit("q").alias(id_col), F.col("qvec").alias(vec_col)),
+        dim,
+        num_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("sig").alias("qsig"))
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+    cand = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .select(F.col(id_col), hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    rescored = (
+        embeddings.join(cand, id_col)
+        .crossJoin(F.broadcast(query.select("qvec")))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(vec_col, "qvec"), 6).alias("score"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    return rescored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    num_planes: int = 16,
+    band_bits: int = 8,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Banded LSH near-duplicate pairs: signatures split into
+    num_planes/band_bits bands; ids sharing any band value become
+    candidates (a bucket equi-join — the shuffle keys on (band, value),
+    never on n² pairs); candidates rerank with exact cosine >= threshold.
+
+    This is `similarity_self_join` with the quadratic candidate step
+    replaced by the join LSH banding buys — the semantic-dedup scale path
+    next to the MinHash text path in operators/dedup.py."""
+    n_bands = num_planes // band_bits
+    mask = (1 << band_bits) - 1
+    sigs = hyperplane_signatures(
+        embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bval")
+    a = bands.select(F.col(id_col).alias("v1"), "band", "bval")
+    b = bands.select(F.col(id_col).alias("v2"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+    e1 = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_va"))
+    e2 = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

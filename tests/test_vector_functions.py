@@ -89,3 +89,39 @@ def test_vector_exprs_are_codegen_not_python(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# --- LSH ANN invariants (operators/ann.py scale path) ---------------------
+
+
+def test_lsh_topk_finds_query_point_first(spark):
+    """The query vector's own row has hamming 0 and cosine 1 — it must
+    survive the prune and rank first."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERY_REGISTRY["ann_lsh_topk"].spark(spark, SF_ORACLE).collect()
+    assert rows[0].post_cid == "0"
+    assert rows[0].score == 1.0
+    assert rows[0].hamming == 0
+
+
+def test_lsh_near_dup_is_subset_of_exact(spark):
+    """Banded LSH candidates rerank with the same threshold, so every
+    reported pair must appear in the exact O(n²) result."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    approx = {
+        (r.v1, r.v2)
+        for r in QUERY_REGISTRY["embedding_lsh_near_dup"]
+        .spark(spark, SF_ORACLE)
+        .collect()
+    }
+    exact = {
+        (r.v1, r.v2)
+        for r in QUERY_REGISTRY["embedding_near_dup"]
+        .spark(spark, SF_ORACLE)
+        .collect()
+    }
+    assert approx <= exact
