@@ -108,12 +108,22 @@ w AS (
 SELECT u1, u2, weight FROM w
 ORDER BY weight DESC, u1, u2 LIMIT 20
 """,
-    doc="Top-k strongest co-engagement pairs (TakeOrderedAndProject; SURVEY.md T1/T3)",
+    doc="Top-k strongest co-engagement pairs (TakeOrderedAndProject; "
+    "SURVEY.md T1/T3). Same logical query as coengagement_edges but "
+    "executed via the bitmap physical strategy — the engine's cost-based "
+    "alternative when the item vocabulary is bounded (both plans are "
+    "oracle-verified against the same SQL).",
 )
 def q_coengagement_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = engagements_from_events(_t(spark, sf_dir, "events"))
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges_bitmap,
+    )
+
+    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     return (
-        coengagement_edges(eng)
+        coengagement_edges_bitmap(eng, num_slots=None)
         .orderBy(F.desc("weight"), "u1", "u2")
         .limit(20)
     )
@@ -440,13 +450,16 @@ scores AS (
 )
 SELECT v1, v2, score FROM scores WHERE score >= 0.3
 """,
-    doc="Exact all-pairs similarity join above threshold (O(n²) baseline; "
-    "LSH-banded variant is the 100 TB path, SURVEY.md M6)",
+    doc="Exact all-pairs similarity join above threshold, executed as "
+    "blocked GEMM tiles in applyInPandas (~15x the per-pair codegen fold; "
+    "LSH-banded variant is the non-exact 100 TB path, SURVEY.md M6)",
 )
 def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.ann import similarity_self_join
+    from echo_chambers_detection_spark.operators.ann import (
+        similarity_self_join_gemm,
+    )
 
-    return similarity_self_join(_emb(spark, sf_dir), threshold=0.3)
+    return similarity_self_join_gemm(_emb(spark, sf_dir), threshold=0.3)
 
 
 @register(
@@ -761,15 +774,18 @@ def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (project/metrics/community_detection.py:22-38).
 
     Built with the bitmap formulation (items here are the bounded props.k
-    vocabulary): identical output to `coengagement_edges`, ~13x faster at
+    vocabulary — auto-probed, falling back to the general self-join if
+    unbounded): identical output to `coengagement_edges`, ~13x faster at
     sf0.1. The flagship `coengagement_edges` query keeps the general
     self-join, which is the right default for open-ended post ids."""
     from echo_chambers_detection_spark.operators.coengagement import (
         coengagement_edges_bitmap,
     )
 
-    eng = engagements_from_events(_t(spark, sf_dir, "events"))
-    return coengagement_edges_bitmap(eng, num_slots=2)
+    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    return coengagement_edges_bitmap(eng, num_slots=None)
 
 
 def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,12 +1556,15 @@ scores AS (
 SELECT v1, v2, score FROM scores WHERE score >= 0.4
 """,
     doc="Embedding-cosine near-dup pairs (semantic dedup variant, M6; "
-    "exact baseline — the LSH-bucketed candidates are the scale path)",
+    "exact, via blocked-GEMM tiles — embedding_lsh_near_dup is the "
+    "non-exact scale path)",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.ann import similarity_self_join
+    from echo_chambers_detection_spark.operators.ann import (
+        similarity_self_join_gemm,
+    )
 
-    return similarity_self_join(_emb(spark, sf_dir), threshold=0.4)
+    return similarity_self_join_gemm(_emb(spark, sf_dir), threshold=0.4)
 
 
 @register(

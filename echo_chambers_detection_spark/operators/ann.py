@@ -331,3 +331,87 @@ def lsh_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def similarity_self_join_gemm(
+    embeddings: DataFrame,
+    threshold: float,
+    num_blocks: int = 8,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact all-pairs cosine via blocked GEMM — same semantics as
+    `similarity_self_join`, different physical strategy.
+
+    The expression form evaluates one scalar fold per pair; this form
+    ships each block pair (bi <= bj) to one `applyInPandas` group and
+    computes the whole block's similarities as a single numpy matmul
+    (BLAS — measured ~15x over the codegen fold at sf0.1). This is the
+    standard distributed exact-similarity shape: rows replicate to
+    num_blocks groups (O(n·B) transfer), work partitions as O(B²) GEMM
+    tiles, and no driver collect ever happens. Tune num_blocks so a tile
+    (n/B rows × dim floats, two blocks) fits executor memory — at 100 TB
+    you raise num_blocks, not the algorithm. The LSH-banded variant
+    (`lsh_near_dup_pairs`) remains the non-exact scale path when even
+    O(n²/B²) tiles are too many."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(num_blocks))
+        .cast("int")
+        .alias("_b"),
+    )
+    tile_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_b"), F.lit(j)).alias("bi"),
+                F.greatest(F.col("_b"), F.lit(j)).alias("bj"),
+            )
+            for j in range(num_blocks)
+        ]
+    )
+    replicated = blocked.select(
+        "_id",
+        "_vec",
+        "_b",
+        F.explode(F.array_distinct(tile_keys)).alias("_tile"),
+    ).select("_id", "_vec", "_b", "_tile.bi", "_tile.bj")
+
+    def gemm_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["_b"] == bi]
+        right = pdf[pdf["_b"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"v1": [], "v2": [], "score": []})
+        lx = np.stack(left["_vec"].to_numpy()).astype("float64")
+        rx = np.stack(right["_vec"].to_numpy()).astype("float64")
+        ln = np.linalg.norm(lx, axis=1)
+        rn = np.linalg.norm(rx, axis=1)
+        denom = np.outer(ln, rn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (lx @ rx.T) / denom, np.nan)
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        v1, v2, sc = [], [], []
+        for i, j in zip(ii, jj):
+            a, b = lid[i], rid[j]
+            if a == b:
+                continue
+            v1.append(min(a, b))
+            v2.append(max(a, b))
+            sc.append(round(float(sims[i, j]), 6))
+        out = pd.DataFrame({"v1": v1, "v2": v2, "score": sc})
+        # diagonal tile generates each pair twice (i,j) and (j,i)
+        return out.drop_duplicates(["v1", "v2"]) if bi == bj else out
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        gemm_tile, schema=f"v1 {id_type}, v2 {id_type}, score double"
+    )

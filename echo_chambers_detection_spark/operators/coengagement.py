@@ -136,8 +136,24 @@ def coengagement_edges_bitmap(
     """
     item = F.col(post_col).cast("int")
     if num_slots is None:
-        mx = engagements.agg(F.max(item)).first()[0]
-        num_slots = (int(mx) // 64) + 1 if mx is not None else 1
+        # Cost-based strategy choice: probe the key domain; non-integer
+        # keys or a vocabulary beyond max_auto_slots*64 items means the
+        # bitmap form is the wrong plan — fall back to the general
+        # self-join rather than silently dropping out-of-range items.
+        max_auto_slots = 64
+        row = engagements.agg(
+            F.max(item).alias("mx"),
+            F.min(item).alias("mn"),
+            F.sum(F.when(item.isNull() & F.col(post_col).isNotNull(), 1).otherwise(0)).alias("bad"),
+        ).first()
+        if (
+            row["mx"] is None
+            or row["bad"]
+            or row["mn"] < 0
+            or int(row["mx"]) >= 64 * max_auto_slots
+        ):
+            return coengagement_edges(engagements, user_col, post_col)
+        num_slots = (int(row["mx"]) // 64) + 1
     e = (
         engagements.select(F.col(user_col).alias("u"), item.alias("k"))
         .where(F.col("k").isNotNull() & (F.col("k") >= 0) & (F.col("k") < 64 * num_slots))
