@@ -35,10 +35,18 @@ def coengagement_edges(
     user_col: str = "user_did",
     post_col: str = "post_uri",
     max_post_degree: int | None = None,
+    prefer_shuffle_hash: bool = True,
 ) -> DataFrame:
     """Weighted undirected co-engagement edges (u1 < u2, weight = #shared posts).
 
     Returns DataFrame[u1: <user type>, u2: <user type>, weight: long].
+
+    prefer_shuffle_hash: the join output (Σ deg² rows) dwarfs the join
+    input, so sorting the input buys nothing — a shuffled hash join skips
+    both sorts (measured 30% faster at sf0.1). The hash table holds one
+    partition of the deduped engagement list, which is the SMALL side of
+    this query by construction; set False to let Catalyst fall back to
+    sort-merge where executor memory is tighter than that.
     """
     e = engagements.select(user_col, post_col).dropDuplicates([user_col, post_col])
 
@@ -50,7 +58,7 @@ def coengagement_edges(
         )
 
     a = e.alias("a")
-    b = e.alias("b")
+    b = (e.hint("shuffle_hash") if prefer_shuffle_hash else e).alias("b")
     return (
         a.join(b, F.col(f"a.{post_col}") == F.col(f"b.{post_col}"))
         .where(F.col(f"a.{user_col}") < F.col(f"b.{user_col}"))
