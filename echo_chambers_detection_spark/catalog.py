@@ -872,12 +872,19 @@ def q_modularity_optimization_communities(
     "fastrp_embeddings",
     None,
     doc="Deterministic FastRP node embeddings, dim=32, over the weighted "
-    "post graph (reference gds.fastRP.mutate dim=128; SURVEY.md G2)",
+    "post graph (reference gds.fastRP.mutate dim=128; SURVEY.md G2). "
+    "Exposed in exploded (node, dim, val) form so order-insensitive "
+    "harnesses can hash it; fastrp(assemble=True) is the array API.",
 )
 def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import fastrp
 
-    return fastrp(_post_graph(spark, sf_dir), dim=32)
+    exploded = fastrp(_post_graph(spark, sf_dir), dim=32, assemble=False)
+    return exploded.select(
+        "node",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
 
 
 @register(
@@ -1486,7 +1493,7 @@ bits AS (
 ),
 sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY 1
 """,
     doc="16-bit SimHash signatures from md5 nibble votes (M6 dedup; "
@@ -1728,10 +1735,52 @@ def q_engaged_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedded_documents",
-    None,
+    r"""
+WITH dtoks AS (
+    SELECT CAST(doc_id AS VARCHAR) AS post_cid,
+           list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+tok AS (SELECT post_cid, UNNEST(t) AS tk FROM dtoks),
+nib AS (
+    SELECT post_cid,
+           strpos('0123456789abcdef', substr(md5(tk), 16, 1)) - 1 AS n0,
+           strpos('0123456789abcdef', substr(md5(tk), 15, 1)) - 1 AS n1,
+           strpos('0123456789abcdef', substr(md5(tk), 14, 1)) - 1 AS n2
+    FROM tok
+),
+contrib AS (
+    SELECT post_cid,
+           n0 + 16 * (n1 % 2) AS dim,
+           CASE WHEN n2 % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+    FROM nib
+),
+sums AS (SELECT post_cid, dim, SUM(v) AS v FROM contrib GROUP BY 1, 2),
+dense AS (
+    SELECT d.post_cid, dd.dim, COALESCE(s.v, 0.0) AS v
+    FROM (SELECT post_cid FROM dtoks) d
+    CROSS JOIN (SELECT UNNEST(range(32)) AS dim) dd
+    LEFT JOIN sums s ON s.post_cid = d.post_cid AND s.dim = dd.dim
+),
+nrm AS (
+    SELECT post_cid, dim, v,
+           SQRT(SUM(v * v) OVER (PARTITION BY post_cid)) AS norm
+    FROM dense
+)
+SELECT post_cid, CAST(dim AS BIGINT) AS dim,
+       ROUND(CAST(CAST(CASE WHEN norm > 0 THEN v / norm ELSE v END AS FLOAT)
+                  AS DOUBLE), 6) AS val
+FROM nrm
+""",
     doc="Arrow-batched embedding inference over documents (reference "
     "SentenceTransformer.encode in the Qdrant consumer, SURVEY.md F12/G9; "
-    "deterministic fake encoder, real model body documented)",
+    "deterministic fake encoder, real model body documented). The fake "
+    "encoder is md5 bag-of-tokens math, so the oracle reproduces it "
+    "bit-for-bit — including the float32 quantization of the stored "
+    "vector (CAST AS FLOAT before the final round). Exploded to "
+    "(post_cid, dim, val) so value-hash comparison is well-defined; "
+    "embed_texts itself is the array<float> API.",
 )
 def q_embedded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.embed import embed_texts
@@ -1739,7 +1788,14 @@ def q_embedded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("post_cid"), "text"
     )
-    return embed_texts(docs)
+    emb = embed_texts(docs)
+    return emb.select(
+        "post_cid", F.posexplode("vector").alias("dim", "val")
+    ).select(
+        "post_cid",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
 
 
 @register(

@@ -540,6 +540,7 @@ def fastrp(
     dim: int = 64,
     iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
     seed: int = 42,
+    assemble: bool = True,
 ) -> DataFrame:
     """FastRP (Chen et al., CIKM'19) on DataFrames.
 
@@ -553,7 +554,9 @@ def fastrp(
 
     Everything lives in the exploded (node, dim, val) representation:
     shuffles key on (node, dim) — scale-out is by node count × dim, with
-    no vector-width skew. Returns (node, embedding array<float>).
+    no vector-width skew. Returns (node, embedding array<float>), or the
+    raw exploded (node, dim, val) frame when assemble=False (cheaper —
+    skips the collect_list — and hashable by order-insensitive harnesses).
     """
     spark = edges.sparkSession
     sym = _materialize(_symmetrize(edges))
@@ -620,6 +623,8 @@ def fastrp(
         .join(summed, ["node", "dim"], "left")
         .na.fill({"val": 0.0})
     )
+    if not assemble:
+        return dense.select("node", "dim", "val")
     return (
         dense.groupBy("node")
         .agg(
