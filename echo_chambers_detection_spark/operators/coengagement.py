@@ -127,6 +127,7 @@ def coengagement_edges_bitmap(
     user_col: str = "user_did",
     post_col: str = "post_uri",
     num_slots: int | None = 2,
+    max_users: int | None = 1_000_000,
 ) -> DataFrame:
     """Bitmap-index formulation for BOUNDED item spaces: when the post/item
     key is an integer < 64*num_slots, each user's engagement set packs
@@ -138,30 +139,46 @@ def coengagement_edges_bitmap(
     Σ_item deg² rows (26M at sf0.1); this streams n²/2 pairs of fixed-width
     masks (1.1M at sf0.1) — a ~20x row reduction when items are dense.
     The classic bitmap-join-index trade: only valid for small item
-    vocabularies (here catalogs/taxonomies, not open post ids); the
-    general path is `coengagement_edges`. Results are identical
-    (oracle-checked through the same queries).
+    vocabularies (here catalogs/taxonomies, not open post ids) AND a
+    user population whose pair stream is tractable — the mask join is
+    Θ(n²) in users regardless of item density, so `max_users` bounds n
+    (approx_count_distinct probe) and anything larger falls back to the
+    general self-join, which is linear in Σ_item deg². The general path
+    is `coengagement_edges`. Results are identical (oracle-checked
+    through the same queries).
     """
     item = F.col(post_col).cast("int")
     if num_slots is None:
-        # Cost-based strategy choice: probe the key domain; non-integer
-        # keys or a vocabulary beyond max_auto_slots*64 items means the
-        # bitmap form is the wrong plan — fall back to the general
-        # self-join rather than silently dropping out-of-range items.
+        # Cost-based strategy choice, one probe pass: key-domain bounds
+        # (non-integer keys or a vocabulary beyond max_auto_slots*64 items
+        # means the bitmap form is the wrong plan) AND the user-count
+        # bound (a bounded item vocabulary with 100M users would still
+        # stream n²/2 mask pairs). Fall back to the general self-join
+        # rather than silently dropping items or exploding pairs.
         max_auto_slots = 64
         row = engagements.agg(
             F.max(item).alias("mx"),
             F.min(item).alias("mn"),
             F.sum(F.when(item.isNull() & F.col(post_col).isNotNull(), 1).otherwise(0)).alias("bad"),
+            F.approx_count_distinct(user_col).alias("nu"),
         ).first()
         if (
             row["mx"] is None
             or row["bad"]
             or row["mn"] < 0
             or int(row["mx"]) >= 64 * max_auto_slots
+            or (max_users is not None and int(row["nu"]) > max_users)
         ):
             return coengagement_edges(engagements, user_col, post_col)
         num_slots = (int(row["mx"]) // 64) + 1
+    elif max_users is not None:
+        nu = int(
+            engagements.agg(
+                F.approx_count_distinct(user_col).alias("nu")
+            ).first()["nu"]
+        )
+        if nu > max_users:
+            return coengagement_edges(engagements, user_col, post_col)
     e = (
         engagements.select(F.col(user_col).alias("u"), item.alias("k"))
         .where(F.col("k").isNotNull() & (F.col("k") >= 0) & (F.col("k") < 64 * num_slots))
