@@ -31,10 +31,12 @@ from pyspark.sql.window import Window
 # or per community. After localCheckpoint Catalyst loses their size stats
 # and plans full shuffle joins of the edge table against them every round.
 # Below this node count we hint broadcast explicitly — the echo-chamber
-# regime (77k users in the reference, millions at scale) is far under it;
-# at billions of nodes the auto-probe flips the loops back to shuffle
-# joins, which is the correct plan there.
-BROADCAST_NODE_LIMIT = 10_000_000
+# regime (77k users in the reference) is far under it; above it the
+# auto-probe flips the loops back to shuffle joins, which is the correct
+# plan there. 1M rows × ~25 B/row (node id + label/degree) ≈ 25 MB per
+# broadcast — comfortably inside a 64 MB driver/executor budget every
+# round; 10M would push hundreds of MB per executor per round.
+BROADCAST_NODE_LIMIT = 1_000_000
 
 
 def _state_hint(small_state: bool):
