@@ -658,12 +658,20 @@ def density_cluster(
     embeddings: DataFrame,
     min_sim: float = 0.8,
     min_pts: int = 3,
+    use_lsh: bool = False,
+    lsh_num_planes: int = 16,
+    lsh_band_bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """DBSCAN-flavored clustering over (node, vector).
 
-    - neighbors: pairs with cosine >= min_sim (exact self-join here; at
-      scale substitute the LSH-bucketed candidate pairs from
-      operators/dedup.py and keep the same downstream);
+    - neighbors: pairs with cosine >= min_sim. Two physical strategies:
+      exact blocked-GEMM self-join (default — O(n²/B²) tiles, the
+      verification path), or `use_lsh=True` for the scale path: banded
+      hyperplane-LSH candidate generation (equi-join on (band, value),
+      never n² pairs) + exact-cosine rerank of candidates only. Recall is
+      tuned by lsh_num_planes/lsh_band_bits; with 4-bit bands, vectors at
+      cosine ≥ 0.6 collide in ≥1 of 4 bands with high probability;
     - core nodes: >= min_pts neighbors;
     - clusters: connected components of the core-core graph; border nodes
       attach to the smallest adjacent core cluster; everything else is
@@ -673,13 +681,30 @@ def density_cluster(
     Returns (node, cluster) with cluster = min member node id or '-1'.
     """
     from echo_chambers_detection_spark.operators.ann import (
+        lsh_near_dup_pairs,
         similarity_self_join_gemm,
     )
 
-    nbrs = _materialize(
-        similarity_self_join_gemm(
+    if use_lsh:
+        if dim is None:
+            dim = int(
+                embeddings.select(F.size("vector").alias("d")).first()["d"]
+            )
+        pairs = lsh_near_dup_pairs(
+            embeddings,
+            dim=dim,
+            threshold=min_sim,
+            num_planes=lsh_num_planes,
+            band_bits=lsh_band_bits,
+            id_col="node",
+            vec_col="vector",
+        )
+    else:
+        pairs = similarity_self_join_gemm(
             embeddings, threshold=min_sim, id_col="node", vec_col="vector"
-        ).select(F.col("v1").alias("na"), F.col("v2").alias("nb"))
+        )
+    nbrs = _materialize(
+        pairs.select(F.col("v1").alias("na"), F.col("v2").alias("nb"))
     )
     sym_nbrs = nbrs.unionAll(
         nbrs.select(F.col("nb").alias("na"), F.col("na").alias("nb"))

@@ -71,3 +71,19 @@ def test_density_cluster_recovers_tight_groups(spark):
     assert len(p_clusters) == 1 and len(q_clusters) == 1
     assert p_clusters != q_clusters
     assert out["lone"] == "-1"
+
+
+def test_density_cluster_lsh_path_equivalent(spark, two_cliques):
+    """The scale path (use_lsh=True: banded-LSH candidates + rerank)
+    reproduces the exact-GEMM clustering at the fixture operating point —
+    the substitution VERDICT r1 #4 asked to wire for real. Runs on the
+    FastRP chain exactly like the density_clusters catalog query."""
+    emb = fastrp(two_cliques, dim=32).withColumnRenamed(
+        "embedding", "vector"
+    )
+    exact = {r["node"]: r["cluster"] for r in
+             density_cluster(emb, min_sim=0.6, min_pts=2).collect()}
+    lsh = {r["node"]: r["cluster"] for r in
+           density_cluster(emb, min_sim=0.6, min_pts=2,
+                           use_lsh=True).collect()}
+    assert lsh == exact
