@@ -37,15 +37,47 @@ from echo_chambers_detection_spark.schemas import (
 )
 
 
-def read_json_topic(
-    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """File-backed stand-in for a Kafka topic: each line is one message
-    `value`. With a broker this is format('kafka') + the same from_json."""
-    reader = spark.readStream.schema("value string")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.text(path).withColumnRenamed("value", "raw")
+def kafka_reader_options(
+    broker: str, topic: str, offset_policy: str = "latest"
+) -> dict[str, str]:
+    """Option map for spark.readStream.format('kafka'), mirroring the
+    reference's per-consumer offset-reset policy (SURVEY.md X2):
+    `latest` for the graph consumers (consumer_user.py:28,
+    neo4j/consumer_post.py:23), `earliest` for the vector consumer
+    (qdrant/consumer_post.py:29). Pure function so the construction is
+    unit-testable without a broker."""
+    if offset_policy not in ("latest", "earliest"):
+        raise ValueError(
+            f"offset_policy must be 'latest' or 'earliest', got {offset_policy!r}"
+        )
+    return {
+        "kafka.bootstrap.servers": broker,
+        "subscribe": topic,
+        "startingOffsets": offset_policy,
+        # at-least-once + MERGE-idempotent sinks tolerate replays; failing
+        # the query on retention-expired offsets would not match the
+        # reference consumers, which silently resume from the reset policy
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_topic_reader(
+    spark: SparkSession,
+    broker: str,
+    topic: str,
+    offset_policy: str = "latest",
+):
+    """The real Kafka source construction (format('kafka') + options).
+    Returns the configured DataStreamReader; callers .load() it — split
+    from the options so construction is exercised in tests even though
+    this container has no broker or kafka connector jar."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(broker, topic, offset_policy).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def _parse_json_values(raw: DataFrame, schema) -> DataFrame:
     # Unparseable lines are captured in an explicit corrupt-record column
     # and dropped (the reference would crash on them — json.loads at
     # consumer_user.py:75 — so they never reach a sink there either);
@@ -67,6 +99,40 @@ def read_json_topic(
         .select("m.*")
         .drop("_corrupt")
     )
+
+
+def read_json_topic(
+    spark: SparkSession,
+    path: str | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    broker: str | None = None,
+    topic: str | None = None,
+    offset_policy: str = "latest",
+) -> DataFrame:
+    """One JSON-message stream source, two transports:
+
+    - broker given: the real Kafka path — format('kafka') with the
+      reference's offset policy, value cast to string;
+    - else: file-backed stand-in (each line is one message `value`) for
+      broker-less environments.
+
+    Everything from from_json down is identical either way — that is the
+    part the reference implements by hand."""
+    if broker is not None:
+        if not topic:
+            raise ValueError("topic is required with broker")
+        raw = (
+            kafka_topic_reader(spark, broker, topic, offset_policy)
+            .load()
+            .select(F.col("value").cast("string").alias("raw"))
+        )
+    else:
+        reader = spark.readStream.schema("value string")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.text(path).withColumnRenamed("value", "raw")
+    return _parse_json_values(raw, schema)
 
 
 def fork_user_topic(msgs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -104,21 +170,38 @@ def parse_post_topic(msgs: DataFrame) -> DataFrame:
 
 
 def upsert_parquet(
-    batch: DataFrame, target: str, keys: list[str], order_col: str | None = None
+    batch: DataFrame,
+    target: str,
+    keys: list[str],
+    order_col: str | None = None,
+    num_buckets: int = 16,
 ) -> None:
     """Last-write-wins MERGE of a micro-batch into a parquet table — the
     engine's stand-in for the reference's per-record Cypher MERGE
-    (consumer_user.py:44-53). Reads current state, unions, keeps one row
-    per key (newest batch wins), rewrites.
+    (consumer_user.py:44-53).
 
-    On a real lake this is a Delta/Iceberg MERGE on the same keys; the
-    copy-on-write formulation keeps the semantics testable here. `_src`
-    orders existing (0) below incoming (1); order_col breaks ties inside
-    the batch."""
+    Copy-on-write by key-hash bucket: the table is partitioned on
+    `_bucket = xxhash64(keys) % num_buckets`; a micro-batch reads and
+    rewrites ONLY the buckets its keys hash into (partition pruning on
+    read, dynamic partition overwrite on write). The per-batch cost is
+    O(touched buckets), not O(table) — the honest shape of what a
+    Delta/Iceberg MERGE on the same keys does with file-level pruning.
+    `_src` orders existing (0) below incoming (1); order_col breaks ties
+    inside the batch."""
     spark = batch.sparkSession
-    incoming = batch.withColumn("_src", F.lit(1))
+    incoming = batch.withColumn(
+        "_bucket", F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
+    ).withColumn("_src", F.lit(1))
     if os.path.exists(target):
-        existing = spark.read.parquet(target).withColumn("_src", F.lit(0))
+        touched = [
+            r["_bucket"]
+            for r in incoming.select("_bucket").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(target)
+            .where(F.col("_bucket").isin(touched))
+            .withColumn("_src", F.lit(0))
+        )
         all_rows = existing.unionByName(incoming)
     else:
         all_rows = incoming
@@ -131,8 +214,15 @@ def upsert_parquet(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    # materialize before overwrite (reading and overwriting the same path)
-    deduped.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+    # materialize before overwrite (reading and overwriting the same path);
+    # dynamic mode replaces only the buckets present in `deduped`
+    (
+        deduped.localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(target)
+    )
 
 
 def run_user_topic_ingest(
