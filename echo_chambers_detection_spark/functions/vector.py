@@ -75,19 +75,7 @@ def squared_l2_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def array_mean(vec_col: Column | str) -> Column:
-    """Aggregate expression: element-wise mean of an array column.
-
-    Used for community centroids (A6) and per-user mean embeddings (A7).
-    Implemented as element-wise sum aggregate / count — stays JVM-side:
-    zip_with-based reduce inside a plain `agg`, no explode, no shuffle
-    amplification by vector dimension."""
-    col = _c(vec_col)
-    summed = F.aggregate(
-        F.collect_list(col),
-        # initial accumulator: zero vector of the right length is unknown
-        # statically; use the first element transformed to 0.0
-        F.transform(F.first(col), lambda x: x.cast("double") * 0.0),
-        lambda acc, v: F.zip_with(acc, v, lambda s, x: s + x.cast("double")),
-    )
-    return F.transform(summed, lambda s: s / F.count(col))
+# NOTE: centroids / mean embeddings aggregate in the exploded
+# (id, dim, val) representation (operators/ann.py, operators/metrics.py)
+# — an array-typed mean aggregate would funnel whole vectors through
+# collect_list on one key and is deliberately not offered.

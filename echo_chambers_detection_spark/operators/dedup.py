@@ -122,15 +122,28 @@ def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.05
+    shingles: DataFrame,
+    threshold: float = 0.05,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every shingle-sharing pair:
     (d1, d2, jaccard) with jaccard >= threshold.
 
     |A ∩ B| from the shared-shingle join; |A ∪ B| = |A| + |B| − |A ∩ B|.
-    Quadratic only within shingle groups; a max_shingle_freq cap (drop
-    shingles appearing in > N docs, e.g. boilerplate) is the standard
-    guard at scale — not needed on the fixture where max freq is 7."""
+    Quadratic only within shingle groups; `max_shingle_freq` drops
+    shingles appearing in more than that many documents (boilerplate —
+    headers, license blocks) BEFORE sizes are computed, the standard
+    guard at scale: a shingle shared by 1M docs would otherwise generate
+    5·10¹¹ pairs on one join key. Jaccard is then computed over the
+    filtered shingle sets (the usual definition under frequency capping).
+    None disables the cap (exact Jaccard; fixture max freq is 7)."""
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
+        shingles = (
+            shingles.join(
+                freq.where(F.col("_f") <= max_shingle_freq), "shingle"
+            ).drop("_f")
+        )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
     b = shingles.select(F.col("doc_id").alias("d2"), "shingle")

@@ -33,8 +33,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Master resolution: SPARK_GRAFT_MASTER overrides (set it to
+    # "external" to leave the master entirely to spark-submit / cluster
+    # conf — calling .master() there would fight the launcher); default
+    # is local[N] for this container's test runs.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if master != "external":
+        builder = builder.master(master)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
