@@ -289,12 +289,27 @@ def lsh_near_dup_pairs(
 
     This is `similarity_self_join` with the quadratic candidate step
     replaced by the join LSH banding buys — the semantic-dedup scale path
-    next to the MinHash text path in operators/dedup.py."""
+    next to the MinHash text path in operators/dedup.py.
+
+    Physical shape of the rerank: vectors ship to each of their
+    num_planes/band_bits band buckets ONCE (O(n·n_bands) transfer) and
+    each bucket scores its members with a single numpy GEMM tile — the
+    same kernel `similarity_self_join_gemm` uses, measured ~15x over
+    per-pair codegen folds. The earlier formulation joined full vectors
+    onto every candidate PAIR row (O(candidates) vector copies), which
+    dominated wall time. Bucket skew is the classic LSH trade: a hot
+    bucket of size s costs O(s²) — widen band_bits when buckets run hot.
+    Cross-band duplicate pairs carry bit-identical scores, so the final
+    distinct() collapses them."""
+    import pandas as pd
+
     n_bands = num_planes // band_bits
     mask = (1 << band_bits) - 1
+    # materialize: the signature frame feeds every band expansion below —
+    # without this the per-plane projection folds run once per reference
     sigs = hyperplane_signatures(
         embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -311,25 +326,37 @@ def lsh_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bval")
-    a = bands.select(F.col(id_col).alias("v1"), "band", "bval")
-    b = bands.select(F.col(id_col).alias("v2"), "band", "bval")
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
-        .distinct()
+    withvec = bands.join(
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("_vec")), id_col
     )
-    e1 = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_va"))
-    e2 = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_vb"))
+
+    def bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "score": []})
+        x = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(x, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (x @ x.T) / denom, np.nan)
+        ids = pdf[id_col].to_numpy()
+        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        v1, v2, sc = [], [], []
+        for i, j in zip(ii, jj):
+            a, b = ids[i], ids[j]
+            if not a < b:
+                continue
+            v1.append(a)
+            v2.append(b)
+            sc.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"v1": v1, "v2": v2, "score": sc})
+
+    id_type = dict(embeddings.dtypes)[id_col]
     return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .select(
-            "v1",
-            "v2",
-            F.round(cosine_similarity("_va", "_vb"), 6).alias("score"),
-        )
-        .where(F.col("score") >= threshold)
+        withvec.groupBy("band", "bval")
+        .applyInPandas(bucket_gemm, schema=f"v1 {id_type}, v2 {id_type}, score double")
+        .distinct()
     )
 
 
