@@ -503,18 +503,217 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     )
 
 
-def leiden(
-    edges: DataFrame, max_levels: int = 3, max_rounds: int = 8
+def _refine(
+    sym: DataFrame,
+    selfw: DataFrame,
+    comm: DataFrame,
+    m: float,
+    small_state: bool = False,
+    max_rounds: int = 4,
+    gamma: float = 1.0,
 ) -> DataFrame:
-    """Leiden-flavored refinement (reference gds.leiden.stream,
-    project/metrics/community_detection.py:64-69): Louvain, then each
-    community is split into its connected components — enforcing Leiden's
-    headline guarantee (communities are internally connected) which plain
-    Louvain violates. The full Leiden refinement phase (randomized
-    sub-community merging) is intentionally simplified; documented as a
-    capability substitution (SURVEY.md §7.2).
-    Returns (node, community), ids = min member node."""
-    base = louvain(edges, max_levels=max_levels, max_rounds=max_rounds)
+    """Leiden refinement phase (Traag, Waltman & van Eck 2019, §A.2):
+    within each community of `comm`, grow sub-communities from singletons.
+
+    Faithful constraints:
+    - moves are restricted to intra-community edges (a sub-community can
+      never cross its community);
+    - only nodes that are still singleton in the refined partition merge,
+      and only into sub-communities they have positive modularity gain
+      toward — grown subs never move again, so every sub-community is
+      connected by construction;
+    - both the moving node and the target sub-community must be
+      γ-well-connected to the community:
+      w(v, C∖v) ≥ γ·k_v·(k_C−k_v)/(2m) and w(S, C∖S) ≥ γ·k_S·(k_C−k_S)/(2m).
+
+    Deliberate deviation (documented): Traag et al. pick the target
+    randomly ∝ exp(Δ/θ) for the asymptotic guarantees; we take the θ→0
+    limit (max-gain, ties to the largest sub id) so results are
+    deterministic and testable — the reference's GDS runs are
+    nondeterministic anyway. Returns (node, sub).
+    """
+    hint = _state_hint(small_state)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("k_adj")
+    )
+    k_i = _materialize(
+        selfw.join(deg, "node", "outer")
+        .na.fill({"w_self": 0.0, "k_adj": 0.0})
+        .select("node", (F.col("k_adj") + 2 * F.col("w_self")).alias("k"))
+    )
+    csrc = comm.select(F.col("node").alias("src"), F.col("community").alias("c1"))
+    cdst = comm.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
+    intra = _materialize(
+        sym.join(hint(csrc), "src")
+        .join(hint(cdst), "dst")
+        .where(F.col("c1") == F.col("c2"))
+        .select("src", "dst", "weight")
+    )
+    k_c = comm.join(hint(k_i), "node").groupBy("community").agg(
+        F.sum("k").alias("k_c")
+    )
+    # node gate: w(v, C∖v) ≥ γ·k_v·(k_C−k_v)/(2m)
+    w_vc = intra.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("w_vc")
+    )
+    movers = _materialize(
+        comm.join(hint(k_i), "node")
+        .join(hint(k_c), "community")
+        .join(hint(w_vc), "node", "left")
+        .na.fill({"w_vc": 0.0})
+        .where(
+            F.col("w_vc")
+            >= gamma * F.col("k") * (F.col("k_c") - F.col("k")) / (2 * m)
+        )
+        .select("node")
+    )
+    # sub ids are member-node ids, so a sub's community/k_C resolve by
+    # joining the sub id against comm directly
+    sub_comm = comm.select(F.col("node").alias("sub"), "community")
+    sub = _materialize(comm.select("node").withColumn("sub", F.col("node")))
+
+    for rnd in range(max_rounds):
+        sizes = sub.groupBy("sub").agg(F.count("*").alias("n"))
+        singles = sub.join(
+            hint(sizes.where(F.col("n") == 1).select("sub")), "sub", "leftsemi"
+        ).join(hint(movers), "node", "leftsemi")
+        k_s = sub.join(hint(k_i), "node").groupBy("sub").agg(
+            F.sum("k").alias("k_s")
+        )
+        lab_s = sub.select(F.col("node").alias("src"), F.col("sub").alias("s1"))
+        lab_d = sub.select(F.col("node").alias("dst"), F.col("sub").alias("s2"))
+        e2 = intra.join(hint(lab_s), "src").join(hint(lab_d), "dst")
+        w_out = (
+            e2.where(F.col("s1") != F.col("s2"))
+            .groupBy(F.col("s1").alias("sub"))
+            .agg(F.sum("weight").alias("w_sc"))
+        )
+        # target gate: S γ-well-connected to its community
+        ok_targets = (
+            k_s.join(hint(w_out), "sub", "left")
+            .na.fill({"w_sc": 0.0})
+            .join(hint(sub_comm), "sub")
+            .join(hint(k_c), "community")
+            .where(
+                F.col("w_sc")
+                >= gamma * F.col("k_s") * (F.col("k_c") - F.col("k_s")) / (2 * m)
+            )
+            .select("sub", "k_s")
+        )
+        # singleton v -> adjacent sub S: w(v,S) and gain w_vS − k_v·k_S/(2m)
+        w_vs = (
+            intra.join(
+                hint(singles.select(F.col("node").alias("src"), F.col("sub").alias("own"))),
+                "src",
+            )
+            .join(hint(lab_d.withColumnRenamed("s2", "tgt")), "dst")
+            .where(F.col("tgt") != F.col("own"))
+            .groupBy(F.col("src").alias("node"), F.col("own"), F.col("tgt"))
+            .agg(F.sum("weight").alias("w_vs"))
+        )
+        cand = (
+            w_vs.join(hint(ok_targets.withColumnRenamed("sub", "tgt")), "tgt")
+            .join(hint(k_i), "node")
+            .withColumn(
+                "score",
+                F.col("w_vs") - F.col("k") * F.col("k_s") / (2 * m),
+            )
+            .where(F.col("score") > 0)
+            # singleton↔singleton symmetric swap guard: a singleton may
+            # absorb INTO a larger-id singleton only (grown subs are fair
+            # game either way — they never move)
+            .join(hint(sizes.withColumnRenamed("sub", "tgt")), "tgt")
+            .where((F.col("n") > 1) | (F.col("tgt") > F.col("own")))
+        )
+        best = cand.groupBy("node").agg(
+            F.max_by(F.col("tgt"), F.struct(F.col("score"), F.col("tgt"))).alias(
+                "new_sub"
+            )
+        )
+        parity = F.pmod(F.xxhash64(F.col("node")) + F.lit(rnd), F.lit(2)) == 0
+        applied = _materialize(
+            sub.join(hint(best), "node", "left").select(
+                "node",
+                F.when(parity & F.col("new_sub").isNotNull(), F.col("new_sub"))
+                .otherwise(F.col("sub"))
+                .alias("sub"),
+                (parity & F.col("new_sub").isNotNull()).alias("moved"),
+            )
+        )
+        moves = applied.where(F.col("moved")).count()
+        sub = applied.select("node", "sub")
+        if moves == 0:
+            break
+    return sub
+
+
+def leiden(
+    edges: DataFrame,
+    max_levels: int = 3,
+    max_rounds: int = 8,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Distributed Leiden (reference gds.leiden.stream,
+    project/metrics/community_detection.py:64-69), per Traag et al. 2019:
+    each level is local moves (P) → refinement (P_ref, see `_refine`) →
+    aggregate the graph by P_REF while seeding the next level's local
+    moves with P. Aggregating by the refined partition is what lets later
+    levels pull a badly-merged community apart again — plain Louvain
+    coarsens by P itself, so a bad merge becomes one indivisible node
+    forever.
+
+    A final connected-components pass enforces the connectivity guarantee
+    unconditionally (with bounded max_levels the loop may stop before the
+    fixpoint where Traag et al.'s connectivity proof applies); it only
+    ever splits, never merges. Returns (node, community), ids = min
+    member node."""
+    sym = _materialize(_symmetrize(edges))
+    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    m = float(m_row["m"] or 0.0)
+    nodes = _nodes(edges)
+    if m <= 0:
+        return nodes.withColumn("community", F.col("node"))
+
+    selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
+    mapping = _materialize(nodes.withColumn("agg", F.col("node")))
+    comm0 = _materialize(nodes.withColumn("community", F.col("node")))
+    small = _probe_small(mapping)
+    hint = _state_hint(small)
+    sub2comm = comm0.select(F.col("node").alias("sub"), "community")
+
+    for _level in range(max_levels):
+        comm, moves = _local_moves(
+            sym, selfw, comm0, m, max_rounds, small_state=small
+        )
+        refined = _refine(sym, selfw, comm, m, small_state=small, gamma=gamma)
+        sub2comm = _materialize(
+            refined.join(comm, "node")
+            .select(F.col("sub"), "community")
+            .distinct()
+        )
+        mapping = _materialize(
+            mapping.join(
+                hint(refined.select(F.col("node").alias("agg"), "sub")), "agg"
+            ).select("node", F.col("sub").alias("agg"))
+        )
+        if moves == 0:
+            break
+        new_edges, selfw = _coarsen(
+            sym,
+            selfw,
+            refined.select("node", F.col("sub").alias("community")),
+            small_state=small,
+        )
+        sym = _materialize(_symmetrize(new_edges))
+        comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
+        if sym.isEmpty():
+            break
+
+    base = mapping.join(
+        hint(sub2comm.withColumnRenamed("sub", "agg")), "agg"
+    ).select("node", "community")
+
+    # connectivity safety net (split-only)
     lab_s = base.select(F.col("node").alias("u1"), F.col("community").alias("c1"))
     lab_d = base.select(F.col("node").alias("u2"), F.col("community").alias("c2"))
     intra = (
@@ -524,7 +723,6 @@ def leiden(
         .select("u1", "u2")
     )
     comps = connected_components(intra)
-    # nodes whose community has no intra edges become singletons
     return base.join(comps, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("community")
     )
