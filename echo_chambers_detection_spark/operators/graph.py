@@ -68,9 +68,33 @@ def _nodes(edges: DataFrame) -> DataFrame:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage + force computation (iterative-loop hygiene)."""
+    """Cut lineage + force computation (iterative-loop hygiene).
+
+    `localCheckpoint` truncates the logical plan to a LogicalRDD leaf but
+    copies the ORIGINATING plan's estimated `sizeInBytes` into that leaf.
+    Join estimates multiply their inputs, so across checkpoint generations
+    the carried BigInt's digit count doubles per round — after ~30
+    generations Catalyst spends minutes multiplying million-digit numbers
+    inside SizeInBytesOnlyStatsPlanVisitor (observed: Leiden level-2 local
+    moves going 16s -> 33s -> 75s per round on a 100-node coarsened
+    graph). Fix: rebuild the leaf over the SAME checkpointed RDD without
+    inherited stats, so every generation restarts from the default
+    estimate. Join strategies don't regress — loop state joins are
+    explicitly broadcast-hinted and AQE re-plans from true runtime sizes.
+    `internalCreateDataFrame` is package-private in Scala, hence public in
+    bytecode; if a future Spark removes it we fall back to the plain
+    checkpoint (correct, slower in deep loops).
+    """
     out = df.localCheckpoint(eager=True)
-    return out
+    try:
+        jdf = out._jdf
+        jspark = out.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, out.sparkSession)
+    except Exception:
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +402,12 @@ def _local_moves(
             (parity & (F.col("new_c") != F.col("old_c"))).alias("moved"),
         )
         applied = _materialize(applied)
-        moves = applied.where(F.col("moved")).count()
+        # one aggregation job for both loop-control scalars (moves, n)
+        row = applied.agg(
+            F.sum(F.col("moved").cast("long")).alias("mv"),
+            F.count("*").alias("n"),
+        ).first()
+        moves = int(row["mv"] or 0)
         comm = applied.select("node", "community")
         total_moves += moves
         if moves == 0 and rnd > 0:
@@ -386,7 +415,7 @@ def _local_moves(
         # GDS-style tolerance: once a round moves <0.1% of nodes the
         # partition has effectively converged — further rounds cost a full
         # round of shuffles each for no measurable modularity gain.
-        if rnd > 0 and moves < max(1, applied.count() // 1000):
+        if rnd > 0 and moves < max(1, int(row["n"]) // 1000):
             break
     return comm, total_moves
 
@@ -571,6 +600,10 @@ def _refine(
     # joining the sub id against comm directly
     sub_comm = comm.select(F.col("node").alias("sub"), "community")
     sub = _materialize(comm.select("node").withColumn("sub", F.col("node")))
+    if movers.isEmpty():
+        # nothing is γ-well-connected enough to merge — refined partition
+        # stays all-singletons; skip the round loop entirely
+        return sub
 
     for rnd in range(max_rounds):
         sizes = sub.groupBy("sub").agg(F.count("*").alias("n"))
@@ -640,7 +673,10 @@ def _refine(
                 (parity & F.col("new_sub").isNotNull()).alias("moved"),
             )
         )
-        moves = applied.where(F.col("moved")).count()
+        moves = int(
+            applied.agg(F.sum(F.col("moved").cast("long")).alias("mv")).first()["mv"]
+            or 0
+        )
         sub = applied.select("node", "sub")
         if moves == 0:
             break

@@ -20,17 +20,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one test table by name from a scale-factor directory.
 
-    The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark 4 rejects by default; we read nanos-as-long (runtime conf, set
-    here so it also applies under a driver-owned session) and rebuild a
-    proper TimestampType column with integer division — ns epoch values
-    (~1.7e18) overflow double precision, so `div`, never `/`.
+    Timestamp tolerance: older fixture generations wrote `events.ts` as
+    TIMESTAMP(NANOS), which Spark 4 rejects by default — we read
+    nanos-as-long (runtime conf, set here so it also applies under a
+    driver-owned session) and rebuild a TimestampType column with integer
+    division (ns epoch values ~1.7e18 overflow double precision, so `div`,
+    never `/`). Current generations write native TIMESTAMP(MICROS), which
+    Spark reads as TIMESTAMP_NTZ; we cast to TIMESTAMP (LTZ) because the
+    engine's event-time surface (unix_millis, watermarks, streaming
+    schemas) is typed on TIMESTAMP. The session timezone is pinned to UTC
+    (session.py), so the NTZ->LTZ cast is value-identity and epoch_ms in
+    a DuckDB oracle over the same file sees the same instant.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
