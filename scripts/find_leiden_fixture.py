@@ -60,22 +60,34 @@ def run(spark, name, edges, groups):
 
 
 def main():
-    spark = get_spark(app_name="find-leiden-fixture")
+    spark = get_spark(app_name="find-leiden-fixture", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     hits = []
 
-    # family A
-    for k1, k2, b in itertools.product([4, 5, 6], [4, 5, 6], [1, 2, 3]):
-        if k2 < k1:
-            continue
-        ea, na = clique("a", k1)
-        eb, nb = clique("b", k2)
-        bridges = [(na[i % k1], nb[i % k2], 1.0) for i in range(b)]
-        if run(spark, f"A k1={k1} k2={k2} b={b}", ea + eb + bridges, [na, nb]):
-            hits.append(("A", k1, k2, b))
+    # family E — two cliques, single HEAVY bridge: at singleton init the
+    # bridge endpoints' max-gain targets are each other, which can seed a
+    # cross-clique community that greedy local moves then grow into a full
+    # merge even when the separated partition has higher modularity.
+    for k, w in [(5, 2.0), (5, 3.0), (5, 4.0), (6, 2.0), (6, 3.0), (6, 4.0), (7, 3.0), (7, 4.0)]:
+        ea, na = clique("a", k)
+        eb, nb = clique("b", k)
+        edges = ea + eb + [(na[0], nb[0], w)]
+        if run(spark, f"E k={k} w={w}", edges, [na, nb]):
+            hits.append(("E", k, w))
+
+    # family D — hub adjacent to h members of each clique
+    for k, h in [(4, 2), (5, 2), (5, 3), (6, 3)]:
+        ea, na = clique("a", k)
+        eb, nb = clique("b", k)
+        edges = ea + eb
+        for i in range(h):
+            edges.append((na[i], "hub", 1.0))
+            edges.append(("hub", nb[i], 1.0))
+        if run(spark, f"D k={k} h={h}", edges, [na, nb]):
+            hits.append(("D", k, h))
 
     # family B — ring of cliques
-    for n, k in [(3, 4), (3, 5), (4, 4), (4, 5), (5, 4), (6, 4)]:
+    for n, k in [(3, 4), (4, 4), (5, 4)]:
         edges, groups = [], []
         for c in range(n):
             e, nodes = clique(f"r{c}", k)
@@ -85,25 +97,6 @@ def main():
             edges.append((groups[c][0], groups[(c + 1) % n][1], 1.0))
         if run(spark, f"B ring n={n} k={k}", edges, groups):
             hits.append(("B", n, k))
-
-    # family C — midpoint path
-    for k in [4, 5, 6]:
-        ea, na = clique("a", k)
-        eb, nb = clique("b", k)
-        edges = ea + eb + [(na[0], "mid", 1.0), ("mid", nb[0], 1.0)]
-        if run(spark, f"C k={k}", edges, [na, nb]):
-            hits.append(("C", k))
-
-    # family D — hub adjacent to h members of each clique
-    for k, h in [(4, 2), (5, 2), (5, 3), (6, 2), (6, 3)]:
-        ea, na = clique("a", k)
-        eb, nb = clique("b", k)
-        edges = ea + eb
-        for i in range(h):
-            edges.append((na[i], "hub", 1.0))
-            edges.append(("hub", nb[i], 1.0))
-        if run(spark, f"D k={k} h={h}", edges, [na, nb]):
-            hits.append(("D", k, h))
 
     print("HITS:", hits)
 

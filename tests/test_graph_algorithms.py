@@ -148,6 +148,60 @@ def test_leiden_communities_connected(spark):
     assert labels["a"] != labels["x"]
 
 
+def test_leiden_separates_bridged_cliques_louvain_merges(spark):
+    """The Traag et al. 2019 failure mode, reproduced deterministically:
+    two 7-cliques joined by ONE heavy bridge (a00—b00, w=4). At singleton
+    init the bridge endpoints' max-gain targets are each other, so greedy
+    synchronous Louvain is seeded across the bridge and converges to two
+    MIXED communities, each spanning both cliques — one of them even
+    internally disconnected ({a00, b01..b06}: a00 has no intra-community
+    edge). Leiden's refinement keeps each clique an indivisible unit at
+    aggregation time, and level-2 local moves pull the bad merge apart:
+    exact recovery of the planted cliques, q 0.413 vs Louvain's 0.152.
+
+    Reference behavior: gds.leiden.stream vs gds.louvain.stream
+    (project/metrics/community_detection.py:64-76)."""
+    k, w = 7, 4.0
+    na = [f"a{i:02d}" for i in range(k)]
+    nb = [f"b{i:02d}" for i in range(k)]
+    edges = _edges_df(
+        spark,
+        [(x, y, 1.0) for x, y in itertools.combinations(na, 2)]
+        + [(x, y, 1.0) for x, y in itertools.combinations(nb, 2)]
+        + [(na[0], nb[0], w)],
+        weighted=True,
+    )
+    lv = {r["node"]: r["community"] for r in louvain(edges).collect()}
+    ld = {r["node"]: r["community"] for r in leiden(edges).collect()}
+
+    # Louvain merges: some community contains nodes from BOTH cliques
+    lv_groups: dict = {}
+    for node, c in lv.items():
+        lv_groups.setdefault(c, set()).add(node[0])
+    assert any(sides == {"a", "b"} for sides in lv_groups.values()), lv_groups
+
+    # Leiden separates: each clique uniform, labels distinct
+    assert len({ld[n] for n in na}) == 1
+    assert len({ld[n] for n in nb}) == 1
+    assert ld[na[0]] != ld[nb[0]]
+
+    q_lv = weighted_modularity(
+        edges, spark.createDataFrame(list(lv.items()), "node string, community string")
+    ).first()["q"]
+    q_ld = weighted_modularity(
+        edges, spark.createDataFrame(list(ld.items()), "node string, community string")
+    ).first()["q"]
+    assert q_ld > q_lv + 0.1, (q_ld, q_lv)
+
+
+def test_leiden_modularity_at_least_louvain_on_planted(planted):
+    """On the planted three-clique fixture the refinement must never cost
+    modularity relative to plain Louvain."""
+    q_lv = weighted_modularity(planted, louvain(planted)).first()["q"]
+    q_ld = weighted_modularity(planted, leiden(planted)).first()["q"]
+    assert q_ld >= q_lv - 1e-12, (q_ld, q_lv)
+
+
 def test_weighted_modularity_closed_form(spark):
     """Two triangles + bridge with the planted labels: Q = 5/14."""
     edges = _edges_df(
