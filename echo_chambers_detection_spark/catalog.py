@@ -1074,6 +1074,53 @@ def q_scd2_membership_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "membership_asof_join",
+    f"""
+WITH {_ORACLE_CHANGELOG_CTE},
+dedup AS (
+    SELECT user_did, ts, community FROM ch
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_did, ts ORDER BY event_id DESC) = 1
+),
+probe AS (
+    SELECT event_id, CAST(user_id AS VARCHAR) AS user_did, ts FROM events
+)
+SELECT p.event_id, p.user_did, epoch_ms(p.ts) AS ts_ms, d.community
+FROM probe p ASOF JOIN dedup d
+  ON p.user_did = d.user_did AND p.ts >= d.ts
+""",
+    doc="Per-row point-in-time join: every event is tagged with the "
+    "community its user was in AT THAT EVENT'S time — the general form "
+    "of the reference's single-timestamp as-of read "
+    "(project/db/postgres.py:50-57; SURVEY.md W2 superset). Implemented "
+    "as one union + keyed window (operators/asof.py), never a range "
+    "join; DuckDB cross-checks with its native ASOF JOIN.",
+)
+def q_membership_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.asof import asof_join
+
+    ch = _membership_changelog(spark, sf_dir)
+    # collapse same-instant changes to the last by event_id so the
+    # boundary tie is well-defined on both engines
+    versions = ch.groupBy("user_did", "ts").agg(
+        F.max_by("community", "event_id").alias("community")
+    )
+    probes = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("user_did"), "ts"
+    )
+    return asof_join(
+        probes,
+        versions,
+        key="user_did",
+        probe_ts="ts",
+        version_ts="ts",
+        value_cols=["community"],
+        how="inner",
+    ).select(
+        "event_id", "user_did", F.unix_millis("ts").alias("ts_ms"), "community"
+    )
+
+
+@register(
     "community_catalog_save",
     """
 SELECT md5('r1:' || CAST(label AS VARCHAR)) AS id,

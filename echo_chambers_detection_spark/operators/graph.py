@@ -67,6 +67,17 @@ def _nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _nodes_of_sym(sym: DataFrame) -> DataFrame:
+    """Node set from an already-MATERIALIZED symmetrized edge frame.
+
+    Algorithms should derive nodes from `sym` (a checkpointed leaf), not
+    from the caller's `edges`: the input is often an expensive lazy plan
+    (e.g. the co-engagement projection), and every `_nodes(edges)`
+    reference re-executes it — measured as 2-3 redundant graph builds per
+    Louvain/Leiden call at sf0.1."""
+    return sym.select(F.col("src").alias("node")).distinct()
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Cut lineage + force computation (iterative-loop hygiene).
 
@@ -159,7 +170,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     graphs are short-diameter so min-propagation is the simpler win.)
     """
     sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
-    labels = _materialize(_nodes(edges).withColumn("component", F.col("node")))
+    labels = _materialize(_nodes_of_sym(sym).withColumn("component", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
         nbr_min = (
@@ -205,7 +216,7 @@ def label_propagation(
     Returns (node, community).
     """
     sym = _materialize(_symmetrize(edges, weighted=weighted))
-    labels = _materialize(_nodes(edges).withColumn("community", F.col("node")))
+    labels = _materialize(_nodes_of_sym(sym).withColumn("community", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
         msgs = sym.join(
@@ -470,10 +481,9 @@ def louvain(
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
 
-    selfw = _nodes(edges).select(
-        "node", F.lit(0.0).alias("w_self")
-    )
-    mapping = _materialize(_nodes(edges).withColumn("community", F.col("node")))
+    nodes = _nodes_of_sym(sym)
+    selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
+    mapping = _materialize(nodes.withColumn("community", F.col("node")))
     small = _probe_small(mapping)
     hint = _state_hint(small)
 
@@ -519,9 +529,9 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     sym = _materialize(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
-    nodes = _nodes(edges)
     if m <= 0:
-        return nodes.withColumn("community", F.col("node"))
+        return _nodes(edges).withColumn("community", F.col("node"))
+    nodes = _nodes_of_sym(sym)
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
     comm0 = _materialize(nodes.withColumn("community", F.col("node")))
     small = _probe_small(comm0)
@@ -706,10 +716,11 @@ def leiden(
     sym = _materialize(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
-    nodes = _nodes(edges)
     if m <= 0:
-        return nodes.withColumn("community", F.col("node"))
+        return _nodes(edges).withColumn("community", F.col("node"))
 
+    sym0 = sym
+    nodes = _nodes_of_sym(sym)
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
     mapping = _materialize(nodes.withColumn("agg", F.col("node")))
     comm0 = _materialize(nodes.withColumn("community", F.col("node")))
@@ -749,11 +760,15 @@ def leiden(
         hint(sub2comm.withColumnRenamed("sub", "agg")), "agg"
     ).select("node", "community")
 
-    # connectivity safety net (split-only)
+    # connectivity safety net (split-only); read edges from the
+    # materialized level-0 sym leaf, not the caller's (possibly expensive,
+    # lazy) edge plan
     lab_s = base.select(F.col("node").alias("u1"), F.col("community").alias("c1"))
     lab_d = base.select(F.col("node").alias("u2"), F.col("community").alias("c2"))
     intra = (
-        edges.join(lab_s, "u1")
+        sym0.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u1"), F.col("dst").alias("u2"))
+        .join(lab_s, "u1")
         .join(lab_d, "u2")
         .where(F.col("c1") == F.col("c2"))
         .select("u1", "u2")
@@ -802,7 +817,7 @@ def fastrp(
             "src", "dst", (F.col("weight") / F.col("degw")).alias("p")
         )
     )
-    nodes = _nodes(edges)
+    nodes = _nodes_of_sym(sym)
     dims = spark.range(dim).select(F.col("id").cast("int").alias("dim"))
 
     sqrt3 = 3.0 ** 0.5
