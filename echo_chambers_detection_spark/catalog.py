@@ -312,6 +312,55 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_running_totals",
+    """
+SELECT CAST(user_id AS VARCHAR) AS user_did,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc="Per-user engagement totals — the batch fixpoint of the "
+    "applyInPandasWithState running aggregate "
+    "(streaming/stateful.py::running_user_counts; cross-micro-batch "
+    "accumulation proven in tests/test_stateful_streaming.py). The "
+    "stateful form is the engine-state version of the reference's "
+    "read-modify-write consumer loop (consumer_user.py:25-56).",
+)
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("user_did"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "user_first_seen",
+    """
+SELECT CAST(user_id AS VARCHAR) AS user_did,
+       epoch_ms(MIN(ts)) AS first_ts_ms
+FROM events
+GROUP BY 1
+""",
+    doc="First-seen per key — the batch fixpoint of the stateful "
+    "visited-set dedup (streaming/stateful.py::first_seen; emit-once "
+    "across micro-batches proven in tests/test_stateful_streaming.py; "
+    "SURVEY.md U4/X3, reference MERGE-on-did idempotency "
+    "consumer_user.py:33-41).",
+)
+def q_user_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("user_did"))
+        .agg(F.unix_millis(F.min("ts")).alias("first_ts_ms"))
+    )
+
+
+@register(
     "engagement_union",
     f"""
 WITH liked AS (

@@ -1,0 +1,106 @@
+"""applyInPandasWithState operators (SURVEY.md §2.9 X-superset): running
+per-key aggregates and first-seen dedup, driven by a two-batch file
+stream so state genuinely crosses micro-batch boundaries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from echo_chambers_detection_spark.streaming.stateful import (
+    first_seen,
+    running_user_counts,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_did", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts_ms", LongType()),
+    ]
+)
+
+
+def _write(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src, ckpt, out, build, mode="append"):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    q = (
+        build(stream)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_running_counts_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b1.json", [
+        {"user_did": "u1", "value": 1.0, "ts_ms": 1000},
+        {"user_did": "u1", "value": 2.0, "ts_ms": 2000},
+        {"user_did": "u2", "value": 5.0, "ts_ms": 3000},
+    ])
+    _write(src, "b2.json", [
+        {"user_did": "u1", "value": 4.0, "ts_ms": 4000},
+        {"user_did": "u3", "value": 7.0, "ts_ms": 5000},
+    ])
+    out = str(tmp_path / "out")
+    _run_stream(
+        spark, src, str(tmp_path / "ckpt"), out, running_user_counts, mode="update"
+    )
+    rows = spark.read.parquet(out).collect()
+    # update mode: one emission per (user, batch-they-appear-in); the LAST
+    # emission per user is the running total
+    last = {}
+    for r in sorted(rows, key=lambda r: r["n_events"]):
+        last[r["user_did"]] = (r["n_events"], r["total_value"])
+    assert last["u1"] == (3, 7.0)
+    assert last["u2"] == (1, 5.0)
+    assert last["u3"] == (1, 7.0)
+    # u1 appeared in both batches -> two emissions, monotone counts
+    u1 = sorted(r["n_events"] for r in rows if r["user_did"] == "u1")
+    assert u1 == [2, 3]
+
+
+def test_first_seen_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b1.json", [
+        {"user_did": "u1", "value": 0.0, "ts_ms": 2000},
+        {"user_did": "u1", "value": 0.0, "ts_ms": 1000},  # earlier in same batch
+        {"user_did": "u2", "value": 0.0, "ts_ms": 3000},
+    ])
+    _write(src, "b2.json", [
+        {"user_did": "u1", "value": 0.0, "ts_ms": 500},  # duplicate key: swallowed
+        {"user_did": "u3", "value": 0.0, "ts_ms": 9000},
+    ])
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, str(tmp_path / "ckpt"), out, first_seen)
+    rows = spark.read.parquet(out).collect()
+    got = {r["user_did"]: r["first_ts_ms"] for r in rows}
+    assert len(rows) == 3  # exactly one emission per key, ever
+    assert got == {"u1": 1000, "u2": 3000, "u3": 9000}
