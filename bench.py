@@ -29,11 +29,17 @@ def main() -> None:
 
     def release_persisted() -> None:
         """Drop cache + localCheckpoint blocks left by iterative
-        algorithms so one query's working set can't throttle the next."""
+        algorithms so one query's working set can't throttle the next.
+        The explicit System.gc() matters: broadcast variables and shuffle
+        files are only reclaimed when the driver's ContextCleaner sees
+        their references collected, and a 48g heap may not GC at all
+        inside a 6-minute bench — iterative queries mid-run were measured
+        2-3x slower than solo purely from that accumulation."""
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     t_total = time.perf_counter()
     for name, spec in QUERY_REGISTRY.items():

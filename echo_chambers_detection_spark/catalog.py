@@ -458,6 +458,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
+scores AS (
+    SELECT e.post_cid,
+           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
+    FROM ex e JOIN q ON e.i = q.i
+    GROUP BY e.post_cid
+)
+SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
+""",
+    doc="IVF (inverted-file) ANN top-k — deterministic Lloyd coarse "
+    "quantizer + cell-probe pruning (operators/ann.py::ivf_topk), the "
+    "cluster-parallel substitute for the reference's per-node Qdrant "
+    "HNSW (consumer_post.py:42-49). Run exhaustive (nprobe=n_cells) so "
+    "the full index+probe machinery is oracle-exact; pruned-probe "
+    "recall is pinned in tests/test_ivf.py, where the recall/candidate "
+    "trade is the tunable.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k_results=10,
+        n_cells=16,
+        nprobe=16,
+        iters=2,
+    )
+
+
+@register(
     "ann_extremes",
     f"""
 WITH {_ORACLE_EMB_EXPLODED},

@@ -442,3 +442,124 @@ def similarity_self_join_gemm(
     return replicated.groupBy("bi", "bj").applyInPandas(
         gemm_tile, schema=f"v1 {id_type}, v2 {id_type}, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path alongside LSH.
+# The reference's Qdrant HNSW (project/qdrant/consumer_post.py:42-49) is a
+# per-node graph index that has no distributed analog; IVF is the standard
+# cluster-parallel substitute: route each vector to its nearest of k
+# centroids at index time, probe only the nprobe nearest cells at query
+# time. Candidate volume drops from n to ~n·nprobe/k.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+):
+    """Deterministic IVF coarse quantizer.
+
+    Init: the k vectors with the smallest md5(id) (hash-spread, seedless,
+    reproducible). Then `iters` Lloyd rounds: assignment is an
+    Arrow-batched mapInPandas argmax against the broadcast (k x d)
+    centroid matrix (one GEMM per batch); the centroid update is a
+    JVM-side exploded (cluster, dim) mean. Driver state is the k x d
+    centroid matrix itself (a few KB) — loop-control scale, like the
+    round counters in the graph loops, never row data.
+
+    Returns (assignments DataFrame (id, cluster int), centroids ndarray).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    norm = embeddings.select(
+        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
+    )
+
+    seed_rows = (
+        norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r["_vec"], dtype="float64") for r in seed_rows])
+
+    def assign_with(c: np.ndarray) -> DataFrame:
+        b = spark.sparkContext.broadcast(c)
+
+        def fn(batches):
+            C = b.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+                cl = np.argmax(X @ C.T, axis=1).astype("int32")
+                yield pd.DataFrame({"_id": pdf["_id"], "cluster": cl})
+
+        id_type = dict(norm.dtypes)["_id"]
+        return norm.mapInPandas(fn, schema=f"_id {id_type}, cluster int")
+
+    for _ in range(iters):
+        assigned = assign_with(cent)
+        means = (
+            assigned.join(norm, "_id")
+            .select("cluster", F.posexplode("_vec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        new = cent.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["mx"]
+        for c, dims in by_cluster.items():
+            v = np.array([dims[i] for i in sorted(dims)], dtype="float64")
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[c] = v / n
+        cent = new
+
+    return assign_with(cent).withColumnRenamed("_id", id_col), cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k_results: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """IVF-pruned cosine top-k: exact search restricted to the nprobe
+    cells whose centroids are nearest the query. nprobe == n_cells is
+    exhaustive and exactly reproduces `cosine_topk` (the oracle-checked
+    configuration); smaller nprobe trades recall for a ~n_cells/nprobe
+    candidate reduction — the knob a 100 TB deployment actually turns.
+    """
+    import numpy as np
+
+    assignments, cent = ivf_index(
+        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    qv = np.asarray(
+        query.select("qvec").first()["qvec"], dtype="float64"
+    )
+    qn = np.linalg.norm(qv)
+    if qn > 0:
+        qv = qv / qn
+    order = np.argsort(-(cent @ qv))
+    probe = [int(c) for c in order[:nprobe]]
+
+    pruned = embeddings.join(
+        assignments.where(F.col("cluster").isin(probe)).select(id_col),
+        id_col,
+        "leftsemi",
+    )
+    return cosine_topk(pruned, query, k=k_results, vec_col=vec_col, id_col=id_col)

@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Iterative loops mint hundreds of broadcasts + shuffle stages per
+        # run; ContextCleaner only reclaims them when driver GC collects
+        # the references, and a large mostly-idle heap can go a whole run
+        # without a collection (default periodicGC is 30min). Long
+        # sessions were measured degrading 2-3x on loop-heavy queries
+        # purely from this accumulation.
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if master != "external":

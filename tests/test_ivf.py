@@ -1,0 +1,61 @@
+"""IVF coarse-quantizer ANN (operators/ann.py::ivf_index/ivf_topk):
+determinism, exhaustive-probe exactness, pruned-probe recall and
+candidate reduction on the sf0.001 embeddings."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from echo_chambers_detection_spark.operators.ann import (
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from echo_chambers_detection_spark.catalog import _emb
+
+    return _emb(spark, SF).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def query(spark):
+    from echo_chambers_detection_spark.catalog import _query_vec
+
+    return _query_vec(spark, SF)
+
+
+def test_ivf_index_deterministic_and_total(emb):
+    a1 = {r["post_cid"]: r["cluster"] for r in ivf_index(emb, k=8, iters=2)[0].collect()}
+    a2 = {r["post_cid"]: r["cluster"] for r in ivf_index(emb, k=8, iters=2)[0].collect()}
+    assert a1 == a2
+    assert len(a1) == emb.count()  # every vector lands in exactly one cell
+
+
+def test_ivf_exhaustive_probe_equals_exact(emb, query):
+    exact = [(r["post_cid"], r["score"]) for r in cosine_topk(emb, query, k=10).collect()]
+    ivf = [
+        (r["post_cid"], r["score"])
+        for r in ivf_topk(emb, query, k_results=10, n_cells=8, nprobe=8, iters=2).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_pruned_probe_recall_and_reduction(emb, query):
+    exact_ids = {r["post_cid"] for r in cosine_topk(emb, query, k=10).collect()}
+    got = ivf_topk(emb, query, k_results=10, n_cells=8, nprobe=2, iters=2)
+    got_ids = {r["post_cid"] for r in got.collect()}
+    recall = len(exact_ids & got_ids) / len(exact_ids)
+    # the query cell plus one neighbor must hold most of the true top-10
+    assert recall >= 0.5, recall
+    # candidate reduction: probing 2 of 8 cells scans well under half
+    assignments, _ = ivf_index(emb, k=8, iters=2)
+    sizes = {r["cluster"]: r["n"] for r in assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    probed = sum(sorted(sizes.values(), reverse=True)[:2])
+    assert probed < 0.75 * sum(sizes.values())
