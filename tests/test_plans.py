@@ -60,6 +60,9 @@ def test_jvm_only_paths_have_no_python(spark):
         "simhash_signatures",
         "text_quality_scores",
         "scd2_membership_history",
+        "membership_asof_join",
+        "user_running_totals",
+        "user_first_seen",
     ):
         df = _q(spark, name)
         assert not has_python_stage(df), f"{name} fell back to Python"
