@@ -1610,6 +1610,65 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_keep_list",
+    f"""
+WITH RECURSIVE {_ORACLE_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
+),
+edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+closure AS (
+    -- transitive closure by min-label flood; the duplicate graph is tiny
+    -- (only docs with a >=0.5-Jaccard partner), so recursion is cheap
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.dst AS node, c.comp
+    FROM closure c JOIN edges e ON e.src = c.node
+    WHERE c.comp < e.dst
+),
+comps AS (SELECT node, MIN(comp) AS keeper FROM closure GROUP BY node)
+SELECT node AS doc_id, keeper FROM comps WHERE node != keeper
+""",
+    doc="End-to-end near-dup removal verdict (the M6 pipeline composed): "
+    "exact-Jaccard-verified pairs -> connected components -> keep the "
+    "min doc per duplicate cluster; output is (dropped doc, its keeper). "
+    "Spark side reuses jaccard_pairs + the min-label "
+    "connected_components loop; DuckDB cross-checks with a WITH "
+    "RECURSIVE transitive closure.",
+)
+def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(shingles, threshold=0.5).select(
+        F.col("d1").alias("u1"), F.col("d2").alias("u2")
+    )
+    comps = connected_components(pairs)
+    return comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+    )
+
+
+@register(
     "simhash_signatures",
     f"""
 WITH {_ORACLE_TOKS_CTE},
@@ -1822,6 +1881,58 @@ def q_order_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             _dec_sum("o_totalprice").alias("total_price"),
         )
+    )
+
+
+@register(
+    "event_value_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles per group (SURVEY.md §2.4 "
+    "superset): Spark `percentile` and DuckDB `quantile_cont` share "
+    "linear-interpolation semantics, so even the quantile surface is "
+    "hash-verified. The approximate path at scale is the same query "
+    "with percentile_approx (t-digest, bounded memory) — swap, don't "
+    "re-shape.",
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "event_type_user_cube",
+    """
+SELECT event_type,
+       CAST(user_id % 10 AS INTEGER) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 10 AS INTEGER))
+""",
+    doc="CUBE grouping sets over (event_type, user bucket) — all four "
+    "grouping combinations in one pass (SURVEY.md §2.4 superset next to "
+    "order_stats_rollup's ROLLUP)",
+)
+def q_event_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum("value").alias("total_value"),
     )
 
 
