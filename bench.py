@@ -28,16 +28,24 @@ def main() -> None:
     next(iter(QUERY_REGISTRY.values())).spark(spark, SF_DIR).count()
 
     def release_persisted() -> None:
-        """Drop cache + localCheckpoint blocks left by iterative
-        algorithms so one query's working set can't throttle the next.
-        The explicit System.gc() matters: broadcast variables and shuffle
-        files are only reclaimed when the driver's ContextCleaner sees
-        their references collected, and a 48g heap may not GC at all
-        inside a 6-minute bench — iterative queries mid-run were measured
-        2-3x slower than solo purely from that accumulation."""
+        """Drop cached data left by the previous query so one query's
+        working set can't throttle the next. The explicit System.gc()
+        matters: broadcast variables and shuffle files are only reclaimed
+        when the driver's ContextCleaner sees their references collected,
+        and a 48g heap may not GC at all inside a 6-minute bench —
+        iterative queries mid-run were measured 2-3x slower than solo
+        purely from that accumulation.
+
+        Locally-checkpointed RDDs are EXEMPT from the sweep (VERDICT r2
+        #2): the iterative operators retire their own dead generations
+        via graph._release_checkpoint, so what remains here is only the
+        final result leaf of the just-finished query — tiny, and
+        reclaimed by the ContextCleaner once the Python reference dies
+        at the next loop iteration (System.gc below accelerates that)."""
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+            if not rdd.rdd().isLocallyCheckpointed():
+                rdd.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

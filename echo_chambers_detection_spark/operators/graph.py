@@ -94,18 +94,91 @@ def _materialize(df: DataFrame) -> DataFrame:
     explicitly broadcast-hinted and AQE re-plans from true runtime sizes.
     `internalCreateDataFrame` is package-private in Scala, hence public in
     bytecode; if a future Spark removes it we fall back to the plain
-    checkpoint (correct, slower in deep loops).
+    checkpoint (correct, slower in deep loops) — warning ONCE so the
+    regression is visible instead of silent (ADVICE r2).
+
+    The ids of the checkpoint's persisted RDDs are recorded on the
+    returned DataFrame (`_ckpt_rdd_ids`) so loops can free DEAD
+    generations deterministically via `_release_checkpoint` — a
+    100-round loop must not pin 100 generations of blocks in the block
+    manager (at cluster scale that is executor-memory death by a
+    thousand tiny frames).
     """
+    global _MATERIALIZE_FALLBACK_WARNED
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     out = df.localCheckpoint(eager=True)
+    new_ids = [
+        int(i)
+        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if int(i) not in before
+    ]
     try:
         jdf = out._jdf
         jspark = out.sparkSession._jsparkSession
         new_jdf = jspark.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(new_jdf, out.sparkSession)
+        result = DataFrame(new_jdf, out.sparkSession)
     except Exception:
-        return out
+        if not _MATERIALIZE_FALLBACK_WARNED:
+            _MATERIALIZE_FALLBACK_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "internalCreateDataFrame unavailable on this Spark; "
+                "falling back to plain localCheckpoint. Deep iterative "
+                "loops will hit the compounding-stats slowdown "
+                "(see _materialize docstring).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        result = out
+    result._ckpt_rdd_ids = new_ids
+    return result
+
+
+_MATERIALIZE_FALLBACK_WARNED = False
+
+
+def _materialize_wide(df: DataFrame) -> DataFrame:
+    """_materialize for frames that later stages SCAN heavily (edge
+    lists): restore full parallelism first. AQE rightly coalesces a
+    small shuffle output to 1-2 partitions, but a checkpoint freezes
+    that partitioning — and then every loop round scans the hot edge
+    frame with 2 tasks on a 32-core box (measured: the per-round edge
+    aggregation ran 2.2s in 2 tasks instead of ~0.2s in 32). An explicit
+    round-robin repartition to the session's shuffle parallelism is one
+    extra exchange per materialization, paid once per level, amortized
+    over every round that scans the leaf."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _materialize(df.repartition(n))
+
+
+def _release_checkpoint(*dfs: DataFrame) -> None:
+    """Free the checkpoint blocks of PROVABLY DEAD loop generations.
+
+    Safe only when nothing will ever act on `df` (or a plan containing
+    it) again — a locally-checkpointed RDD cannot be recomputed after
+    unpersist. Loops call this on generation r-1 right after generation
+    r is materialized: r's blocks are on storage, and every later plan
+    references r, never r-1. Spark logs a WARN for every such unpersist
+    (it cannot know the lineage is dead); session.py drops that one
+    logger to ERROR because here the unpersist is the designed
+    lifecycle, not an accident.
+    """
+    for df in dfs:
+        if df is None:
+            continue
+        ids = getattr(df, "_ckpt_rdd_ids", None)
+        if not ids:
+            continue
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        df._ckpt_rdd_ids = []
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +196,7 @@ def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     levels) finish in a handful of rounds. Each round is one degree
     aggregation + two anti-joins. Returns (node, core_value).
     """
-    sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
+    sym = _materialize_wide(_symmetrize(edges, weighted=False).select("src", "dst"))
     hint = _state_hint(_probe_small(sym.select("src").distinct()))
     assigned: list[DataFrame] = []
     k = 0
@@ -169,7 +242,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     algorithm [Kiveris et al., COCOA'14] halves round counts; co-engagement
     graphs are short-diameter so min-propagation is the simpler win.)
     """
-    sym = _materialize(_symmetrize(edges, weighted=False).select("src", "dst"))
+    sym = _materialize_wide(_symmetrize(edges, weighted=False).select("src", "dst"))
     labels = _materialize(_nodes_of_sym(sym).withColumn("component", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
@@ -194,9 +267,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _release_checkpoint(sym)
     return labels
 
 
@@ -316,6 +391,15 @@ def _local_moves(
     two-community swap oscillation of fully synchronous Louvain. Moves are
     deterministic: ties break to the smallest community id. Returns
     (new comm, total moves applied).
+
+    Job shape per round (the loops' cost is FIXED per-stage overhead at
+    test scale, measured via event logs — 55 serialized jobs for a
+    2-round louvain before this shape): exactly one tiny `state`
+    checkpoint (community sizes folded into per-node rows, so sigma is
+    computed ONCE, not once per broadcast use), one big edge-scan
+    checkpoint (w_nc carries the neighbor community's sigma through the
+    aggregation — no separate sigma join), and one O(1) scalar agg read
+    off the checkpointed leaf.
     """
     hint = _state_hint(small_state)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
@@ -328,79 +412,78 @@ def _local_moves(
     )
 
     total_moves = 0
+    prev_applied = None
     for rnd in range(max_rounds):
-        sigma = (
-            comm.join(hint(k_i), "node")
-            .groupBy("community")
-            .agg(F.sum("k").alias("sigma_tot"))
+        # per-node state: (node, community, k, sigma_tot of own community)
+        ck = comm.join(hint(k_i), "node")
+        sigma = ck.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
+        state = _materialize(ck.join(hint(sigma), "community"))
+        # Zero-weight self-edges guarantee every node an own-community
+        # row in w_nc — the stay option falls out of the same aggregation
+        # (score 0 - k*(sigma_own-k)/2m for isolated-in-community nodes)
+        # instead of a separate union branch that would break the
+        # partitioning chain below.
+        aug = state.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0.0).alias("weight"),
         )
-        # weight from each node to each neighboring community
-        w_nc = (
-            sym.join(
+        # ONE wide exchange per round: hash(src) from the explicit
+        # repartition satisfies groupBy(src, nbr_c) (src is a prefix of
+        # the clustering), the window over node=src, and the final
+        # groupBy(node) — Catalyst inserts no further shuffle.
+        enriched = (
+            sym.unionAll(aug)
+            .join(
                 hint(
-                    comm.select(
+                    state.select(
                         F.col("node").alias("dst"),
                         F.col("community").alias("nbr_c"),
+                        F.col("sigma_tot").alias("sigma_nbr"),
                     )
                 ),
                 "dst",
             )
-            .groupBy("src", "nbr_c")
-            .agg(F.sum("weight").alias("w_ic"))
+            .repartition("src")
         )
-        cand = (
-            w_nc.withColumnRenamed("src", "node")
-            .join(hint(comm), "node")
-            .join(hint(k_i), "node")
-            .join(
-                hint(sigma.withColumnRenamed("community", "nbr_c")),
-                "nbr_c",
-            )
+        # weight from each node to each neighboring community, with the
+        # neighbor community's sigma carried through (constant per group)
+        w_nc = enriched.groupBy("src", "nbr_c").agg(
+            F.sum("weight").alias("w_ic"),
+            F.max("sigma_nbr").alias("sigma_nbr"),
         )
+        cand = w_nc.withColumnRenamed("src", "node").join(hint(state), "node")
         own = F.col("nbr_c") == F.col("community")
         # staying: exclude own k from sigma_tot; joining: full sigma_tot
         score = F.when(
             own,
             F.col("w_ic")
-            - F.col("k") * (F.col("sigma_tot") - F.col("k")) / (2 * m),
+            - F.col("k") * (F.col("sigma_nbr") - F.col("k")) / (2 * m),
         ).otherwise(
-            F.col("w_ic") - F.col("k") * F.col("sigma_tot") / (2 * m)
-        )
-        # a node with no intra-community neighbors has no own-row in w_nc;
-        # synthesize the stay-score 0 - k*(sigma_own - k)/2m via union
-        stay_base = (
-            comm.join(hint(k_i), "node")
-            .join(hint(sigma), "community")
-            .select(
-                "node",
-                F.col("community").alias("nbr_c"),
-                (
-                    F.lit(0.0)
-                    - F.col("k") * (F.col("sigma_tot") - F.col("k")) / (2 * m)
-                ).alias("score"),
-                F.col("community"),
-            )
+            F.col("w_ic") - F.col("k") * F.col("sigma_nbr") / (2 * m)
         )
         scored = cand.select(
             "node", "nbr_c", score.alias("score"), "community"
-        ).unionByName(stay_base)
-        # argmax via max_by with a (score, nbr_c) ordering struct: map-side
-        # partial aggregation collapses the candidate table before the
-        # shuffle — a per-node window sort would shuffle-sort ALL
-        # candidates (ties break to the largest community id,
-        # deterministic either way)
+        )
+        # Argmax in ONE shuffle: window-max over hash(node), filter to the
+        # top-score rows, then aggregate the tie-break WITHOUT a new
+        # exchange (the groupBy reuses the window's hash(node)
+        # partitioning). A single max_by(struct, struct) reads nicer but
+        # its var-width string buffer forces a SortAggregate with an
+        # INTERPRETED struct comparator — measured 44 CPU-seconds per
+        # round on a 2.2M-row candidate table, ~90% of the round. The
+        # loops' cost at test scale is serialized-stage count, so the
+        # shuffle saved matters as much as the CPU.
+        wnode = Window.partitionBy("node")
         best = (
-            scored.groupBy("node")
+            scored.withColumn("best", F.max("score").over(wnode))
+            .where(F.col("score") == F.col("best"))
+            .groupBy("node")
             .agg(
-                F.max_by(
-                    F.struct(F.col("nbr_c"), F.col("community")),
-                    F.struct(F.col("score"), F.col("nbr_c")),
-                ).alias("b")
-            )
-            .select(
-                "node",
-                F.col("b.community").alias("old_c"),
-                F.col("b.nbr_c").alias("new_c"),
+                # community (the node's own) is constant per node; max is
+                # just a buffer-friendly way to carry it through
+                F.max("community").alias("old_c"),
+                F.max("nbr_c").alias("new_c"),
             )
         )
         # apply only to one hash-parity half per round
@@ -418,6 +501,10 @@ def _local_moves(
             F.sum(F.col("moved").cast("long")).alias("mv"),
             F.count("*").alias("n"),
         ).first()
+        # generation r-1 and this round's state are dead: every later
+        # plan reads `applied` (generation r), which is on storage
+        _release_checkpoint(prev_applied, state)
+        prev_applied = applied
         moves = int(row["mv"] or 0)
         comm = applied.select("node", "community")
         total_moves += moves
@@ -428,6 +515,13 @@ def _local_moves(
         # round of shuffles each for no measurable modularity gain.
         if rnd > 0 and moves < max(1, int(row["n"]) // 1000):
             break
+    # Transfer block ownership of the final generation to the returned
+    # frame (comm is a pure projection of it), so callers can retire the
+    # whole phase with one _release_checkpoint(comm) when they are done.
+    if prev_applied is not None:
+        comm._ckpt_rdd_ids = getattr(prev_applied, "_ckpt_rdd_ids", [])
+        prev_applied._ckpt_rdd_ids = []
+    _release_checkpoint(k_i)
     return comm, total_moves
 
 
@@ -475,7 +569,7 @@ def louvain(
     runs (the reference's GDS ids are not). Returns (node, community).
     """
     spark = edges.sparkSession
-    sym = _materialize(_symmetrize(edges))
+    sym = _materialize_wide(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
@@ -496,9 +590,10 @@ def louvain(
             sym, selfw, comm0, m, max_rounds, small_state=small
         )
         if moves == 0:
+            _release_checkpoint(comm)
             break
         # compose: node -> old community -> new community
-        mapping = _materialize(
+        new_mapping = _materialize(
             mapping.join(
                 hint(
                     comm.select(
@@ -509,11 +604,18 @@ def louvain(
                 "community",
             ).select("node", F.col("_next").alias("community"))
         )
-        new_edges, selfw = _coarsen(sym, selfw, comm, small_state=small)
-        sym = _materialize(_symmetrize(new_edges))
+        new_edges, new_selfw = _coarsen(sym, selfw, comm, small_state=small)
+        new_sym = _materialize_wide(_symmetrize(new_edges))
+        new_selfw = _materialize(new_selfw)
+        # the previous level's generation is dead: every live plan now
+        # reads the freshly-materialized leaves
+        _release_checkpoint(mapping, sym, comm)
+        mapping, sym, selfw = new_mapping, new_sym, new_selfw
         if sym.isEmpty():
             break
-    # canonicalize ids to min member node
+    # canonicalize ids to min member node; the result reads only the
+    # mapping leaf, so the last coarsened graph is dead
+    _release_checkpoint(sym)
     canon = mapping.groupBy("community").agg(F.min("node").alias("_canon"))
     return mapping.join(hint(canon), "community").select(
         "node", F.col("_canon").alias("community")
@@ -526,7 +628,7 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     project/metrics/community_detection.py:78-83) — Louvain's phase one
     without coarsening. Returns (node, community) canonicalized to min
     member node id."""
-    sym = _materialize(_symmetrize(edges))
+    sym = _materialize_wide(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
@@ -536,6 +638,9 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     comm0 = _materialize(nodes.withColumn("community", F.col("node")))
     small = _probe_small(comm0)
     comm, _ = _local_moves(sym, selfw, comm0, m, max_rounds, small_state=small)
+    # result reads only the final comm leaf — the graph and the seed
+    # partition are dead
+    _release_checkpoint(sym, comm0)
     canon = comm.groupBy("community").agg(F.min("node").alias("_canon"))
     return comm.join(_state_hint(small)(canon), "community").select(
         "node", F.col("_canon").alias("community")
@@ -582,7 +687,7 @@ def _refine(
     )
     csrc = comm.select(F.col("node").alias("src"), F.col("community").alias("c1"))
     cdst = comm.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
-    intra = _materialize(
+    intra = _materialize_wide(
         sym.join(hint(csrc), "src")
         .join(hint(cdst), "dst")
         .where(F.col("c1") == F.col("c2"))
@@ -613,8 +718,10 @@ def _refine(
     if movers.isEmpty():
         # nothing is γ-well-connected enough to merge — refined partition
         # stays all-singletons; skip the round loop entirely
+        _release_checkpoint(k_i, intra, movers)
         return sub
 
+    prev_holder = sub
     for rnd in range(max_rounds):
         sizes = sub.groupBy("sub").agg(F.count("*").alias("n"))
         singles = sub.join(
@@ -668,10 +775,15 @@ def _refine(
             .join(hint(sizes.withColumnRenamed("sub", "tgt")), "tgt")
             .where((F.col("n") > 1) | (F.col("tgt") > F.col("own")))
         )
-        best = cand.groupBy("node").agg(
-            F.max_by(F.col("tgt"), F.struct(F.col("score"), F.col("tgt"))).alias(
-                "new_sub"
-            )
+        # one-shuffle window argmax (see _local_moves): max_by's string
+        # buffer would force an interpreted SortAggregate over the full
+        # candidate table
+        wnode = Window.partitionBy("node")
+        best = (
+            cand.withColumn("best", F.max("score").over(wnode))
+            .where(F.col("score") == F.col("best"))
+            .groupBy("node")
+            .agg(F.max("tgt").alias("new_sub"))
         )
         parity = F.pmod(F.xxhash64(F.col("node")) + F.lit(rnd), F.lit(2)) == 0
         applied = _materialize(
@@ -687,9 +799,16 @@ def _refine(
             applied.agg(F.sum(F.col("moved").cast("long")).alias("mv")).first()["mv"]
             or 0
         )
+        _release_checkpoint(prev_holder)
+        prev_holder = applied
         sub = applied.select("node", "sub")
         if moves == 0:
             break
+    # transfer block ownership to the returned projection; the graph
+    # scaffolding of this refinement is dead
+    sub._ckpt_rdd_ids = getattr(prev_holder, "_ckpt_rdd_ids", [])
+    prev_holder._ckpt_rdd_ids = []
+    _release_checkpoint(k_i, intra, movers)
     return sub
 
 
@@ -713,7 +832,7 @@ def leiden(
     fixpoint where Traag et al.'s connectivity proof applies); it only
     ever splits, never merges. Returns (node, community), ids = min
     member node."""
-    sym = _materialize(_symmetrize(edges))
+    sym = _materialize_wide(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
@@ -729,6 +848,7 @@ def leiden(
     sub2comm = comm0.select(F.col("node").alias("sub"), "community")
 
     for _level in range(max_levels):
+        prev_sub2comm, prev_mapping = sub2comm, mapping
         comm, moves = _local_moves(
             sym, selfw, comm0, m, max_rounds, small_state=small
         )
@@ -743,15 +863,24 @@ def leiden(
                 hint(refined.select(F.col("node").alias("agg"), "sub")), "agg"
             ).select("node", F.col("sub").alias("agg"))
         )
+        _release_checkpoint(prev_mapping, comm)
+        if prev_sub2comm is not comm0:  # level-0 seed shares comm0's blocks
+            _release_checkpoint(prev_sub2comm)
         if moves == 0:
+            _release_checkpoint(refined)
             break
-        new_edges, selfw = _coarsen(
+        new_edges, new_selfw = _coarsen(
             sym,
             selfw,
             refined.select("node", F.col("sub").alias("community")),
             small_state=small,
         )
-        sym = _materialize(_symmetrize(new_edges))
+        prev_sym = sym
+        sym = _materialize_wide(_symmetrize(new_edges))
+        selfw = _materialize(new_selfw)
+        _release_checkpoint(refined)
+        if prev_sym is not sym0:  # sym0 feeds the final connectivity pass
+            _release_checkpoint(prev_sym)
         comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
         if sym.isEmpty():
             break
@@ -810,7 +939,7 @@ def fastrp(
     skips the collect_list — and hashable by order-insensitive harnesses).
     """
     spark = edges.sparkSession
-    sym = _materialize(_symmetrize(edges))
+    sym = _materialize_wide(_symmetrize(edges))
     degw = sym.groupBy("src").agg(F.sum("weight").alias("degw"))
     trans = _materialize(
         sym.join(degw, "src").select(

@@ -68,4 +68,17 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Iterative loops retire dead checkpoint generations deliberately
+    # (graph._release_checkpoint); Spark WARNs on every unpersist of a
+    # locally-checkpointed RDD because it cannot know the lineage is
+    # dead. Hundreds of those per run drown real warnings — drop the rdd
+    # package logger to ERROR (the unpersist lifecycle is designed, not
+    # accidental).
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # cosmetic only — never fail session construction over it
     return spark
