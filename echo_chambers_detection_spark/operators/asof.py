@@ -39,28 +39,48 @@ def asof_join(
 
     Returns all probe columns plus `value_cols`. `how='inner'` drops
     probes with no preceding version; `'left'` keeps them with nulls.
+
+    All `value_cols` travel together as ONE struct per version row, and
+    match detection is the struct's own non-nullness — never the
+    nullability of the values inside it. So a version whose value is NULL
+    is honored (the probe sees NULL, not a stale older value), fields
+    from different versions are never mixed, and `how='inner'` keeps a
+    probe whose matched version carries all-NULL values (matching DuckDB
+    ASOF JOIN, which matches on the timestamp inequality alone).
     """
+    from pyspark.sql.types import StructField, StructType
+
     probe_cols = probes.columns
-    p = probes.withColumn("_is_probe", F.lit(1))
-    for c in value_cols:
-        p = p.withColumn(c, F.lit(None).cast(versions.schema[c].dataType))
+    clash = [c for c in value_cols if c in probe_cols]
+    if clash:
+        raise ValueError(
+            f"value_cols {clash} collide with probe columns; rename one side"
+        )
+    reserved = [c for c in ("_is_probe", "_v") if c in probe_cols]
+    if reserved:
+        raise ValueError(f"probe columns {reserved} are reserved names")
+    v_struct = StructType(
+        [StructField(c, versions.schema[c].dataType) for c in value_cols]
+    )
+    rest = [c for c in probe_cols if c not in (key, probe_ts)]
+    p = probes.select(
+        key,
+        probe_ts,
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast(v_struct).alias("_v"),
+        *rest,
+    )
     v = versions.select(
         F.col(key),
         F.col(version_ts).alias(probe_ts),
-        *[F.col(c) for c in value_cols],
-    ).withColumn("_is_probe", F.lit(0))
-    for c in probe_cols:
-        if c not in (key, probe_ts):
-            v = v.withColumn(c, F.lit(None).cast(probes.schema[c].dataType))
-    unioned = p.select(
-        key, probe_ts, "_is_probe", *value_cols,
-        *[c for c in probe_cols if c not in (key, probe_ts)],
-    ).unionByName(
-        v.select(
-            key, probe_ts, "_is_probe", *value_cols,
-            *[c for c in probe_cols if c not in (key, probe_ts)],
-        )
+        F.lit(0).alias("_is_probe"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
+        *[
+            F.lit(None).cast(probes.schema[c].dataType).alias(c)
+            for c in rest
+        ],
     )
+    unioned = p.unionByName(v)
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(probe_ts), F.col("_is_probe"))
@@ -69,15 +89,13 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in probe_cols],
         F.col("_is_probe"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_v", ignorenulls=True).over(w).alias("_v"),
     )
-    out = filled.where(F.col("_is_probe") == 1).drop("_is_probe")
+    out = filled.where(F.col("_is_probe") == 1)
     if how == "inner":
-        cond = None
-        for c in value_cols:
-            nn = F.col(c).isNotNull()
-            cond = nn if cond is None else (cond | nn)
-        out = out.where(cond)
+        out = out.where(F.col("_v").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return out.select(
+        *probe_cols, *[F.col(f"_v.{c}").alias(c) for c in value_cols]
+    )

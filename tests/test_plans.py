@@ -84,26 +84,41 @@ def test_bitmap_coengagement_guards_user_count(spark):
         coengagement_edges_bitmap,
     )
 
-    eng = spark.range(500).select(
-        F.concat(F.lit("u"), F.col("id").cast("string")).alias("user_did"),
-        F.pmod(F.col("id"), F.lit(7)).cast("string").alias("post_uri"),
-    )
-    # Small fixture, tiny max_users stands in for the 1M default at 100x.
-    guarded = coengagement_edges_bitmap(eng, num_slots=None, max_users=100)
-    assert count_operator(guarded, "BroadcastNestedLoopJoin") == 0
-    # Explicit-slots callers get the same guard.
-    guarded2 = coengagement_edges_bitmap(eng, num_slots=1, max_users=100)
-    assert count_operator(guarded2, "BroadcastNestedLoopJoin") == 0
-    # Under the bound the bitmap plan is chosen and results stay identical.
-    bitmap = coengagement_edges_bitmap(eng, num_slots=None, max_users=10_000)
-    assert count_operator(bitmap, "BroadcastNestedLoopJoin") >= 1
     from echo_chambers_detection_spark.operators.coengagement import (
         coengagement_edges,
     )
 
-    want = {tuple(r) for r in coengagement_edges(eng).collect()}
-    assert {tuple(r) for r in bitmap.collect()} == want
-    assert {tuple(r) for r in guarded.collect()} == want
+    # SPARSE fixture: 500 users each engaging ONE of 7 items.
+    # n²/2 = 125k mask pairs vs Σ deg² ≈ 36k shared-item rows — the cost
+    # compare must pick the self-join even though the vocabulary is tiny.
+    sparse = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("user_did"),
+        F.pmod(F.col("id"), F.lit(7)).cast("string").alias("post_uri"),
+    )
+    by_cost = coengagement_edges_bitmap(sparse, num_slots=None, max_users=10_000)
+    assert count_operator(by_cost, "BroadcastNestedLoopJoin") == 0
+    # The user-count hard cap fires independently of density.
+    guarded = coengagement_edges_bitmap(sparse, num_slots=None, max_users=100)
+    assert count_operator(guarded, "BroadcastNestedLoopJoin") == 0
+    # Explicit-slots callers get the same cap.
+    guarded2 = coengagement_edges_bitmap(sparse, num_slots=1, max_users=100)
+    assert count_operator(guarded2, "BroadcastNestedLoopJoin") == 0
+
+    # DENSE fixture: 60 users each engaging ALL 7 items.
+    # n²/2 = 1.8k pairs vs Σ deg² = 25.2k rows — bitmap wins the compare.
+    dense = spark.range(60 * 7).select(
+        F.concat(F.lit("u"), (F.col("id") % 60).cast("string")).alias("user_did"),
+        (F.col("id") / 60).cast("int").cast("string").alias("post_uri"),
+    )
+    bitmap = coengagement_edges_bitmap(dense, num_slots=None, max_users=10_000)
+    assert count_operator(bitmap, "BroadcastNestedLoopJoin") >= 1
+
+    assert {tuple(r) for r in bitmap.collect()} == {
+        tuple(r) for r in coengagement_edges(dense).collect()
+    }
+    assert {tuple(r) for r in by_cost.collect()} == {
+        tuple(r) for r in coengagement_edges(sparse).collect()
+    }
 
 
 def test_semi_and_anti_joins_planned(spark):
