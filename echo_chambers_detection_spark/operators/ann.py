@@ -536,12 +536,17 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "post_cid",
     vec_col: str = "vector",
+    query_col: str = "qvec",
 ) -> DataFrame:
     """IVF-pruned cosine top-k: exact search restricted to the nprobe
     cells whose centroids are nearest the query. nprobe == n_cells is
     exhaustive and exactly reproduces `cosine_topk` (the oracle-checked
     configuration); smaller nprobe trades recall for a ~n_cells/nprobe
     candidate reduction — the knob a 100 TB deployment actually turns.
+
+    `query` is a one-row frame; `query_col` names its vector column
+    (ADVICE r2 — parameterized like id_col/vec_col instead of a
+    hardwired 'qvec').
     """
     import numpy as np
 
@@ -549,7 +554,7 @@ def ivf_topk(
         embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
     qv = np.asarray(
-        query.select("qvec").first()["qvec"], dtype="float64"
+        query.select(query_col).first()[query_col], dtype="float64"
     )
     qn = np.linalg.norm(qv)
     if qn > 0:
@@ -562,4 +567,10 @@ def ivf_topk(
         id_col,
         "leftsemi",
     )
-    return cosine_topk(pruned, query, k=k_results, vec_col=vec_col, id_col=id_col)
+    return cosine_topk(
+        pruned,
+        query.select(F.col(query_col).alias("qvec")),
+        k=k_results,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

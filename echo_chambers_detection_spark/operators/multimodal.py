@@ -65,17 +65,22 @@ def repartition_for_payloads(
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, int, float]:
-    """Real decode — intentionally unimplemented in this container.
+    """Real decode via pillow. Import-guarded seam (VERDICT r2 #7): runs
+    when pillow is installed; this container doesn't ship it, so the
+    pipeline default stays `decode_image_stub` and the test
+    importorskips this path."""
+    try:
+        import io
 
-    Intended body (requires pillow):
-        from PIL import Image; import io, numpy as np
-        img = np.asarray(Image.open(io.BytesIO(payload)))
-        return img.shape[1], img.shape[0], img.shape[2], float(img.mean())
-    """
-    raise NotImplementedError(
-        "image decode requires pillow/ffmpeg, not present in this "
-        "container; use decode_image_stub for the pipeline path"
-    )
+        import numpy as np
+        from PIL import Image
+    except ImportError as exc:  # container default — see docstring
+        raise NotImplementedError(
+            "image decode requires pillow, not present in this "
+            "container; use decode_image_stub for the pipeline path"
+        ) from exc
+    img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    return img.shape[1], img.shape[0], img.shape[2], float(img.mean())
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
@@ -95,17 +100,32 @@ def decode_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     batch_hint: int = 256,
+    decoder: str = "stub",
 ) -> DataFrame:
-    """Arrow-batched decode stage: mapInPandas with the stub decoder.
+    """Arrow-batched decode stage: mapInPandas over binary payloads.
+
+    decoder: 'stub' (deterministic, container default), 'real' (pillow,
+    raises where absent), or 'auto' (real when importable, else stub).
 
     The iterator signature processes one Arrow batch at a time, so peak
     Python memory is one batch of payloads — the batch size is governed
     by spark.sql.execution.arrow.maxRecordsPerBatch, which callers with
     large payloads should lower (see repartition_for_payloads)."""
+    if decoder not in ("stub", "real", "auto"):
+        raise ValueError(f"decoder must be stub|real|auto, got {decoder!r}")
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        mode = decoder
+        if mode == "auto":
+            try:
+                import PIL  # noqa: F401
+
+                mode = "real"
+            except ImportError:
+                mode = "stub"
+        decode = decode_image_real if mode == "real" else decode_image_stub
         for pdf in batches:
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
@@ -115,7 +135,7 @@ def decode_images(
                 "mean_pixel": [],
             }
             for payload in pdf[payload_col]:
-                w, h, c, m = decode_image_stub(bytes(payload))
+                w, h, c, m = decode(bytes(payload))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_channels"].append(c)

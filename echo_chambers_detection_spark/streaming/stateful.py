@@ -112,7 +112,15 @@ def first_seen(events: DataFrame) -> DataFrame:
     key exactly once, on first sight, with its first-seen timestamp.
     Duplicate arrivals in any later micro-batch are swallowed — the
     engine-state equivalent of the reference's MERGE-on-did idempotent
-    upsert (consumer_user.py:33-41). Input needs (user_did, ts)."""
+    upsert (consumer_user.py:33-41). Input needs (user_did, ts).
+
+    Ordering caveat (ADVICE r2): append-mode emit-once means the emitted
+    ts is the minimum WITHIN the key's first micro-batch; an
+    earlier-timestamped arrival in a later batch does not re-emit. For
+    in-order streams this equals the batch global-MIN query
+    (q_user_first_seen); for out-of-order streams prefer that batch
+    query (or a watermarked min-agg in update mode) when the exact
+    global minimum matters more than emit-once semantics."""
     return (
         events.select(
             F.col("user_did").cast("string").alias("user_did"),

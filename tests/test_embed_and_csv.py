@@ -63,3 +63,37 @@ def test_csv_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == [
         ("n1", 0), ("n2", 0), ("n3", 1)
     ]
+
+
+def test_encode_batch_real_lights_up_with_library():
+    """Import-guarded seam (VERDICT r2 #7): runs real
+    sentence-transformers inference when installed; skipped in the
+    shipping container."""
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from echo_chambers_detection_spark.operators.embed import (
+        encode_batch_real,
+    )
+
+    vecs = encode_batch_real(["hello world", "hello world"])
+    assert len(vecs) == 2 and vecs[0] == vecs[1] and len(vecs[0]) > 0
+
+
+def test_encode_batch_real_raises_cleanly_without_library():
+    try:
+        import sentence_transformers  # noqa: F401
+
+        import pytest
+
+        pytest.skip("library present — covered by the light-up test")
+    except ImportError:
+        pass
+    import pytest
+
+    from echo_chambers_detection_spark.operators.embed import (
+        encode_batch_real,
+    )
+
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        encode_batch_real(["x"])
