@@ -251,24 +251,30 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
+        # carry the changed flag inside the materialized frame: the
+        # convergence check becomes a cheap agg on the checkpointed leaf
+        # instead of a second distributed join job per round
+        new_labels = _materialize(
+            labels.join(nbr_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component")
+                    < F.col("component")
+                ).alias("_chg"),
             )
         )
-        new_labels = _materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(hint(labels.alias("o")), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
+        changed = int(
+            new_labels.agg(F.sum(F.col("_chg").cast("long")).alias("c"))
+            .first()["c"]
+            or 0
         )
         _release_checkpoint(labels)
-        labels = new_labels
+        labels = new_labels.select("node", "component")
+        labels._ckpt_rdd_ids = getattr(new_labels, "_ckpt_rdd_ids", [])
+        new_labels._ckpt_rdd_ids = []
         if changed == 0:
             break
     _release_checkpoint(sym)
@@ -700,70 +706,136 @@ def _refine(
     w_vc = intra.groupBy(F.col("src").alias("node")).agg(
         F.sum("weight").alias("w_vc")
     )
-    movers = _materialize(
+    # loop-invariant per-node state: k, community k_C, and the node gate
+    # result — one checkpoint consumed as a cheap broadcast leaf every
+    # round (the old shape rebuilt these as deep broadcast subtrees per
+    # use, and the loops' cost at test scale is serialized job count)
+    naux = _materialize(
         comm.join(hint(k_i), "node")
         .join(hint(k_c), "community")
         .join(hint(w_vc), "node", "left")
         .na.fill({"w_vc": 0.0})
-        .where(
-            F.col("w_vc")
-            >= gamma * F.col("k") * (F.col("k_c") - F.col("k")) / (2 * m)
+        .select(
+            "node",
+            "k",
+            "k_c",
+            (
+                F.col("w_vc")
+                >= gamma * F.col("k") * (F.col("k_c") - F.col("k")) / (2 * m)
+            ).alias("is_mover"),
         )
-        .select("node")
     )
-    # sub ids are member-node ids, so a sub's community/k_C resolve by
-    # joining the sub id against comm directly
-    sub_comm = comm.select(F.col("node").alias("sub"), "community")
+    _release_checkpoint(k_i)
     sub = _materialize(comm.select("node").withColumn("sub", F.col("node")))
-    if movers.isEmpty():
+    if naux.where(F.col("is_mover")).isEmpty():
         # nothing is γ-well-connected enough to merge — refined partition
         # stays all-singletons; skip the round loop entirely
-        _release_checkpoint(k_i, intra, movers)
+        _release_checkpoint(intra, naux)
         return sub
 
     prev_holder = sub
+    nstate = None
     for rnd in range(max_rounds):
-        sizes = sub.groupBy("sub").agg(F.count("*").alias("n"))
-        singles = sub.join(
-            hint(sizes.where(F.col("n") == 1).select("sub")), "sub", "leftsemi"
-        ).join(hint(movers), "node", "leftsemi")
-        k_s = sub.join(hint(k_i), "node").groupBy("sub").agg(
-            F.sum("k").alias("k_s")
-        )
-        lab_s = sub.select(F.col("node").alias("src"), F.col("sub").alias("s1"))
-        lab_d = sub.select(F.col("node").alias("dst"), F.col("sub").alias("s2"))
-        e2 = intra.join(hint(lab_s), "src").join(hint(lab_d), "dst")
+        # per-node frame for this round: sub assignment + invariants
+        prev_nstate = nstate
+        nstate = _materialize(sub.join(hint(naux), "node"))
+        # sub ids are member-node ids and every member shares the sub's
+        # community, so per-sub state (size, k_S, k_C, target gate)
+        # resolves by joining the sub id back against naux
         w_out = (
-            e2.where(F.col("s1") != F.col("s2"))
+            intra.join(
+                hint(
+                    nstate.select(
+                        F.col("node").alias("src"), F.col("sub").alias("s1")
+                    )
+                ),
+                "src",
+            )
+            .join(
+                hint(
+                    nstate.select(
+                        F.col("node").alias("dst"), F.col("sub").alias("s2")
+                    )
+                ),
+                "dst",
+            )
+            .where(F.col("s1") != F.col("s2"))
             .groupBy(F.col("s1").alias("sub"))
             .agg(F.sum("weight").alias("w_sc"))
         )
-        # target gate: S γ-well-connected to its community
-        ok_targets = (
-            k_s.join(hint(w_out), "sub", "left")
-            .na.fill({"w_sc": 0.0})
-            .join(hint(sub_comm), "sub")
-            .join(hint(k_c), "community")
-            .where(
-                F.col("w_sc")
-                >= gamma * F.col("k_s") * (F.col("k_c") - F.col("k_s")) / (2 * m)
+        substate = _materialize(
+            nstate.groupBy("sub")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("k_s"))
+            .join(
+                hint(naux.select(F.col("node").alias("sub"), "k_c")), "sub"
             )
-            .select("sub", "k_s")
+            .join(hint(w_out), "sub", "left")
+            .na.fill({"w_sc": 0.0})
+            .select(
+                "sub",
+                "n",
+                "k_s",
+                # target gate: S γ-well-connected to its community
+                (
+                    F.col("w_sc")
+                    >= gamma
+                    * F.col("k_s")
+                    * (F.col("k_c") - F.col("k_s"))
+                    / (2 * m)
+                ).alias("ok"),
+            )
         )
-        # singleton v -> adjacent sub S: w(v,S) and gain w_vS − k_v·k_S/(2m)
-        w_vs = (
+        # singleton v -> adjacent sub S: w(v,S), gain w_vS − k_v·k_S/(2m).
+        # One wide exchange (hash(src) from the repartition serves the
+        # aggregation, the window, and the final groupBy); tgt-side
+        # constants ride the aggregation like sigma in _local_moves.
+        cand = (
             intra.join(
-                hint(singles.select(F.col("node").alias("src"), F.col("sub").alias("own"))),
+                hint(
+                    nstate.select(
+                        F.col("node").alias("src"),
+                        F.col("sub").alias("own"),
+                        "k",
+                        "is_mover",
+                    )
+                ),
                 "src",
             )
-            .join(hint(lab_d.withColumnRenamed("s2", "tgt")), "dst")
+            .join(
+                hint(
+                    nstate.select(
+                        F.col("node").alias("dst"), F.col("sub").alias("tgt")
+                    )
+                ),
+                "dst",
+            )
             .where(F.col("tgt") != F.col("own"))
+            .join(
+                hint(
+                    substate.select(F.col("sub").alias("own"), F.col("n").alias("n_own"))
+                ),
+                "own",
+            )
+            .join(
+                hint(
+                    substate.select(
+                        F.col("sub").alias("tgt"),
+                        F.col("n").alias("n_tgt"),
+                        "k_s",
+                        "ok",
+                    )
+                ),
+                "tgt",
+            )
+            .where(F.col("is_mover") & (F.col("n_own") == 1) & F.col("ok"))
+            .repartition("src")
             .groupBy(F.col("src").alias("node"), F.col("own"), F.col("tgt"))
-            .agg(F.sum("weight").alias("w_vs"))
-        )
-        cand = (
-            w_vs.join(hint(ok_targets.withColumnRenamed("sub", "tgt")), "tgt")
-            .join(hint(k_i), "node")
+            .agg(
+                F.sum("weight").alias("w_vs"),
+                F.max("k").alias("k"),
+                F.max("k_s").alias("k_s"),
+                F.max("n_tgt").alias("n_tgt"),
+            )
             .withColumn(
                 "score",
                 F.col("w_vs") - F.col("k") * F.col("k_s") / (2 * m),
@@ -772,8 +844,7 @@ def _refine(
             # singleton↔singleton symmetric swap guard: a singleton may
             # absorb INTO a larger-id singleton only (grown subs are fair
             # game either way — they never move)
-            .join(hint(sizes.withColumnRenamed("sub", "tgt")), "tgt")
-            .where((F.col("n") > 1) | (F.col("tgt") > F.col("own")))
+            .where((F.col("n_tgt") > 1) | (F.col("tgt") > F.col("own")))
         )
         # one-shuffle window argmax (see _local_moves): max_by's string
         # buffer would force an interpreted SortAggregate over the full
@@ -799,7 +870,7 @@ def _refine(
             applied.agg(F.sum(F.col("moved").cast("long")).alias("mv")).first()["mv"]
             or 0
         )
-        _release_checkpoint(prev_holder)
+        _release_checkpoint(prev_holder, prev_nstate, substate)
         prev_holder = applied
         sub = applied.select("node", "sub")
         if moves == 0:
@@ -808,7 +879,7 @@ def _refine(
     # scaffolding of this refinement is dead
     sub._ckpt_rdd_ids = getattr(prev_holder, "_ckpt_rdd_ids", [])
     prev_holder._ckpt_rdd_ids = []
-    _release_checkpoint(k_i, intra, movers)
+    _release_checkpoint(intra, naux, nstate)
     return sub
 
 
