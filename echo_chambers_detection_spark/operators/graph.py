@@ -27,6 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+try:  # the only failure modes _materialize's fallback should absorb are
+    # "API removed/renamed" (AttributeError/TypeError) and py4j-level
+    # call errors — anything else (analysis bugs, OOM) must surface
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - py4j always ships with pyspark
+    _Py4JError = ()
+
 # Node-state frames (labels, degrees, community sums) are one row per node
 # or per community. After localCheckpoint Catalyst loses their size stats
 # and plans full shuffle joins of the edge table against them every round.
@@ -37,6 +44,28 @@ from pyspark.sql.window import Window
 # broadcast — comfortably inside a 64 MB driver/executor budget every
 # round; 10M would push hundreds of MB per executor per round.
 BROADCAST_NODE_LIMIT = 1_000_000
+
+# Crossover to the driver-side small-graph fast path (operators/
+# localgraph.py): below this many DIRECTED edge rows (~150 MB at 4M
+# rows of two ids + a double, vs the 48g driver heap) the multilevel
+# community loops finish locally — the distributed rounds pay a fixed
+# number of serialized Spark jobs per round, measured ~15s of pure
+# overhead for Leiden on a 100-node graph. This is the same measured-
+# crossover pattern as bitmap-vs-self-join and LSH-vs-exact: the
+# distributed path stays primary above the bound (and for non-string
+# node ids, where the hash-parity mirror doesn't apply), and coarsening
+# re-probes the bound at every level boundary, which is how a
+# 100 TB run lands here too once the graph is communities-not-nodes.
+# Set to 0 to force the distributed path (tests do).
+LOCAL_GRAPH_EDGE_LIMIT = 4_000_000
+
+
+def _local_path_ok(edges: DataFrame, sym_rows: int) -> bool:
+    from pyspark.sql.types import StringType
+
+    return sym_rows <= LOCAL_GRAPH_EDGE_LIMIT and isinstance(
+        edges.schema["u1"].dataType, StringType
+    )
 
 
 def _state_hint(small_state: bool):
@@ -120,7 +149,7 @@ def _materialize(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         result = DataFrame(new_jdf, out.sparkSession)
-    except Exception:
+    except (AttributeError, TypeError, _Py4JError):
         if not _MATERIALIZE_FALLBACK_WARNED:
             _MATERIALIZE_FALLBACK_WARNED = True
             import warnings
@@ -581,6 +610,21 @@ def louvain(
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
 
+    if _local_path_ok(edges, sym.count()):
+        # bounded collect (≤ LOCAL_GRAPH_EDGE_LIMIT rows by the probe):
+        # finish the whole multilevel loop driver-side, bit-identical
+        # semantics (tests/test_local_graph_parity.py)
+        from echo_chambers_detection_spark.operators.localgraph import (
+            louvain_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        result = louvain_local(rows, m, max_levels, max_rounds)
+        return spark.createDataFrame(
+            list(result.items()), "node string, community string"
+        )
+
     nodes = _nodes_of_sym(sym)
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
     mapping = _materialize(nodes.withColumn("community", F.col("node")))
@@ -617,7 +661,30 @@ def louvain(
         # reads the freshly-materialized leaves
         _release_checkpoint(mapping, sym, comm)
         mapping, sym, selfw = new_mapping, new_sym, new_selfw
-        if sym.isEmpty():
+        n_sym = sym.count()
+        if n_sym == 0:
+            break
+        remaining = max_levels - _level - 1
+        if remaining > 0 and _local_path_ok(edges, n_sym):
+            # coarsening crossed the local threshold: finish the
+            # remaining levels driver-side on the coarse graph and
+            # compose through the distributed mapping (the final canon
+            # below re-derives ids from original members either way)
+            from echo_chambers_detection_spark.operators.localgraph import (
+                louvain_local,
+            )
+
+            rows = sym.toPandas()
+            selfw_rows = selfw.toPandas()
+            coarse = louvain_local(
+                rows, m, remaining, max_rounds, selfw_rows=selfw_rows
+            )
+            coarse_df = spark.createDataFrame(
+                list(coarse.items()), "community string, _next string"
+            )
+            mapping = mapping.join(F.broadcast(coarse_df), "community").select(
+                "node", F.col("_next").alias("community")
+            )
             break
     # canonicalize ids to min member node; the result reads only the
     # mapping leaf, so the last coarsened graph is dead
@@ -639,6 +706,17 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     m = float(m_row["m"] or 0.0)
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
+    if _local_path_ok(edges, sym.count()):
+        from echo_chambers_detection_spark.operators.localgraph import (
+            modularity_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        result = modularity_local(rows, m, max_rounds)
+        return edges.sparkSession.createDataFrame(
+            list(result.items()), "node string, community string"
+        )
     nodes = _nodes_of_sym(sym)
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
     comm0 = _materialize(nodes.withColumn("community", F.col("node")))
@@ -908,6 +986,20 @@ def leiden(
     m = float(m_row["m"] or 0.0)
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
+
+    if _local_path_ok(edges, sym.count()):
+        # bounded collect (see louvain): whole multilevel loop plus the
+        # split-only connectivity pass, driver-side, same semantics
+        from echo_chambers_detection_spark.operators.localgraph import (
+            leiden_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        result = leiden_local(rows, m, max_levels, max_rounds, gamma=gamma)
+        return edges.sparkSession.createDataFrame(
+            list(result.items()), "node string, community string"
+        )
 
     sym0 = sym
     nodes = _nodes_of_sym(sym)

@@ -1,0 +1,454 @@
+"""Driver-side small-graph fast path for the iterative graph operators.
+
+Multilevel community detection coarsens aggressively: one level in, the
+graph is communities-not-nodes, and after two it is typically thousands
+of times smaller than the input. The distributed loops in graph.py pay
+a fixed number of serialized Spark jobs PER ROUND regardless of data
+size — measured ~15s of pure overhead running Leiden on a 100-node
+graph at sf0.1 — so once a (sub)problem fits comfortably in driver
+memory the right plan is to finish it locally, exactly like the
+bitmap-vs-self-join and LSH-vs-exact crossovers elsewhere in this
+engine. (The reference's Neo4j GDS is a single-machine library; OUR
+distributed path is the superset for graphs that do not fit one node.)
+
+Semantics here are bit-for-bit mirrors of graph.py's distributed loops
+(same scores, same hash-parity move schedule, same string-order
+tie-breaks), so an algorithm can cross from the distributed path to the
+local path mid-run — or run entirely locally below the threshold — and
+produce THE SAME partition. tests/test_local_graph_parity.py pins
+distributed-vs-local equality on the regression fixtures, and
+`LOCAL_GRAPH_EDGE_LIMIT` can be set to 0 to force the distributed path.
+
+The hash mirrored is Spark's `xxhash64(col)` (catalyst XXH64, seed 42)
+over the node id's UTF-8 bytes — required for the alternating-parity
+move schedule to line up across paths.
+"""
+
+from __future__ import annotations
+
+MASK64 = (1 << 64) - 1
+
+_PRIME1 = 0x9E3779B185EBCA87
+_PRIME2 = 0xC2B2AE3D27D4EB4F
+_PRIME3 = 0x165667B19E3779F9
+_PRIME4 = 0x85EBCA77C2B2AE63
+_PRIME5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """XXH64 (Collet) over `data`, returned as SIGNED 64-bit to match
+    Spark's LongType output of `F.xxhash64` — pinned against Spark in
+    tests/test_local_graph_parity.py."""
+    length = len(data)
+    idx = 0
+    if length >= 32:
+        v1 = (seed + _PRIME1 + _PRIME2) & MASK64
+        v2 = (seed + _PRIME2) & MASK64
+        v3 = seed & MASK64
+        v4 = (seed - _PRIME1) & MASK64
+        while idx <= length - 32:
+            lane = int.from_bytes(data[idx : idx + 8], "little")
+            v1 = (_rotl((v1 + lane * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+            lane = int.from_bytes(data[idx + 8 : idx + 16], "little")
+            v2 = (_rotl((v2 + lane * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+            lane = int.from_bytes(data[idx + 16 : idx + 24], "little")
+            v3 = (_rotl((v3 + lane * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+            lane = int.from_bytes(data[idx + 24 : idx + 32], "little")
+            v4 = (_rotl((v4 + lane * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+            idx += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & MASK64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+            h = ((h * _PRIME1) + _PRIME4) & MASK64
+    else:
+        h = (seed + _PRIME5) & MASK64
+    h = (h + length) & MASK64
+    while idx <= length - 8:
+        lane = int.from_bytes(data[idx : idx + 8], "little")
+        h ^= (_rotl((lane * _PRIME2) & MASK64, 31) * _PRIME1) & MASK64
+        h = ((_rotl(h, 27) * _PRIME1) + _PRIME4) & MASK64
+        idx += 8
+    if idx <= length - 4:
+        lane = int.from_bytes(data[idx : idx + 4], "little")
+        h ^= (lane * _PRIME1) & MASK64
+        h = ((_rotl(h, 23) * _PRIME2) + _PRIME3) & MASK64
+        idx += 4
+    while idx < length:
+        h ^= (data[idx] * _PRIME5) & MASK64
+        h = (_rotl(h, 11) * _PRIME1) & MASK64
+        idx += 1
+    h ^= h >> 33
+    h = (h * _PRIME2) & MASK64
+    h ^= h >> 29
+    h = (h * _PRIME3) & MASK64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def node_parity(node_id: str, rnd: int) -> bool:
+    """Mirror of graph.py's move schedule:
+    pmod(xxhash64(node) + rnd, 2) == 0."""
+    return (xxhash64(str(node_id).encode("utf-8")) + rnd) % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors of graph.py's distributed loops. Node/community ids are
+# kept as the ORIGINAL strings; index spaces are always sorted lists of
+# those strings, so integer comparisons on indices reproduce Spark's
+# binary string-order tie-breaks (min member canonicalization, max-id
+# tie-breaks, c_src < c_dst coarsening orientation) exactly.
+# ---------------------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _hash_arr(ids):
+    np = _np()
+    return np.array(
+        [xxhash64(str(s).encode("utf-8")) for s in ids], dtype=np.int64
+    )
+
+
+def _edge_arrays(sym_rows):
+    """(ids, e_src, e_dst, e_w) from either a pandas DataFrame with
+    [src, dst, weight] columns (the Arrow-fetched fast path — collect()
+    of millions of Row objects costs more than the whole local solve) or
+    an iterable of (src, dst, w) tuples. ids come out SORTED, so index
+    order == string order (Python str comparison orders by code point,
+    which UTF-8 byte comparison — Spark's — preserves)."""
+    np = _np()
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        pd = None
+    if pd is not None and isinstance(sym_rows, pd.DataFrame):
+        src = sym_rows.iloc[:, 0].astype(str).to_numpy()
+        dst = sym_rows.iloc[:, 1].astype(str).to_numpy()
+        e_w = sym_rows.iloc[:, 2].to_numpy(dtype="float64")
+    else:
+        src = np.array([str(r[0]) for r in sym_rows], dtype=object)
+        dst = np.array([str(r[1]) for r in sym_rows], dtype=object)
+        e_w = np.array([float(r[2]) for r in sym_rows])
+    ids_arr = np.unique(np.concatenate([src, dst])) if len(src) else np.array([], dtype=object)
+    e_src = np.searchsorted(ids_arr, src).astype(np.int64)
+    e_dst = np.searchsorted(ids_arr, dst).astype(np.int64)
+    return list(ids_arr), e_src, e_dst, e_w
+
+
+def _group_sum(key, w):
+    """(sorted unique keys, per-key sums) — one sort, reduceat on group
+    boundaries; empty-safe (np.r_[True, ...] is NOT on empty input)."""
+    np = _np()
+    if len(key) == 0:
+        return key, w
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    start = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    return key_s[start], np.add.reduceat(w[order], start)
+
+
+def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h):
+    """Mirror of graph._local_moves. `comm` holds indices into `comm_ids`
+    (sorted strings, index order == string order); node indices 0..n-1
+    are positions in the level's sorted node-id list."""
+    np = _np()
+    n_comm = len(comm_ids)
+    k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
+    total_moves = 0
+    self_src = np.arange(n, dtype=np.int64)
+    for rnd in range(max_rounds):
+        sigma = np.bincount(comm, weights=k, minlength=n_comm)
+        src = np.concatenate([e_src, self_src])
+        nbr = np.concatenate([comm[e_dst], comm])
+        w = np.concatenate([e_w, np.zeros(n)])
+        uniq, w_ic = _group_sum(src * n_comm + nbr, w)
+        g_src = uniq // n_comm
+        g_nbr = uniq % n_comm
+        own = g_nbr == comm[g_src]
+        kk = k[g_src]
+        sig_n = sigma[g_nbr]
+        score = np.where(
+            own,
+            w_ic - kk * (sig_n - kk) / (2.0 * m),
+            w_ic - kk * sig_n / (2.0 * m),
+        )
+        # argmax by (score, nbr index) per src — identical tie-break to
+        # the distributed window-max + max(nbr_c)
+        o2 = np.lexsort((g_nbr, score, g_src))
+        gs = g_src[o2]
+        last = np.r_[gs[1:] != gs[:-1], True]
+        nodes_ = gs[last]
+        new_c = g_nbr[o2][last]
+        old_c = comm[nodes_]
+        par = ((h[nodes_] + rnd) % 2) == 0
+        do = par & (new_c != old_c)
+        moves = int(do.sum())
+        comm = comm.copy()
+        comm[nodes_[do]] = new_c[do]
+        total_moves += moves
+        if moves == 0 and rnd > 0:
+            break
+        if rnd > 0 and moves < max(1, n // 1000):
+            break
+    return comm, total_moves
+
+
+def coarsen_np(e_src, e_dst, e_w, selfw, comm_ids, comm, n):
+    """Mirror of graph._coarsen: aggregate by community, directed edges
+    with c_src < c_dst (string order == index order) become the new
+    undirected pairs; intra weight and carried self-loops fold into the
+    new self-weights. Returns (ids, e_src, e_dst, e_w, selfw) in the new
+    level's sorted-id space (nodes = ALL communities, even edgeless)."""
+    np = _np()
+    n_comm = len(comm_ids)
+    cs, cd = comm[e_src], comm[e_dst]
+    lt = cs < cd
+    uniq, pair_w = _group_sum(cs[lt] * n_comm + cd[lt], e_w[lt])
+    p_src, p_dst = uniq // n_comm, uniq % n_comm
+    eq = cs == cd
+    w_int = np.bincount(cs[eq], weights=e_w[eq], minlength=n_comm) / 2.0
+    carried = np.bincount(comm, weights=selfw, minlength=n_comm)
+    new_selfw_full = w_int + carried
+    active = np.unique(comm)  # sorted community indices present
+    # new id space: the active communities, sorted (string order kept)
+    new_ids = [comm_ids[i] for i in active]
+    remap = np.full(n_comm, -1, dtype=np.int64)
+    remap[active] = np.arange(len(active))
+    return (
+        new_ids,
+        remap[p_src],
+        remap[p_dst],
+        pair_w,
+        new_selfw_full[active],
+    )
+
+
+def _symmetrize_np(e_src, e_dst, e_w):
+    np = _np()
+    return (
+        np.concatenate([e_src, e_dst]),
+        np.concatenate([e_dst, e_src]),
+        np.concatenate([e_w, e_w]),
+    )
+
+
+def louvain_local(sym_rows, m, max_levels, max_rounds, selfw_rows=None):
+    """Mirror of graph.louvain's level loop over DIRECTED (src, dst, w)
+    rows (pandas DataFrame or tuple iterable). Returns
+    {node_id: community_id} canonicalized to the min member id (string
+    order)."""
+    np = _np()
+    ids, e_src, e_dst, e_w = _edge_arrays(sym_rows)
+    if selfw_rows is not None and len(selfw_rows):
+        extra = sorted(set(str(r[0]) for r in
+                           (selfw_rows.itertuples(index=False)
+                            if hasattr(selfw_rows, "itertuples") else selfw_rows))
+                       - set(ids))
+        if extra:
+            # re-index with the union so edgeless self-weight nodes exist
+            old = ids
+            ids = sorted(set(old) | set(extra))
+            remap = np.searchsorted(np.array(ids, dtype=object),
+                                    np.array(old, dtype=object))
+            e_src, e_dst = remap[e_src], remap[e_dst]
+    pos = {s: i for i, s in enumerate(ids)}
+    selfw = np.zeros(len(ids))
+    if selfw_rows is not None:
+        rows_iter = (selfw_rows.itertuples(index=False)
+                     if hasattr(selfw_rows, "itertuples") else selfw_rows)
+        for s, w in rows_iter:
+            selfw[pos[str(s)]] = float(w)
+    if m <= 0:
+        return {s: s for s in ids}
+
+    cur_ids = ids
+    # mapping: original node -> community id (string), composed per level
+    mapping = {s: s for s in ids}
+    for _level in range(max_levels):
+        n = len(cur_ids)
+        comm, moves = local_moves_np(
+            n, e_src, e_dst, e_w, selfw,
+            cur_ids, np.arange(n, dtype=np.int64), m, max_rounds,
+            _hash_arr(cur_ids),
+        )
+        if moves == 0:
+            break
+        remap = {cur_ids[i]: cur_ids[comm[i]] for i in range(n)}
+        mapping = {s: remap[c] for s, c in mapping.items()}
+        cur_ids, e_src, e_dst, e_w, selfw = coarsen_np(
+            e_src, e_dst, e_w, selfw, cur_ids, comm, n
+        )
+        e_src, e_dst, e_w = _symmetrize_np(e_src, e_dst, e_w)
+        if len(e_src) == 0:
+            break
+    # distributed canon = min member node of the community
+    members_min = {}
+    for s in ids:
+        c = mapping[s]
+        if c not in members_min or s < members_min[c]:
+            members_min[c] = s
+    return {s: members_min[mapping[s]] for s in ids}
+
+
+def modularity_local(sym_rows, m, max_rounds):
+    """Mirror of graph.modularity_optimization (single-level moves)."""
+    np = _np()
+    ids, e_src, e_dst, e_w = _edge_arrays(sym_rows)
+    if m <= 0:
+        return {s: s for s in ids}
+    n = len(ids)
+    comm, _ = local_moves_np(
+        n, e_src, e_dst, e_w, np.zeros(n), ids,
+        np.arange(n, dtype=np.int64), m, max_rounds, _hash_arr(ids),
+    )
+    members_min = {}
+    for i, s in enumerate(ids):
+        c = ids[comm[i]]
+        if c not in members_min or s < members_min[c]:
+            members_min[c] = s
+    return {s: members_min[ids[comm[i]]] for i, s in enumerate(ids)}
+
+
+def refine_np(n, e_src, e_dst, e_w, selfw, node_ids, comm, m, h,
+              gamma=1.0, max_rounds=4):
+    """Mirror of graph._refine: grow γ-well-connected sub-communities
+    from singletons, moves restricted to intra-community edges. `comm`
+    holds indices into a community-id space whose ORDER is consistent
+    (only equality is used here). Returns sub (indices into node space:
+    sub ids are member node ids)."""
+    np = _np()
+    k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
+    n_comm = int(comm.max()) + 1 if n else 0
+    k_c = np.bincount(comm, weights=k, minlength=n_comm)
+    intra_mask = comm[e_src] == comm[e_dst]
+    i_src, i_dst, i_w = e_src[intra_mask], e_dst[intra_mask], e_w[intra_mask]
+    w_vc = np.bincount(i_src, weights=i_w, minlength=n)
+    is_mover = w_vc >= gamma * k * (k_c[comm] - k) / (2.0 * m)
+    sub = np.arange(n, dtype=np.int64)
+    if not is_mover.any():
+        return sub
+    for rnd in range(max_rounds):
+        sizes = np.bincount(sub, minlength=n)
+        k_s = np.bincount(sub, weights=k, minlength=n)
+        out_mask = sub[i_src] != sub[i_dst]
+        w_out = np.bincount(
+            sub[i_src[out_mask]], weights=i_w[out_mask], minlength=n
+        )
+        # a sub's community/k_C resolve through its member-node id
+        ok = w_out >= gamma * k_s * (k_c[comm] - k_s) / (2.0 * m)
+        own = sub[i_src]
+        tgt = sub[i_dst]
+        cmask = (
+            (tgt != own)
+            & is_mover[i_src]
+            & (sizes[own] == 1)
+            & ok[tgt]
+        )
+        c_src, c_own, c_tgt, c_w = (
+            i_src[cmask], own[cmask], tgt[cmask], i_w[cmask],
+        )
+        uniq, w_vs = _group_sum((c_src * n + c_tgt).astype(np.int64), c_w)
+        g_src, g_tgt = uniq // n, uniq % n
+        score = w_vs - k[g_src] * k_s[g_tgt] / (2.0 * m)
+        keep = (score > 0) & ((sizes[g_tgt] > 1) | (g_tgt > sub[g_src]))
+        g_src, g_tgt, score = g_src[keep], g_tgt[keep], score[keep]
+        if len(g_src) == 0:
+            break
+        o2 = np.lexsort((g_tgt, score, g_src))
+        gs = g_src[o2]
+        last = np.r_[gs[1:] != gs[:-1], True]
+        nodes_ = gs[last]
+        new_sub = g_tgt[o2][last]
+        par = ((h[nodes_] + rnd) % 2) == 0
+        do = par & (new_sub != sub[nodes_])
+        moves = int(do.sum())
+        sub = sub.copy()
+        sub[nodes_[do]] = new_sub[do]
+        if moves == 0:
+            break
+    return sub
+
+
+def leiden_local(sym_rows, m, max_levels, max_rounds, gamma=1.0):
+    """Mirror of graph.leiden: local moves -> refine -> aggregate by the
+    REFINED partition, seed next level with the moved partition; final
+    split-only connectivity pass (union-find over level-0 intra edges).
+    Returns {node_id: community_id} with component-min-member ids."""
+    np = _np()
+    ids, e_src0, e_dst0, e_w0 = _edge_arrays(sym_rows)
+    if m <= 0:
+        return {s: s for s in ids}
+
+    cur_ids = ids
+    e_src, e_dst, e_w = e_src0, e_dst0, e_w0
+    selfw = np.zeros(len(ids))
+    mapping = {s: s for s in ids}      # node -> agg (refined-sub id)
+    sub2comm = {s: s for s in ids}     # sub id -> community id
+    # comm0 community-id space for the seeded level
+    comm0_ids = ids
+    comm0 = _np().arange(len(ids), dtype=_np().int64)
+    for _level in range(max_levels):
+        n = len(cur_ids)
+        h = _hash_arr(cur_ids)
+        comm, moves = local_moves_np(
+            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds, h
+        )
+        refined = refine_np(
+            n, e_src, e_dst, e_w, selfw, cur_ids, comm, m, h, gamma=gamma
+        )
+        sub2comm = {
+            cur_ids[int(refined[i])]: comm0_ids[int(comm[i])]
+            for i in range(n)
+        }
+        remap = {cur_ids[i]: cur_ids[int(refined[i])] for i in range(n)}
+        mapping = {s: remap[a] for s, a in mapping.items()}
+        if moves == 0:
+            break
+        cur_ids2, e_src, e_dst, e_w, selfw = coarsen_np(
+            e_src, e_dst, e_w, selfw, cur_ids, refined, n
+        )
+        e_src, e_dst, e_w = _symmetrize_np(e_src, e_dst, e_w)
+        cur_ids = cur_ids2
+        # seed next level with the MOVED partition (Traag aggregate-by-
+        # P_ref, seed-with-P): communities live in comm0_ids' space
+        new_comm0_ids = sorted({sub2comm[s] for s in cur_ids})
+        cpos = {s: i for i, s in enumerate(new_comm0_ids)}
+        comm0 = _np().array(
+            [cpos[sub2comm[s]] for s in cur_ids], dtype=_np().int64
+        )
+        comm0_ids = new_comm0_ids
+        if len(e_src) == 0:
+            break
+    base = {s: sub2comm[mapping[s]] for s in ids}
+    # split-only connectivity: union-find over intra-community edges
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    half = e_src0 < e_dst0
+    for a, b in zip(e_src0[half], e_dst0[half]):
+        a, b = int(a), int(b)
+        if base[ids[a]] == base[ids[b]]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    comp_min = {}
+    for i, s in enumerate(ids):
+        r = find(i)
+        if r not in comp_min or s < comp_min[r]:
+            comp_min[r] = s
+    return {s: comp_min[find(i)] for i, s in enumerate(ids)}

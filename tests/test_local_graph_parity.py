@@ -1,0 +1,116 @@
+"""Distributed-vs-local parity for the small-graph fast path
+(operators/localgraph.py): the driver-side numpy mirrors must produce
+BIT-IDENTICAL partitions to graph.py's distributed loops, because the
+algorithms cross between the paths at the coarsening threshold."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import echo_chambers_detection_spark.operators.graph as G
+from echo_chambers_detection_spark.operators.localgraph import xxhash64
+
+
+def test_xxhash64_matches_spark(spark):
+    """The hash-parity move schedule only lines up across paths if the
+    Python XXH64 is bit-for-bit Spark's xxhash64 (seed 42)."""
+    ids = [
+        "", "a", "ab", "did:plc:user123", "0", "community-9999",
+        "post::" + "x" * 40, "y" * 133, "Ω unicode ✓", "\x00nul",
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in ids], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s in ids:
+        assert xxhash64(s.encode("utf-8")) == got[s], repr(s)
+
+
+def _fixtures(spark):
+    # heavy-bridge two-7-cliques (the Leiden regression fixture shape),
+    # plus a denser pseudo-random graph with uneven weights
+    cliques = []
+    for base in ("a", "b"):
+        nodes = [f"{base}{i}" for i in range(7)]
+        for i in range(7):
+            for j in range(i + 1, 7):
+                cliques.append((nodes[i], nodes[j], 1.0))
+    cliques.append(("a0", "b0", 4.0))
+
+    rnd = []
+    n = 24
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = xxhash64(f"{i}:{j}".encode())
+            if h % 5 == 0:
+                rnd.append((f"n{i:02d}", f"n{j:02d}", float(1 + h % 7)))
+
+    return {
+        "cliques": spark.createDataFrame(
+            cliques, "u1 string, u2 string, weight double"
+        ),
+        "random": spark.createDataFrame(
+            rnd, "u1 string, u2 string, weight double"
+        ),
+    }
+
+
+def _both_paths(monkeypatch, fn, edges, **kw):
+    local = {(r["node"], r["community"]) for r in fn(edges, **kw).collect()}
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {(r["node"], r["community"]) for r in fn(edges, **kw).collect()}
+    monkeypatch.undo()
+    return local, dist
+
+
+@pytest.mark.parametrize("name", ["cliques", "random"])
+def test_louvain_parity(spark, monkeypatch, name):
+    edges = _fixtures(spark)[name]
+    local, dist = _both_paths(
+        monkeypatch, G.louvain, edges, max_levels=3, max_rounds=8
+    )
+    assert local == dist
+
+
+@pytest.mark.parametrize("name", ["cliques", "random"])
+def test_leiden_parity(spark, monkeypatch, name):
+    edges = _fixtures(spark)[name]
+    local, dist = _both_paths(
+        monkeypatch, G.leiden, edges, max_levels=3, max_rounds=8
+    )
+    assert local == dist
+
+
+def test_modularity_optimization_parity(spark, monkeypatch):
+    edges = _fixtures(spark)["random"]
+    local, dist = _both_paths(
+        monkeypatch, G.modularity_optimization, edges, max_rounds=8
+    )
+    assert local == dist
+
+
+def test_louvain_midrun_switch(spark, monkeypatch):
+    """Crossing from distributed level 0 to the local path at the level
+    boundary must give the same partition as staying distributed."""
+    edges = _fixtures(spark)["cliques"]
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {(r["node"], r["community"])
+            for r in G.louvain(edges, max_levels=3, max_rounds=8).collect()}
+    monkeypatch.undo()
+
+    calls = {"n": 0}
+    real = G._local_path_ok
+
+    def level_boundary_only(e, n_rows):
+        calls["n"] += 1
+        return calls["n"] > 1 and real(e, n_rows)  # refuse the first probe
+
+    monkeypatch.setattr(G, "_local_path_ok", level_boundary_only)
+    mixed = {(r["node"], r["community"])
+             for r in G.louvain(edges, max_levels=3, max_rounds=8).collect()}
+    assert calls["n"] >= 2  # the mid-run probe actually fired
+    assert mixed == dist
