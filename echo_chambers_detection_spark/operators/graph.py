@@ -226,33 +226,77 @@ def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     aggregation + two anti-joins. Returns (node, core_value).
     """
     sym = _materialize_wide(_symmetrize(edges, weighted=False).select("src", "dst"))
-    hint = _state_hint(_probe_small(sym.select("src").distinct()))
+    if _local_path_ok(edges, sym.count()):
+        from echo_chambers_detection_spark.operators.localgraph import (
+            kcore_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        result = kcore_local(rows)
+        return edges.sparkSession.createDataFrame(
+            [(node, int(c)) for node, c in result.items()],
+            "node string, core_value bigint",
+        )
+    # Peel over the ALIVE node set, not just nodes that still have edges:
+    # a node orphaned by its neighbors' removal (star center) must peel
+    # at the current k with degree 0, or it would silently never be
+    # assigned a core (regression: tests/test_graph_algorithms.py star
+    # fixture). deg left-joins from `alive` so orphans surface as deg=0,
+    # which also pins mind=0 and stops k jumping past them.
+    alive = _materialize(_nodes_of_sym(sym))
+    hint = _state_hint(_probe_small(alive))
     assigned: list[DataFrame] = []
+    lows: list[DataFrame] = []
     k = 0
     for _ in range(max_rounds):
-        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        deg = alive.join(
+            sym.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("deg")
+            ),
+            "node",
+            "left",
+        ).na.fill({"deg": 0})
         row = deg.agg(
             F.min("deg").alias("mind"), F.count("*").alias("n")
         ).first()
         if row["n"] == 0:
             break
         k = max(k, int(row["mind"]))
-        low = deg.where(F.col("deg") <= k).select("src")
+        # materialize the peeled set: every later frame (including the
+        # returned union) reads only these small checkpointed leaves, so
+        # the big per-round sym/alive generations can be retired in-loop
+        low = _materialize(deg.where(F.col("deg") <= k).select("node"))
+        lows.append(low)
         assigned.append(
-            low.select(F.col("src").alias("node"), F.lit(k).alias("core_value"))
+            low.select("node", F.lit(k).cast("bigint").alias("core_value"))
         )
-        sym = _materialize(
-            sym.join(hint(low), "src", "leftanti").join(
-                hint(low.withColumnRenamed("src", "dst")), "dst", "leftanti"
+        new_alive = _materialize(alive.join(hint(low), "node", "leftanti"))
+        _release_checkpoint(alive)
+        alive = new_alive
+        new_sym = _materialize(
+            sym.join(
+                hint(low.withColumnRenamed("node", "src")), "src", "leftanti"
+            ).join(
+                hint(low.withColumnRenamed("node", "dst")), "dst", "leftanti"
             )
         )
+        _release_checkpoint(sym)
+        sym = new_sym
+    _release_checkpoint(alive, sym)
     if not assigned:
         return edges.sparkSession.createDataFrame(
-            [], "node string, core_value int"
+            [], "node string, core_value bigint"
         )
     out = assigned[0]
     for part in assigned[1:]:
         out = out.unionAll(part)
+    # transfer block ownership of the peeled leaves to the result
+    out._ckpt_rdd_ids = [
+        rid for low in lows for rid in getattr(low, "_ckpt_rdd_ids", [])
+    ]
+    for low in lows:
+        low._ckpt_rdd_ids = []
     return out
 
 
@@ -272,6 +316,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     graphs are short-diameter so min-propagation is the simpler win.)
     """
     sym = _materialize_wide(_symmetrize(edges, weighted=False).select("src", "dst"))
+    if _local_path_ok(edges, sym.count()):
+        from echo_chambers_detection_spark.operators.localgraph import (
+            connected_components_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        result = connected_components_local(rows)
+        return edges.sparkSession.createDataFrame(
+            list(result.items()), "node string, component string"
+        )
     labels = _materialize(_nodes_of_sym(sym).withColumn("component", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):

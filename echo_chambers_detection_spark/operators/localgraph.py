@@ -134,27 +134,74 @@ def _edge_arrays(sym_rows):
     if pd is not None and isinstance(sym_rows, pd.DataFrame):
         src = sym_rows.iloc[:, 0].astype(str).to_numpy()
         dst = sym_rows.iloc[:, 1].astype(str).to_numpy()
-        e_w = sym_rows.iloc[:, 2].to_numpy(dtype="float64")
+        if sym_rows.shape[1] > 2:
+            e_w = sym_rows.iloc[:, 2].to_numpy(dtype="float64")
+        else:  # unweighted frames (kcore / connected components)
+            e_w = np.ones(len(src))
     else:
-        src = np.array([str(r[0]) for r in sym_rows], dtype=object)
-        dst = np.array([str(r[1]) for r in sym_rows], dtype=object)
-        e_w = np.array([float(r[2]) for r in sym_rows])
-    ids_arr = np.unique(np.concatenate([src, dst])) if len(src) else np.array([], dtype=object)
+        rows = [tuple(r) for r in sym_rows]
+        src = np.array([str(r[0]) for r in rows], dtype=object)
+        dst = np.array([str(r[1]) for r in rows], dtype=object)
+        e_w = np.array(
+            [float(r[2]) if len(r) > 2 else 1.0 for r in rows]
+        )
+    if len(src) == 0:
+        return [], src.astype(np.int64), dst.astype(np.int64), e_w
+    if pd is not None:
+        # hash-based factorize is C-speed; object-dtype np.unique/
+        # searchsorted compare Python strings pairwise (measured ~8s of a
+        # 10s local solve on a 2.2M-edge frame). Sorting only the UNIQUE
+        # ids keeps index order == string order.
+        codes, uniq = pd.factorize(np.concatenate([src, dst]))
+        order = np.argsort(uniq)
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order), dtype=np.int64)
+        both = rank[codes]
+        e_src = both[: len(src)]
+        e_dst = both[len(src):]
+        return list(uniq[order]), e_src, e_dst, e_w
+    ids_arr = np.unique(np.concatenate([src, dst]))
     e_src = np.searchsorted(ids_arr, src).astype(np.int64)
     e_dst = np.searchsorted(ids_arr, dst).astype(np.int64)
     return list(ids_arr), e_src, e_dst, e_w
 
 
-def _group_sum(key, w):
-    """(sorted unique keys, per-key sums) — one sort, reduceat on group
-    boundaries; empty-safe (np.r_[True, ...] is NOT on empty input)."""
+def _group_sum(key, w, size=None):
+    """(sorted unique keys, per-key sums) — empty-safe. When the dense key
+    space fits (`size` given and ≤ 2**24 slots ≈ 134 MB of float64),
+    np.bincount replaces the sort: O(E + size) vs O(E log E), measured
+    ~6x on the 2.2M-edge local-solve rounds. Zero-weight groups that
+    APPEAR in `key` are kept in both paths (the dense path tracks
+    presence separately), matching the sort path's semantics — the
+    Louvain stay-option rides zero-weight self-edges."""
     np = _np()
     if len(key) == 0:
         return key, w
+    if size is not None and size <= (1 << 24):
+        tot = np.bincount(key, weights=w, minlength=size)
+        present = np.zeros(size, dtype=bool)
+        present[key] = True
+        uniq = np.flatnonzero(present)
+        return uniq, tot[uniq]
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     start = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
     return key_s[start], np.add.reduceat(w[order], start)
+
+
+def _segment_argmax(g_src, score, g_nbr):
+    """Per-src argmax of (score, g_nbr) over a frame whose g_src is
+    non-decreasing (both _group_sum paths emit sorted keys, and masks
+    preserve order). Returns (src per segment, winning g_nbr) — the
+    same (max score, tie: max nbr index) the lexsort-and-take-last
+    formulation produced, in O(K) passes instead of a 3-key sort."""
+    np = _np()
+    bnd = np.r_[True, g_src[1:] != g_src[:-1]]
+    starts = np.flatnonzero(bnd)
+    seg = np.cumsum(bnd) - 1
+    mx = np.maximum.reduceat(score, starts)
+    cand = np.where(score == mx[seg], g_nbr, -1)
+    return g_src[starts], np.maximum.reduceat(cand, starts)
 
 
 def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h):
@@ -171,7 +218,7 @@ def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h
         src = np.concatenate([e_src, self_src])
         nbr = np.concatenate([comm[e_dst], comm])
         w = np.concatenate([e_w, np.zeros(n)])
-        uniq, w_ic = _group_sum(src * n_comm + nbr, w)
+        uniq, w_ic = _group_sum(src * n_comm + nbr, w, size=n * n_comm)
         g_src = uniq // n_comm
         g_nbr = uniq % n_comm
         own = g_nbr == comm[g_src]
@@ -184,11 +231,7 @@ def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h
         )
         # argmax by (score, nbr index) per src — identical tie-break to
         # the distributed window-max + max(nbr_c)
-        o2 = np.lexsort((g_nbr, score, g_src))
-        gs = g_src[o2]
-        last = np.r_[gs[1:] != gs[:-1], True]
-        nodes_ = gs[last]
-        new_c = g_nbr[o2][last]
+        nodes_, new_c = _segment_argmax(g_src, score, g_nbr)
         old_c = comm[nodes_]
         par = ((h[nodes_] + rnd) % 2) == 0
         do = par & (new_c != old_c)
@@ -213,7 +256,9 @@ def coarsen_np(e_src, e_dst, e_w, selfw, comm_ids, comm, n):
     n_comm = len(comm_ids)
     cs, cd = comm[e_src], comm[e_dst]
     lt = cs < cd
-    uniq, pair_w = _group_sum(cs[lt] * n_comm + cd[lt], e_w[lt])
+    uniq, pair_w = _group_sum(
+        cs[lt] * n_comm + cd[lt], e_w[lt], size=n_comm * n_comm
+    )
     p_src, p_dst = uniq // n_comm, uniq % n_comm
     eq = cs == cd
     w_int = np.bincount(cs[eq], weights=e_w[eq], minlength=n_comm) / 2.0
@@ -319,6 +364,58 @@ def modularity_local(sym_rows, m, max_rounds):
     return {s: members_min[ids[comm[i]]] for i, s in enumerate(ids)}
 
 
+def kcore_local(sym_rows):
+    """Mirror of graph.kcore's peel with min-degree jumping: remove all
+    alive nodes with remaining degree <= k; k jumps to the remaining min
+    degree. A node orphaned by its neighbors' removal has degree 0 and
+    peels at the CURRENT k (mind=0 keeps k from jumping past it) — the
+    textbook sequential-peel label. Returns {node_id: core_value}."""
+    np = _np()
+    ids, e_src, e_dst, _ = _edge_arrays(sym_rows)
+    n = len(ids)
+    core = {}
+    alive = np.ones(n, dtype=bool)
+    alive_src, alive_dst = e_src, e_dst
+    k = 0
+    while alive.any():
+        deg = np.bincount(alive_src, minlength=n)
+        k = max(k, int(deg[alive].min()))
+        low = alive & (deg <= k)
+        for i in np.flatnonzero(low):
+            core[ids[i]] = k
+        alive &= ~low
+        keep = alive[alive_src] & alive[alive_dst]
+        alive_src, alive_dst = alive_src[keep], alive_dst[keep]
+    return core
+
+
+def connected_components_local(sym_rows):
+    """Union-find mirror of graph.connected_components: component id =
+    min member node id (string order == UTF-8 byte order, matching
+    Spark's F.least/F.min over strings). Returns {node_id: component}."""
+    np = _np()
+    ids, e_src, e_dst, _ = _edge_arrays(sym_rows)
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    half = e_src < e_dst
+    for a, b in zip(e_src[half], e_dst[half]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    comp_min = {}
+    for i, s in enumerate(ids):
+        r = find(i)
+        if r not in comp_min or s < comp_min[r]:
+            comp_min[r] = s
+    return {s: comp_min[find(i)] for i, s in enumerate(ids)}
+
+
 def refine_np(n, e_src, e_dst, e_w, selfw, node_ids, comm, m, h,
               gamma=1.0, max_rounds=4):
     """Mirror of graph._refine: grow γ-well-connected sub-communities
@@ -357,18 +454,16 @@ def refine_np(n, e_src, e_dst, e_w, selfw, node_ids, comm, m, h,
         c_src, c_own, c_tgt, c_w = (
             i_src[cmask], own[cmask], tgt[cmask], i_w[cmask],
         )
-        uniq, w_vs = _group_sum((c_src * n + c_tgt).astype(np.int64), c_w)
+        uniq, w_vs = _group_sum(
+            (c_src * n + c_tgt).astype(np.int64), c_w, size=n * n
+        )
         g_src, g_tgt = uniq // n, uniq % n
         score = w_vs - k[g_src] * k_s[g_tgt] / (2.0 * m)
         keep = (score > 0) & ((sizes[g_tgt] > 1) | (g_tgt > sub[g_src]))
         g_src, g_tgt, score = g_src[keep], g_tgt[keep], score[keep]
         if len(g_src) == 0:
             break
-        o2 = np.lexsort((g_tgt, score, g_src))
-        gs = g_src[o2]
-        last = np.r_[gs[1:] != gs[:-1], True]
-        nodes_ = gs[last]
-        new_sub = g_tgt[o2][last]
+        nodes_, new_sub = _segment_argmax(g_src, score, g_tgt)
         par = ((h[nodes_] + rnd) % 2) == 0
         do = par & (new_sub != sub[nodes_])
         moves = int(do.sum())

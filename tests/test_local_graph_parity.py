@@ -114,3 +114,48 @@ def test_louvain_midrun_switch(spark, monkeypatch):
              for r in G.louvain(edges, max_levels=3, max_rounds=8).collect()}
     assert calls["n"] >= 2  # the mid-run probe actually fired
     assert mixed == dist
+
+
+def test_kcore_parity_and_star_orphan(spark, monkeypatch):
+    """kcore local path == distributed peel, including the star-center
+    orphan case: when all a node's neighbors peel at level k, the node
+    loses every edge without being low itself and must still be assigned
+    core k (regression — the pre-fix peel derived the alive set from the
+    remaining edge list and silently dropped it)."""
+    star = [("hub", f"leaf{i}", 1.0) for i in range(6)]
+    tri = [("t1", "t2", 1.0), ("t2", "t3", 1.0), ("t1", "t3", 1.0)]
+    edges = spark.createDataFrame(
+        star + tri, "u1 string, u2 string, weight double"
+    ).select("u1", "u2")
+
+    local = {(r["node"], r["core_value"]) for r in G.kcore(edges).collect()}
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {(r["node"], r["core_value"]) for r in G.kcore(edges).collect()}
+    monkeypatch.undo()
+
+    assert local == dist
+    want = {("hub", 1), ("t1", 2), ("t2", 2), ("t3", 2)}
+    want |= {(f"leaf{i}", 1) for i in range(6)}
+    assert local == want
+
+
+def test_connected_components_parity(spark, monkeypatch):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r")]
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], "u1 string, u2 string, weight double"
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in G.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {
+        (r["node"], r["component"])
+        for r in G.connected_components(edges).collect()
+    }
+    monkeypatch.undo()
+    assert local == dist
+    assert local == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+        ("p", "p"), ("q", "p"), ("r", "p"),
+    }
