@@ -1,0 +1,603 @@
+"""HDBSCAN* over embedding columns — the reference's G3
+(gds.hdbscan.stream(G, nodeProperty="embedding"),
+project/metrics/community_detection.py:49-54; observed output
+/root/reference/hdbscan_clusters.csv: 3,614 clusters + 24.3% noise over
+77,392 users).
+
+This is the real hierarchy/stability algorithm (Campello, Moulavi,
+Sander 2013), not the DBSCAN-flavored substitution kept in
+graph.density_cluster — distributed with the standard approximation
+that the mutual-reachability MST is built over the k-NN graph instead
+of the complete graph (exact for any k large enough that the MST edges
+are all k-NN edges; the same approximation every distributed/accelerated
+HDBSCAN implementation makes):
+
+1. k-NN graph: blocked-GEMM tiles emit per-row top-k per tile, a
+   window keeps the global top-k per node (`knn_graph`). O(n·B·k)
+   shuffle rows, never n² pairs.
+2. core distance = distance to the min_pts-th nearest neighbor;
+   nodes with < min_pts neighbors get +inf (they can only be noise).
+3. mutual reachability: w(a,b) = max(d(a,b), core_a, core_b) on the
+   undirected k-NN edges; non-finite edges dropped.
+4. minimum spanning forest: driver-side Kruskal below the small-graph
+   bound (operators/localgraph semantics), distributed Borůvka above —
+   per-component min out-edge under the strict total order (w, u1, u2)
+   (no tie cycles), contract via connected components, O(log n) rounds.
+5. The forest (n-1 edges max — MB-scale even for 1e8 nodes) collects to
+   the driver for the inherently sequential condense: single-linkage
+   dendrogram -> condensed tree (min_cluster_size) -> stability
+   selection (excess of mass). The virtual root joining forest trees
+   and any cluster holding EVERY point are not selectable
+   (allow_single_cluster=False semantics).
+
+Labels: cluster id = min member node id (consistent with the other
+graph operators), noise = '-1' (the reference's convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# merges at distance 0 (identical vectors) would give lambda = 1/w = inf;
+# distances are rounded to 1e-6 upstream, so half an ulp is a safe floor
+_MIN_W = 1e-7
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int,
+    num_blocks: int = 8,
+    id_col: str = "node",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(src, dst, dist) — each node's k nearest neighbors by cosine
+    distance (1 - cosine, rounded 1e-6). Same tile shape as
+    ann.similarity_self_join_gemm: rows replicate to O(B) tiles, each
+    tile emits its LOCAL per-row top-k both directions, one window pass
+    keeps the global top-k. Deterministic ties: (dist, dst)."""
+    import pandas as pd
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(num_blocks))
+        .cast("int")
+        .alias("_b"),
+    )
+    tile_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_b"), F.lit(j)).alias("bi"),
+                F.greatest(F.col("_b"), F.lit(j)).alias("bj"),
+            )
+            for j in range(num_blocks)
+        ]
+    )
+    replicated = blocked.select(
+        "_id",
+        "_vec",
+        "_b",
+        F.explode(F.array_distinct(tile_keys)).alias("_tile"),
+    ).select("_id", "_vec", "_b", "_tile.bi", "_tile.bj")
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["_b"] == bi]
+        right = pdf[pdf["_b"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []})
+        lx = np.stack(left["_vec"].to_numpy()).astype("float64")
+        rx = np.stack(right["_vec"].to_numpy()).astype("float64")
+        ln = np.linalg.norm(lx, axis=1)
+        rn = np.linalg.norm(rx, axis=1)
+        denom = np.outer(ln, rn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dist = np.where(
+                denom > 0, 1.0 - np.round((lx @ rx.T) / denom, 6), np.inf
+            )
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        if bi == bj:
+            dist[lid[:, None] == rid[None, :]] = np.inf  # no self edges
+        out_s, out_d, out_w = [], [], []
+
+        def emit(d, rows_ids, cols_ids):
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            for i in range(d.shape[0]):
+                for j in part[i]:
+                    if np.isfinite(d[i, j]):
+                        out_s.append(rows_ids[i])
+                        out_d.append(cols_ids[j])
+                        out_w.append(float(d[i, j]))
+
+        emit(dist, lid, rid)
+        if bi != bj:
+            emit(dist.T, rid, lid)
+        return pd.DataFrame({"src": out_s, "dst": out_d, "dist": out_w})
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    cand = replicated.groupBy("bi", "bj").applyInPandas(
+        tile_topk, schema=f"src {id_type}, dst {id_type}, dist double"
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def core_distances(knn: DataFrame, min_pts: int) -> DataFrame:
+    """(node, core) — distance to the min_pts-th nearest neighbor from a
+    knn_graph frame; +inf when the node has fewer than min_pts
+    neighbors (such nodes can only ever be noise)."""
+    return knn.groupBy(F.col("src").alias("node")).agg(
+        F.coalesce(
+            F.element_at(F.sort_array(F.collect_list("dist")), min_pts),
+            F.lit(float("inf")),
+        ).alias("core")
+    )
+
+
+def mutual_reachability_edges(
+    knn: DataFrame, core: DataFrame, min_pts: int
+) -> DataFrame:
+    """Undirected (u1, u2, w) with w = max(dist, core_u1, core_u2);
+    non-finite rows dropped (a < min_pts-neighbor node has inf core, so
+    density can never reach it — it falls out of the forest and lands
+    in the noise label)."""
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("u1"),
+            F.greatest("src", "dst").alias("u2"),
+            "dist",
+        )
+        .groupBy("u1", "u2")
+        .agg(F.min("dist").alias("dist"))
+    )
+    c1 = core.select(F.col("node").alias("u1"), F.col("core").alias("_c1"))
+    c2 = core.select(F.col("node").alias("u2"), F.col("core").alias("_c2"))
+    return (
+        und.join(c1, "u1")
+        .join(c2, "u2")
+        .select(
+            "u1",
+            "u2",
+            F.greatest("dist", "_c1", "_c2").alias("w"),
+        )
+        .where(F.col("w") < float("inf"))
+    )
+
+
+def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Minimum spanning forest of undirected weighted (u1, u2, w).
+
+    Strict total order (w, u1, u2) makes the result deterministic and
+    the Borůvka rounds cycle-free; any MST of the same weights yields
+    the same single-linkage partition at every threshold, so the
+    downstream condense is path-independent. Local Kruskal below the
+    small-graph bound, distributed Borůvka (per-component min out-edge,
+    contract, repeat) above it.
+    """
+    from echo_chambers_detection_spark.operators.graph import (
+        _local_path_ok,
+        _materialize,
+        _release_checkpoint,
+        connected_components,
+    )
+
+    e = _materialize(edges.select("u1", "u2", F.col("w").cast("double")))
+    n_rows = e.count()
+    if _local_path_ok(edges, n_rows):
+        rows = e.toPandas()
+        _release_checkpoint(e)
+        picked = _kruskal_local(
+            list(zip(rows["u1"], rows["u2"], rows["w"]))
+        )
+        spark = edges.sparkSession
+        if not picked:
+            return spark.createDataFrame(
+                [], "u1 string, u2 string, w double"
+            )
+        return spark.createDataFrame(picked, "u1 string, u2 string, w double")
+
+    comp = _materialize(
+        e.select(F.col("u1").alias("node"))
+        .unionAll(e.select(F.col("u2").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    mst_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        lab1 = comp.select(F.col("node").alias("u1"), F.col("comp").alias("c1"))
+        lab2 = comp.select(F.col("node").alias("u2"), F.col("comp").alias("c2"))
+        live = (
+            e.join(lab1, "u1")
+            .join(lab2, "u2")
+            .where(F.col("c1") != F.col("c2"))
+        )
+        # per-component min out-edge under (w, u1, u2)
+        both = live.select(
+            F.col("c1").alias("c"), "w", "u1", "u2"
+        ).unionAll(live.select(F.col("c2").alias("c"), "w", "u1", "u2"))
+        win = Window.partitionBy("c").orderBy("w", "u1", "u2")
+        picked = _materialize(
+            both.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("u1", "u2", "w")
+            .distinct()
+        )
+        if picked.limit(1).count() == 0:
+            _release_checkpoint(picked)
+            break
+        mst_parts.append(picked)
+        # contract along picked edges: CC over the component graph
+        c_edges = (
+            picked.join(lab1, "u1")
+            .join(lab2, "u2")
+            .select(F.col("c1").alias("u1"), F.col("c2").alias("u2"))
+        )
+        remap = connected_components(c_edges)
+        new_comp = _materialize(
+            comp.join(
+                remap.withColumnRenamed("node", "comp"), "comp", "left"
+            ).select(
+                "node",
+                F.coalesce("component", F.col("comp")).alias("comp"),
+            )
+        )
+        _release_checkpoint(comp)
+        comp = new_comp
+    _release_checkpoint(comp, e)
+    spark = edges.sparkSession
+    if not mst_parts:
+        return spark.createDataFrame([], "u1 string, u2 string, w double")
+    out = mst_parts[0]
+    for p in mst_parts[1:]:
+        out = out.unionAll(p)
+    out._ckpt_rdd_ids = [
+        rid for p in mst_parts for rid in getattr(p, "_ckpt_rdd_ids", [])
+    ]
+    for p in mst_parts:
+        p._ckpt_rdd_ids = []
+    return out
+
+
+def _kruskal_local(rows) -> list[tuple[str, str, float]]:
+    """Deterministic Kruskal over (u1, u2, w) tuples, tie order
+    (w, u1, u2)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    picked = []
+    for u1, u2, w in sorted(rows, key=lambda t: (t[2], str(t[0]), str(t[1]))):
+        a, b = find(str(u1)), find(str(u2))
+        if a != b:
+            parent[b] = a
+            picked.append((str(u1), str(u2), float(w)))
+    return picked
+
+
+def condense_and_select(
+    node_ids: list[str],
+    mst_edges: list[tuple[str, str, float]],
+    min_cluster_size: int,
+) -> dict[str, str]:
+    """Driver-side HDBSCAN* tail over the (tiny) spanning forest:
+    single-linkage dendrogram -> condensed tree -> stability selection.
+    Returns {node: label} with label = min member id or '-1'.
+
+    Sequential by nature; the input is n-1 edges, not the data. Work is
+    sum of subtree sizes over GENUINE splits (both sides >=
+    min_cluster_size) plus small-side enumeration elsewhere — near
+    n log n on real hierarchies.
+    """
+    n = len(node_ids)
+    if n == 0:
+        return {}
+    idx = {s: i for i, s in enumerate(node_ids)}
+
+    # ---- single-linkage dendrogram via union-find over sorted edges ----
+    # cluster handle -> (members resolved lazily through a tree of merge
+    # records). Each merge creates internal node: (left, right, w).
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # current dendrogram node per union-find root; leaves are 0..n-1
+    dendro_of = list(range(n))
+    children: list[tuple[int, int]] = []  # internal node i -> pair
+    merge_w: list[float] = []
+    next_id = n
+    edges_sorted = sorted(
+        mst_edges, key=lambda t: (t[2], str(t[0]), str(t[1]))
+    )
+    for u1, u2, w in edges_sorted:
+        a, b = find(idx[str(u1)]), find(idx[str(u2)])
+        if a == b:
+            continue
+        da, db = dendro_of[a], dendro_of[b]
+        children.append((da, db))
+        merge_w.append(max(float(w), _MIN_W))
+        parent[b] = a
+        dendro_of[a] = next_id
+        next_id += 1
+    # virtual root joins remaining forest roots at w = inf (lambda = 0)
+    roots = sorted({dendro_of[find(i)] for i in range(n)})
+    while len(roots) > 1:
+        a, b = roots[0], roots[1]
+        children.append((a, b))
+        merge_w.append(float("inf"))
+        roots = [next_id] + roots[2:]
+        next_id += 1
+    root = roots[0]
+
+    if root < n:  # single point, no merges
+        return {node_ids[0]: "-1"}
+
+    # leaf lists per dendrogram node are materialized top-down during the
+    # condense walk itself (never precomputed for the whole tree)
+    def leaves_of(d: int) -> list[int]:
+        out: list[int] = []
+        stack = [d]
+        while stack:
+            x = stack.pop()
+            if x < n:
+                out.append(x)
+            else:
+                l, r = children[x - n]
+                stack.append(l)
+                stack.append(r)
+        return out
+
+    sizes: dict[int, int] = {}
+
+    def size_of(d: int) -> int:
+        if d < n:
+            return 1
+        if d not in sizes:
+            l, r = children[d - n]
+            sizes[d] = size_of(l) + size_of(r)
+        return sizes[d]
+
+    # iterative size computation to avoid deep recursion
+    stack = [root]
+    order = []
+    while stack:
+        x = stack.pop()
+        order.append(x)
+        if x >= n:
+            l, r = children[x - n]
+            stack.append(l)
+            stack.append(r)
+    for x in reversed(order):
+        if x >= n:
+            l, r = children[x - n]
+            sizes[x] = sizes.get(l, 1) + sizes.get(r, 1)
+        else:
+            sizes[x] = 1
+
+    # ---- condense ----
+    # condensed cluster records
+    c_parent: list[int] = []       # condensed tree parent (-1 for root)
+    c_birth: list[float] = []      # lambda at birth
+    c_stability: list[float] = []
+    c_children: list[list[int]] = []
+    c_points: list[list[int]] = [] # points that REMAIN at the final split
+    point_cluster: dict[int, tuple[int, float]] = {}  # leaf -> (cid, exit lambda)
+
+    def new_cluster(parent_cid: int, birth: float) -> int:
+        cid = len(c_parent)
+        c_parent.append(parent_cid)
+        c_birth.append(birth)
+        c_stability.append(0.0)
+        c_children.append([])
+        c_points.append([])
+        if parent_cid >= 0:
+            c_children[parent_cid].append(cid)
+        return cid
+
+    root_cid = new_cluster(-1, 0.0)
+    # walk: (dendrogram node, condensed cluster id)
+    work = [(root, root_cid)]
+    while work:
+        d, cid = work.pop()
+        # descend through non-splits: small side falls out, big side
+        # continues as the same condensed cluster
+        while True:
+            if d < n:
+                point_cluster[d] = (cid, float("inf"))
+                c_points[cid].append(d)
+                d = -1
+                break
+            l, r = children[d - n]
+            w = merge_w[d - n]
+            lam = 0.0 if w == float("inf") else 1.0 / w
+            sl, sr = sizes[l], sizes[r]
+            if sl >= min_cluster_size and sr >= min_cluster_size:
+                # genuine split: the sl+sr points still in cid all leave
+                # at lam (into the two new child clusters)
+                c_stability[cid] += (lam - c_birth[cid]) * (sl + sr)
+                lc = new_cluster(cid, lam)
+                rc = new_cluster(cid, lam)
+                work.append((r, rc))
+                d, cid = l, lc
+                continue
+            # at least one side is a runt
+            big, small = (l, r) if sl >= sr else (r, l)
+            if sizes[small] >= min_cluster_size:
+                big, small = small, big  # keep the qualifying side
+            # runt points fall out of cid at lam
+            for p in leaves_of(small):
+                point_cluster[p] = (cid, lam)
+                c_stability[cid] += lam - c_birth[cid]
+            if sizes[big] < min_cluster_size:
+                # both runts: everything falls out, cluster dies
+                for p in leaves_of(big):
+                    point_cluster[p] = (cid, lam)
+                    c_stability[cid] += lam - c_birth[cid]
+                d = -1
+                break
+            d = big  # continue as the same condensed cluster
+        # loop continues with next work item
+
+    # points that never fell out exit at the cluster's own death (they
+    # were recorded with exit lambda inf); cap their contribution at the
+    # max lambda seen inside the cluster = the birth of its children, or
+    # their own fall-outs. For leaves that persisted to a dendrogram
+    # leaf, lambda is effectively the last merge they participated in —
+    # approximated by the cluster's max observed lambda; contribution of
+    # a still-infinite exit uses the maximum finite lambda within the
+    # cluster, matching the 'leaf persists to the end' convention.
+    max_lam: dict[int, float] = {}
+    for p, (cid, lam) in point_cluster.items():
+        if lam != float("inf"):
+            max_lam[cid] = max(max_lam.get(cid, 0.0), lam)
+    for cid in range(len(c_parent)):
+        for ch in c_children[cid]:
+            max_lam[cid] = max(max_lam.get(cid, 0.0), c_birth[ch])
+    for p, (cid, lam) in list(point_cluster.items()):
+        if lam == float("inf"):
+            lam_eff = max_lam.get(cid, c_birth[cid])
+            c_stability[cid] += lam_eff - c_birth[cid]
+            point_cluster[p] = (cid, lam_eff)
+
+    # ---- selection (excess of mass) ----
+    total_n = n
+    c_size = [0] * len(c_parent)
+    # size = points that ever belonged (fell out OR persisted)
+    for p, (cid, _) in point_cluster.items():
+        c = cid
+        while c >= 0:
+            c_size[c] += 1
+            c = c_parent[c]
+
+    selectable = [
+        cid != root_cid and c_size[cid] < total_n
+        for cid in range(len(c_parent))
+    ]
+    selected = [False] * len(c_parent)
+    best: list[float] = [0.0] * len(c_parent)
+    # children before parents: cluster ids are created top-down, so
+    # reverse id order is a valid bottom-up order
+    for cid in reversed(range(len(c_parent))):
+        child_sum = sum(best[ch] for ch in c_children[cid])
+        if selectable[cid] and c_stability[cid] > child_sum:
+            selected[cid] = True
+            best[cid] = c_stability[cid]
+        else:
+            best[cid] = child_sum
+    # deselect descendants of selected clusters (keep the antichain)
+    out_label: dict[int, int] = {}
+
+    def descendants_off(cid: int) -> None:
+        stack = list(c_children[cid])
+        while stack:
+            x = stack.pop()
+            selected[x] = False
+            stack.extend(c_children[x])
+
+    for cid in range(len(c_parent)):
+        if selected[cid]:
+            descendants_off(cid)
+
+    # ---- labels ----
+    # point belongs to the selected ancestor (if any) of the cluster it
+    # exited from, provided it exited AT or ABOVE that cluster's reign —
+    # i.e. the selected cluster is cid or an ancestor of cid
+    sel_of: dict[int, int] = {}
+
+    def selected_ancestor(cid: int) -> int:
+        c = cid
+        while c >= 0:
+            if c in sel_of:
+                return sel_of[c]
+            if selected[c]:
+                sel_of[cid] = c
+                return c
+            c = c_parent[c]
+        sel_of[cid] = -1
+        return -1
+
+    member_min: dict[int, str] = {}
+    assign: dict[int, int] = {}
+    for p, (cid, _lam) in point_cluster.items():
+        sc = selected_ancestor(cid)
+        assign[p] = sc
+        if sc >= 0:
+            s = node_ids[p]
+            if sc not in member_min or s < member_min[sc]:
+                member_min[sc] = s
+
+    return {
+        node_ids[p]: (member_min[sc] if sc >= 0 else "-1")
+        for p, sc in assign.items()
+    }
+
+
+def hdbscan_cluster(
+    embeddings: DataFrame,
+    min_pts: int = 5,
+    min_cluster_size: int = 5,
+    k: int | None = None,
+    num_blocks: int = 8,
+    id_col: str = "node",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Full pipeline: k-NN graph -> core distances -> mutual
+    reachability -> spanning forest -> condensed-tree stability
+    selection. Returns (node, cluster); noise = '-1'."""
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _release_checkpoint,
+    )
+
+    if k is None:
+        k = max(min_pts + 1, 10)
+    spark = embeddings.sparkSession
+    knn = _materialize(
+        knn_graph(
+            embeddings, k=k, num_blocks=num_blocks,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    core = core_distances(knn, min_pts)
+    mre = mutual_reachability_edges(knn, core, min_pts)
+    forest = minimum_spanning_forest(mre)
+    # the forest is <= n-1 rows — THIS is the driver-side step, not the
+    # data; condense is sequential in any HDBSCAN implementation
+    f_rows = [
+        (r["u1"], r["u2"], float(r["w"])) for r in forest.collect()
+    ]
+    _release_checkpoint(forest, knn)
+    in_forest = sorted({u for e in f_rows for u in (e[0], e[1])})
+    labels = condense_and_select(in_forest, f_rows, min_cluster_size)
+    # labels cover only forest members; everything else (inf-core nodes,
+    # isolated points) is noise — the join stays distributed
+    if labels:
+        lab_df = spark.createDataFrame(
+            list(labels.items()), f"{id_col} string, _lab string"
+        )
+        return (
+            embeddings.select(id_col)
+            .join(lab_df, id_col, "left")  # AQE picks broadcast when small
+            .select(
+                id_col, F.coalesce("_lab", F.lit("-1")).alias("cluster")
+            )
+        )
+    return embeddings.select(id_col).withColumn("cluster", F.lit("-1"))

@@ -26,6 +26,7 @@ REF = {
     "leiden_communities": ("leiden", "community"),
     "modularity_optimization_communities": ("modularity_optimization", "community"),
     "density_clusters": ("hdbscan", "cluster"),
+    "hdbscan_clusters": ("hdbscan", "cluster"),
 }
 
 
@@ -102,6 +103,21 @@ def run_planted(spark) -> None:
         col = "community" if "community" in pdf.columns else pdf.columns[-1]
         s = stats_of(pdf[col])
         print(f"| {name} | {s['clusters']} | {s['top_frac']:.3f} |", flush=True)
+
+    # true HDBSCAN* over FastRP embeddings of the planted graph — the
+    # reference's exact pipeline shape (embed the graph, cluster the
+    # embeddings with hierarchy/stability semantics)
+    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.hdbscan import hdbscan_cluster
+
+    emb = fastrp(df, dim=32).withColumnRenamed("embedding", "vector")
+    pdf = hdbscan_cluster(emb, min_pts=4, min_cluster_size=5, k=12).toPandas()
+    s = stats_of(pdf["cluster"])
+    print(
+        f"| hdbscan (FastRP dim=32) | {s['clusters']} "
+        f"| {s['top_frac']:.3f} | noise {s['noise_pct']:.1f}% |",
+        flush=True,
+    )
 
 
 def main() -> None:

@@ -1,0 +1,226 @@
+"""HDBSCAN* operator tests (operators/hdbscan.py): hand-computed
+condense/stability cases, Kruskal-vs-Borůvka forest parity, and an
+end-to-end blob fixture through the Spark pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import echo_chambers_detection_spark.operators.graph as G
+from echo_chambers_detection_spark.operators.hdbscan import (
+    _kruskal_local,
+    condense_and_select,
+    hdbscan_cluster,
+    knn_graph,
+    minimum_spanning_forest,
+)
+
+
+def test_condense_two_triangles():
+    """Two tight 3-point groups bridged by a long edge: with
+    min_cluster_size=3 both sides are genuine clusters; with 4 the only
+    condensed cluster holds every point and is unselectable
+    (allow_single_cluster=False), so everything is noise."""
+    nodes = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    mst = [
+        ("a1", "a2", 0.1), ("a2", "a3", 0.1),
+        ("b1", "b2", 0.1), ("b2", "b3", 0.1),
+        ("a3", "b1", 10.0),
+    ]
+    got = condense_and_select(nodes, mst, min_cluster_size=3)
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
+    assert set(condense_and_select(nodes, mst, 4).values()) == {"-1"}
+
+
+def test_condense_runt_falls_out():
+    """A 2-point runt bridged onto two genuine clusters
+    (min_cluster_size=3) becomes noise while both clusters survive."""
+    nodes = ["c1", "c2", "c3", "c4", "d1", "d2", "d3", "r1", "r2"]
+    mst = [
+        ("c1", "c2", 0.1), ("c2", "c3", 0.1), ("c3", "c4", 0.1),
+        ("d1", "d2", 0.1), ("d2", "d3", 0.1),
+        ("r1", "r2", 0.1),          # runt pair, tight internally
+        ("c4", "d1", 5.0),          # genuine split point
+        ("d3", "r1", 6.0),          # runt hangs furthest out
+    ]
+    got = condense_and_select(nodes, mst, min_cluster_size=3)
+    assert got == {
+        "c1": "c1", "c2": "c1", "c3": "c1", "c4": "c1",
+        "d1": "d1", "d2": "d1", "d3": "d1",
+        "r1": "-1", "r2": "-1",
+    }
+
+
+def test_condense_single_cluster_is_noise():
+    """Standard allow_single_cluster=False semantics: when the root
+    cluster never genuinely splits (one dense blob + a runt), no cluster
+    is selectable and everything is noise — same behavior as the
+    reference implementation of HDBSCAN*."""
+    nodes = ["c1", "c2", "c3", "c4", "r1", "r2"]
+    mst = [
+        ("c1", "c2", 0.1), ("c2", "c3", 0.1), ("c3", "c4", 0.1),
+        ("r1", "r2", 0.1),
+        ("c4", "r1", 5.0),
+    ]
+    got = condense_and_select(nodes, mst, min_cluster_size=3)
+    assert set(got.values()) == {"-1"}
+
+
+def test_condense_forest_components_cluster_independently():
+    """Disconnected forest: each tree is a child of the virtual root and
+    selectable on its own (neither holds ALL points)."""
+    nodes = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    mst = [
+        ("a1", "a2", 0.1), ("a2", "a3", 0.1),
+        ("b1", "b2", 0.2), ("b2", "b3", 0.2),
+    ]
+    got = condense_and_select(nodes, mst, min_cluster_size=3)
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
+
+
+def _blob_embeddings(spark, n_per=12, n_noise=4, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    centers = np.eye(dim)[:3] * 10.0
+    for b, c in enumerate(centers):
+        for i in range(n_per):
+            v = c + rng.normal(0, 0.05, dim)
+            rows.append((f"blob{b}_p{i:02d}", [float(x) for x in v]))
+    for i in range(n_noise):
+        v = rng.normal(0, 1, dim) * 5.0
+        rows.append((f"noise_{i}", [float(x) for x in v]))
+    return spark.createDataFrame(rows, "node string, vector array<double>"), {
+        b: {f"blob{b}_p{i:02d}" for i in range(n_per)} for b in range(3)
+    }
+
+
+def test_hdbscan_blobs_end_to_end(spark):
+    emb, blobs = _blob_embeddings(spark)
+    out = {
+        r["node"]: r["cluster"]
+        for r in hdbscan_cluster(
+            emb, min_pts=3, min_cluster_size=5, k=8
+        ).collect()
+    }
+    assert len(out) == 3 * 12 + 4
+    for b, members in blobs.items():
+        labels = {out[m] for m in members}
+        assert len(labels) == 1, f"blob {b} split: {labels}"
+        assert labels != {"-1"}, f"blob {b} dissolved to noise"
+    # distinct blobs get distinct labels
+    assert len({next(iter({out[m] for m in ms})) for ms in blobs.values()}) == 3
+
+
+def test_forest_parity_local_vs_boruvka(spark, monkeypatch):
+    """Same fixture through local Kruskal and distributed Borůvka: both
+    must be spanning forests of equal total weight (strict (w,u1,u2)
+    total order makes both deterministic)."""
+    rng = np.random.default_rng(3)
+    n = 30
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < 0.25:
+                rows.append(
+                    (f"v{i:02d}", f"v{j:02d}", float(rng.integers(1, 6)))
+                )
+    edges = spark.createDataFrame(rows, "u1 string, u2 string, w double")
+
+    local = minimum_spanning_forest(edges).collect()
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = minimum_spanning_forest(edges).collect()
+    monkeypatch.undo()
+
+    def summarize(rs):
+        return len(rs), round(sum(r["w"] for r in rs), 6)
+
+    assert summarize(local) == summarize(dist)
+    # forest invariant: |edges| = |nodes| - |components| (via union-find)
+    nodes = {x for r in rows for x in (r[0], r[1])}
+    comp = {x: x for x in nodes}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for u1, u2, _ in rows:
+        comp[find(u1)] = find(u2)
+    n_comp = len({find(x) for x in nodes})
+    assert summarize(local)[0] == len(nodes) - n_comp
+
+
+def test_kruskal_total_weight_is_minimal():
+    """Cross-check Kruskal against brute force on a tiny graph."""
+    import itertools
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i}" for i in range(7)]
+    edges = []
+    for a, b in itertools.combinations(nodes, 2):
+        if rng.random() < 0.6:
+            edges.append((a, b, float(rng.integers(1, 9))))
+    picked = _kruskal_local(edges)
+    got = sum(w for _, _, w in picked)
+
+    # brute force over spanning forests of the same size
+    best = None
+    size = len(picked)
+    for combo in itertools.combinations(edges, size):
+        comp = {x: x for x in nodes}
+
+        def find(x):
+            while comp[x] != x:
+                comp[x] = comp[comp[x]]
+                x = comp[x]
+            return x
+
+        acyclic = True
+        for u1, u2, _ in combo:
+            a, b = find(u1), find(u2)
+            if a == b:
+                acyclic = False
+                break
+            comp[a] = b
+        if acyclic:
+            wsum = sum(w for _, _, w in combo)
+            best = wsum if best is None else min(best, wsum)
+    assert best is not None and got == best
+
+
+def test_knn_graph_exact_neighbors(spark):
+    """knn_graph's tiled top-k equals a brute-force nearest-neighbor
+    computation."""
+    emb, _ = _blob_embeddings(spark, n_per=5, n_noise=2)
+    rows = emb.collect()
+    vecs = {r["node"]: np.array(r["vector"]) for r in rows}
+
+    got = {}
+    for r in knn_graph(emb, k=3, num_blocks=4).collect():
+        got.setdefault(r["src"], set()).add(r["dst"])
+
+    for node, v in vecs.items():
+        dists = []
+        for other, w in vecs.items():
+            if other == node:
+                continue
+            cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+            dists.append((round(1.0 - round(cos, 6), 9), other))
+        want = {d for _, d in sorted(dists)[:3]}
+        # ties at the boundary may legitimately swap members; compare
+        # the distance multiset instead of ids where that happens
+        got_d = sorted(
+            round(d, 9)
+            for d, o in dists
+            if o in got[node]
+        )
+        want_d = sorted(d for d, _ in sorted(dists)[:3])
+        assert got_d == want_d, node
