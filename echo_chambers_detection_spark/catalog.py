@@ -1048,6 +1048,45 @@ def q_hdbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+norms AS (SELECT post_cid, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (
+    SELECT a.post_cid AS src, b.post_cid AS dst, SUM(a.x * b.x) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid != b.post_cid
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT d.src, d.dst,
+           1 - ROUND(d.dot / (na.nrm * nb.nrm), 6) AS dist
+    FROM dots d
+    JOIN norms na ON na.post_cid = d.src
+    JOIN norms nb ON nb.post_cid = d.dst
+),
+ranked AS (
+    SELECT src, dst, dist,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dists
+)
+SELECT src, dst, dist FROM ranked WHERE rn <= 5
+""",
+    doc="Exact k-NN graph (k=5, cosine distance) — the building block "
+    "under HDBSCAN* and the ANN family, exposed as its own "
+    "oracle-checked operator. GEMM tiles emit per-row tile-local top-k, "
+    "one window keeps the global top-k: O(n·B·k) shuffle rows, never "
+    "n² pairs past the tiles. Ties break (dist, dst) in both engines.",
+)
+def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.hdbscan import knn_graph
+
+    return knn_graph(
+        _emb(spark, sf_dir), k=5, num_blocks=4,
+        id_col="post_cid", vec_col="vector",
+    ).select(F.col("src"), F.col("dst"), F.col("dist"))
+
+
+@register(
     "connected_components_strong",
     f"""
 WITH RECURSIVE
@@ -2261,6 +2300,7 @@ _REGISTRY_ORDER = [
     # -- new this round ---------------------------------------------------
     "density_clusters_lsh",
     "hdbscan_clusters",
+    "knn_graph_topk",
     # -- green in round 1 only (rotated out of the r2 window) -------------
     "kafka_producer_messages",
     "order_stats_rollup",
@@ -2307,9 +2347,9 @@ _REGISTRY_ORDER = [
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "embedding_near_dup",
-    "multimodal_blob_stats",
     # ---- window boundary: entries below are position 51+ ----------------
     # -- double-green rotated OUT this round ------------------------------
+    "multimodal_blob_stats",
     "membership_with_labels",
     "pricing_summary",
     "revenue_by_nation",
