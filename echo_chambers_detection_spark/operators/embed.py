@@ -113,6 +113,15 @@ def embed_texts(
             texts = list(pdf[text_col].fillna(""))
             if mode == "real":
                 vecs = encode_batch_real(texts)
+                if vecs and len(vecs[0]) != dim:
+                    # the model's native width wins or nothing does —
+                    # silently shipping 384-wide vectors into a dim=64
+                    # pipeline (GEMM tiles, LSH planes) must not happen
+                    raise ValueError(
+                        f"real encoder produced dim={len(vecs[0])} but "
+                        f"dim={dim} was requested; pass the model's "
+                        "native dimension explicitly"
+                    )
             else:
                 vecs = encode_batch_fake(texts, dim)
             yield pd.DataFrame(

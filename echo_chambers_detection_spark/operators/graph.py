@@ -28,11 +28,17 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 try:  # the only failure modes _materialize's fallback should absorb are
-    # "API removed/renamed" (AttributeError/TypeError) and py4j-level
-    # call errors — anything else (analysis bugs, OOM) must surface
+    # "API removed/renamed" (AttributeError/TypeError) and py4j
+    # PROTOCOL errors (missing method). Py4JJavaError — a real JVM
+    # exception (analysis bug, OOM) — subclasses Py4JError and must
+    # surface, so it is re-raised ahead of the fallback handler.
     from py4j.protocol import Py4JError as _Py4JError
+    from py4j.protocol import Py4JJavaError as _Py4JJavaError
 except ImportError:  # pragma: no cover - py4j always ships with pyspark
     _Py4JError = ()
+
+    class _Py4JJavaError(Exception):  # pragma: no cover
+        pass
 
 # Node-state frames (labels, degrees, community sums) are one row per node
 # or per community. After localCheckpoint Catalyst loses their size stats
@@ -149,6 +155,8 @@ def _materialize(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         result = DataFrame(new_jdf, out.sparkSession)
+    except _Py4JJavaError:
+        raise  # real JVM failure — never absorb into the fallback
     except (AttributeError, TypeError, _Py4JError):
         if not _MATERIALIZE_FALLBACK_WARNED:
             _MATERIALIZE_FALLBACK_WARNED = True

@@ -95,17 +95,23 @@ def knn_graph(
         rn = np.linalg.norm(rx, axis=1)
         denom = np.outer(ln, rn)
         with np.errstate(divide="ignore", invalid="ignore"):
-            dist = np.where(
-                denom > 0, 1.0 - np.round((lx @ rx.T) / denom, 6), np.inf
+            raw = np.where(
+                denom > 0, 1.0 - (lx @ rx.T) / denom, np.inf
             )
         lid = left["_id"].to_numpy()
         rid = right["_id"].to_numpy()
         if bi == bj:
-            dist[lid[:, None] == rid[None, :]] = np.inf  # no self edges
+            raw[lid[:, None] == rid[None, :]] = np.inf  # no self edges
         out_s, out_d, out_w = [], [], []
 
+        # tile-local preselection keeps k+4 by RAW distance; the engine
+        # rounding (F.round, the repo's oracle-matched convention) and
+        # the (dist, dst) tie-break happen in the global window below,
+        # so rounding-induced ties near the cutoff still resolve the
+        # same way in both engines. The +4 pad covers candidates a
+        # 1e-6 rounding could promote across the raw boundary.
         def emit(d, rows_ids, cols_ids):
-            kk = min(k, d.shape[1])
+            kk = min(k + 4, d.shape[1])
             part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             for i in range(d.shape[0]):
                 for j in part[i]:
@@ -114,18 +120,24 @@ def knn_graph(
                         out_d.append(cols_ids[j])
                         out_w.append(float(d[i, j]))
 
-        emit(dist, lid, rid)
+        emit(raw, lid, rid)
         if bi != bj:
-            emit(dist.T, rid, lid)
+            emit(raw.T, rid, lid)
         return pd.DataFrame({"src": out_s, "dst": out_d, "dist": out_w})
 
     id_type = dict(embeddings.dtypes)[id_col]
     cand = replicated.groupBy("bi", "bj").applyInPandas(
         tile_topk, schema=f"src {id_type}, dst {id_type}, dist double"
     )
+    # decimal rounding JVM-side (HALF_UP) — same engine and convention as
+    # every other oracle-checked similarity operator; np.round's
+    # scaled-float half-even can disagree with SQL ROUND at boundaries
+    rounded = cand.withColumn(
+        "dist", F.lit(1.0) - F.round(F.lit(1.0) - F.col("dist"), 6)
+    )
     w = Window.partitionBy("src").orderBy("dist", "dst")
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
+        rounded.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -143,9 +155,7 @@ def core_distances(knn: DataFrame, min_pts: int) -> DataFrame:
     )
 
 
-def mutual_reachability_edges(
-    knn: DataFrame, core: DataFrame, min_pts: int
-) -> DataFrame:
+def mutual_reachability_edges(knn: DataFrame, core: DataFrame) -> DataFrame:
     """Undirected (u1, u2, w) with w = max(dist, core_u1, core_u2);
     non-finite rows dropped (a < min_pts-neighbor node has inf core, so
     density can never reach it — it falls out of the forest and lands
@@ -250,7 +260,9 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame
                 F.coalesce("component", F.col("comp")).alias("comp"),
             )
         )
-        _release_checkpoint(comp)
+        # remap (the CC labels frame) is only needed to build new_comp —
+        # retire its checkpoint generation in-loop like everything else
+        _release_checkpoint(comp, remap)
         comp = new_comp
     _release_checkpoint(comp, e)
     spark = edges.sparkSession
@@ -561,7 +573,12 @@ def hdbscan_cluster(
 ) -> DataFrame:
     """Full pipeline: k-NN graph -> core distances -> mutual
     reachability -> spanning forest -> condensed-tree stability
-    selection. Returns (node, cluster); noise = '-1'."""
+    selection. Returns (node string, cluster string); noise = '-1'.
+
+    Node ids are cast to string up front: the forest/condense layers key
+    by string (string order drives the min-member labels, matching every
+    other graph operator), so a numeric id column comes back stringified
+    rather than crashing in the driver-side tail."""
     from echo_chambers_detection_spark.operators.graph import (
         _materialize,
         _release_checkpoint,
@@ -570,6 +587,9 @@ def hdbscan_cluster(
     if k is None:
         k = max(min_pts + 1, 10)
     spark = embeddings.sparkSession
+    embeddings = embeddings.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(vec_col)
+    )
     knn = _materialize(
         knn_graph(
             embeddings, k=k, num_blocks=num_blocks,
@@ -577,7 +597,7 @@ def hdbscan_cluster(
         )
     )
     core = core_distances(knn, min_pts)
-    mre = mutual_reachability_edges(knn, core, min_pts)
+    mre = mutual_reachability_edges(knn, core)
     forest = minimum_spanning_forest(mre)
     # the forest is <= n-1 rows — THIS is the driver-side step, not the
     # data; condense is sequential in any HDBSCAN implementation

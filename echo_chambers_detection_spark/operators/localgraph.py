@@ -416,7 +416,7 @@ def connected_components_local(sym_rows):
     return {s: comp_min[find(i)] for i, s in enumerate(ids)}
 
 
-def refine_np(n, e_src, e_dst, e_w, selfw, node_ids, comm, m, h,
+def refine_np(n, e_src, e_dst, e_w, selfw, comm, m, h,
               gamma=1.0, max_rounds=4):
     """Mirror of graph._refine: grow γ-well-connected sub-communities
     from singletons, moves restricted to intra-community edges. `comm`
@@ -499,7 +499,7 @@ def leiden_local(sym_rows, m, max_levels, max_rounds, gamma=1.0):
             n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds, h
         )
         refined = refine_np(
-            n, e_src, e_dst, e_w, selfw, cur_ids, comm, m, h, gamma=gamma
+            n, e_src, e_dst, e_w, selfw, comm, m, h, gamma=gamma
         )
         sub2comm = {
             cur_ids[int(refined[i])]: comm0_ids[int(comm[i])]

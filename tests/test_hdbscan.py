@@ -224,3 +224,19 @@ def test_knn_graph_exact_neighbors(spark):
         )
         want_d = sorted(d for d, _ in sorted(dists)[:3])
         assert got_d == want_d, node
+
+
+def test_hdbscan_numeric_id_column(spark):
+    """Non-string id columns must work (ids come back stringified, the
+    forest/condense tail keys by string) — regression for the raw-vs-str
+    key mismatch in condense_and_select."""
+    emb, _ = _blob_embeddings(spark, n_per=8, n_noise=2)
+    numeric = emb.selectExpr(
+        "cast(abs(hash(node)) as bigint) as node", "vector"
+    )
+    out = hdbscan_cluster(
+        numeric, min_pts=3, min_cluster_size=5, k=8
+    ).collect()
+    assert len(out) == 8 * 3 + 2
+    labels = {r["cluster"] for r in out}
+    assert len(labels - {"-1"}) == 3  # blobs survive the id cast
