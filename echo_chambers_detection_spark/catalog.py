@@ -1041,7 +1041,10 @@ def q_hdbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hdbscan_cluster,
     )
 
-    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
+    # dim=128 matches the reference's FastRP parameters exactly
+    # (embeddingDimension=128 — BASELINE.md; gds.fastRP.mutate at
+    # project/metrics/community_detection.py:42-44) before HDBSCAN
+    emb = fastrp(_post_graph(spark, sf_dir), dim=128).withColumnRenamed(
         "embedding", "vector"
     )
     return hdbscan_cluster(emb, min_pts=3, min_cluster_size=3, k=10)
