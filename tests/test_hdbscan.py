@@ -240,3 +240,67 @@ def test_hdbscan_numeric_id_column(spark):
     assert len(out) == 8 * 3 + 2
     labels = {r["cluster"] for r in out}
     assert len(labels - {"-1"}) == 3  # blobs survive the id cast
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("mcs", [3, 5, 8])
+def test_condense_single_linkage_identity(seed, mcs):
+    """Structural identity independent of the condense implementation:
+    in single linkage, a selected cluster's member set M must equal the
+    connected component (within the forest) under edges strictly below
+    M's detach weight — the minimum weight of forest edges crossing M.
+    Distinct weights make the identity exact. Also: |M| >= mcs, labels
+    partition non-noise points, every label is one of its members."""
+    rng = np.random.default_rng(seed)
+    n = 40
+    nodes = [f"p{i:02d}" for i in range(n)]
+    # random spanning structure: attach each node to a random earlier
+    # node; two separate trees (forest case) when seed is odd
+    cut = n // 2 if seed % 2 else n
+    edges = []
+    weights = rng.permutation(n * 10)[: n - 1] / 7.0 + 0.01  # distinct
+    wi = 0
+    for i in range(1, n):
+        if i == cut:
+            continue  # second tree root
+        lo = cut if i > cut else 0
+        j = int(rng.integers(lo, i)) if i > lo else 0
+        edges.append((nodes[j], nodes[i], float(weights[wi])))
+        wi += 1
+
+    got = condense_and_select(nodes, edges, min_cluster_size=mcs)
+    assert set(got) == set(nodes)
+    # determinism
+    assert got == condense_and_select(nodes, edges, min_cluster_size=mcs)
+
+    clusters: dict[str, set[str]] = {}
+    for node, lab in got.items():
+        if lab != "-1":
+            clusters.setdefault(lab, set()).add(node)
+
+    adj: dict[str, list[tuple[str, float]]] = {s: [] for s in nodes}
+    for u1, u2, w in edges:
+        adj[u1].append((u2, w))
+        adj[u2].append((u1, w))
+
+    for lab, members in clusters.items():
+        assert lab in members  # label is the min member id
+        assert lab == min(members)
+        assert len(members) >= mcs
+        # detach weight: cheapest forest edge leaving the member set
+        crossing = [
+            w
+            for u1, u2, w in edges
+            if (u1 in members) != (u2 in members)
+        ]
+        wb = min(crossing) if crossing else float("inf")
+        # component of `lab` under edges with w < wb must equal members
+        seen = {lab}
+        stack = [lab]
+        while stack:
+            v = stack.pop()
+            for nb, w in adj[v]:
+                if w < wb and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        assert seen == members, (lab, mcs)
