@@ -126,3 +126,16 @@ def test_semi_and_anti_joins_planned(spark):
     anti = _q(spark, "customers_without_orders")
     assert count_operator(semi, "LeftSemi") >= 1
     assert count_operator(anti, "LeftAnti") >= 1
+
+
+def test_knn_graph_plan_shape(spark):
+    """knn_graph's physical plan: exactly two exchanges (tile routing +
+    the per-src window), the Pandas tile kernel as the only Python
+    operator, and a PARTIAL WindowGroupLimit before the src exchange so
+    per-src top-k prunes map-side instead of shuffling every tile
+    candidate."""
+    df = _q(spark, "knn_graph_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Partial" in plan[plan.index("WindowGroupLimit"):]
