@@ -275,3 +275,32 @@ def windowed_counts(
         "event_type",
         "n_events",
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact content dedup on an ingest stream: drop any document whose
+    md5(text) was already seen (the streaming face of
+    operators/dedup.exact_dedup_groups — same hash, same keep-first
+    policy within the state horizon).
+
+    State is BOUNDED by the watermark via dropDuplicatesWithinWatermark:
+    a key's state is dropped once the event-time watermark passes it, so
+    at 100 TB/day ingest the dedup state holds one horizon of hashes,
+    not the full corpus (plain dropDuplicates on a stream grows state
+    forever — corpus-lifetime exact dedup belongs to the batch operator
+    over the accumulated table). On a static frame this degrades to
+    plain dropDuplicates for testability, mirroring windowed_counts.
+    """
+    hashed = docs.withColumn("_text_md5", F.md5(F.col(text_col)))
+    if hashed.isStreaming:
+        return (
+            hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_text_md5"])
+            .drop("_text_md5")
+        )
+    return hashed.dropDuplicates(["_text_md5"]).drop("_text_md5")

@@ -221,3 +221,55 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     merged = spark.read.parquet(target)
     assert merged.count() == 50
     assert merged.where("k = 'k0'").first()["v"] == 100
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """streaming_exact_dedup drops later copies of an already-seen text
+    across micro-batches (within the watermark horizon), keeping the
+    first arrival — the streaming face of exact_dedup_groups."""
+    from echo_chambers_detection_spark.streaming.ingest import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    _write_topic(
+        src,
+        [
+            {"doc_id": "d1", "text": "alpha beta", "ts": 1000},
+            {"doc_id": "d2", "text": "gamma", "ts": 1001},
+            {"doc_id": "d3", "text": "alpha beta", "ts": 1002},  # dup of d1
+        ],
+        "b1.json",
+    )
+    _write_topic(
+        src,
+        [
+            {"doc_id": "d4", "text": "alpha beta", "ts": 1003},  # dup again
+            {"doc_id": "d5", "text": "delta", "ts": 1004},
+        ],
+        "b2.json",
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts long")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha beta", "gamma", "delta"}
+    n = spark.read.parquet(out).count()
+    assert n == 3  # exactly one survivor per distinct text
+
+    # static-frame fixpoint: same operator, batch semantics
+    static = spark.read.schema("doc_id string, text string, ts long").json(src)
+    assert streaming_exact_dedup(static).count() == 3
