@@ -1523,6 +1523,92 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+uni AS (
+    SELECT doc_id, x AS w, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS x FROM toks)
+    GROUP BY 1, 2
+),
+us AS (
+    SELECT doc_id, MAX(c) AS mx, SUM(c) AS n, COUNT(*) AS dn
+    FROM uni GROUP BY 1
+),
+big AS (
+    SELECT doc_id, b, COUNT(*) AS c
+    FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS b
+        FROM toks
+    )
+    GROUP BY 1, 2
+),
+bs AS (SELECT doc_id, MAX(c) AS mxb, SUM(c) AS nb FROM big GROUP BY 1)
+SELECT tk.doc_id,
+       len(tk.t) AS n_tokens,
+       ROUND(us.dn * 1.0 / us.n, 6) AS distinct_token_frac,
+       ROUND(us.mx * 1.0 / us.n, 6) AS top_unigram_frac,
+       ROUND(bs.mxb * 1.0 / bs.nb, 6) AS top_bigram_frac
+FROM toks tk
+LEFT JOIN us ON us.doc_id = tk.doc_id
+LEFT JOIN bs ON bs.doc_id = tk.doc_id
+""",
+    doc="Repetition-based quality filters for training-data curation "
+    "(the Gopher/MassiveText rules, word-token formulation): distinct-"
+    "token fraction, most-common-unigram fraction, most-common-bigram "
+    "fraction. All native Catalyst explode+agg — the standard pre-"
+    "training filter pass runs as one distributed query per corpus.",
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    t = tokenize("text")
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("t")
+    )
+    uni = (
+        base.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum("count").alias("n"),
+            F.count("*").alias("dn"),
+        )
+    )
+    bi = (
+        base.select("doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mxb"), F.sum("count").alias("nb"))
+    )
+    return (
+        base.join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.round(F.col("dn").cast("double") / F.col("n"), 6).alias(
+                "distinct_token_frac"
+            ),
+            F.round(F.col("mx").cast("double") / F.col("n"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(F.col("mxb").cast("double") / F.col("nb"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
     "text_quality_scores",
     f"""
 WITH {_ORACLE_TOKS_CTE},
@@ -2304,6 +2390,7 @@ _REGISTRY_ORDER = [
     "density_clusters_lsh",
     "hdbscan_clusters",
     "knn_graph_topk",
+    "doc_repetition_scores",
     # -- green in round 1 only (rotated out of the r2 window) -------------
     "kafka_producer_messages",
     "order_stats_rollup",
@@ -2349,9 +2436,9 @@ _REGISTRY_ORDER = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
-    "embedding_near_dup",
     # ---- window boundary: entries below are position 51+ ----------------
     # -- double-green rotated OUT this round ------------------------------
+    "embedding_near_dup",
     "multimodal_blob_stats",
     "membership_with_labels",
     "pricing_summary",

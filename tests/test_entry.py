@@ -33,6 +33,7 @@ def test_registry_window_covers_unverified_queries():
         "event_value_percentiles", "event_type_user_cube",
         "embedded_documents", "ann_lsh_topk", "embedding_lsh_near_dup",
         "density_clusters_lsh", "hdbscan_clusters", "knn_graph_topk",
+        "doc_repetition_scores",
         # green in round 1 only — need a second-era stamp
         "kafka_producer_messages", "order_stats_rollup",
         "engaged_user_set_ops", "user_profiles_cleaned",
