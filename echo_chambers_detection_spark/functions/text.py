@@ -47,12 +47,21 @@ def token_count(col: Column | str) -> Column:
 
 def word_ngrams(tokens: Column | str, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the doc has
-    fewer than n tokens."""
+    fewer than n tokens.
+
+    The short-doc branch must be an explicit WHEN guard: Spark's
+    sequence(1, 0) evaluates DESCENDING to [1, 0], and slice(t, 0, n)
+    then raises INVALID_PARAMETER_VALUE.START — so a greatest(.., 0)
+    upper bound alone crashes on <n-token docs (empty / punctuation-only
+    text, exactly what quality filters see)."""
     t = _c(tokens)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(tokens: Column | str, lang: str = "en") -> Column:

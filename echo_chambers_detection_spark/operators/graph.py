@@ -319,6 +319,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     component. O(diameter) rounds; each round one join + one groupBy.
     Returns (node, component).
 
+    Raises RuntimeError if the fixpoint is not reached within max_iter —
+    a partially-propagated labelling silently splits components, which
+    corrupts every downstream contract (Borůvka contraction re-picks
+    edges across the split, dedup keep-lists keep both halves), so
+    non-convergence must be loud. min-propagation needs O(diameter)
+    rounds; raise max_iter for path-like graphs.
+
     (For graphs with huge diameters, the two-phase large-star/small-star
     algorithm [Kiveris et al., COCOA'14] halves round counts; co-engagement
     graphs are short-diameter so min-propagation is the simpler win.)
@@ -337,6 +344,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
     labels = _materialize(_nodes_of_sym(sym).withColumn("component", F.col("node")))
     hint = _state_hint(_probe_small(labels))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(hint(labels.withColumnRenamed("node", "src")), "src")
@@ -370,6 +378,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if changed == 0:
             break
     _release_checkpoint(sym)
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — the graph's diameter "
+            "exceeds the round budget; pass a larger max_iter"
+        )
     return labels
 
 
@@ -1205,7 +1219,13 @@ def fastrp(
             )
             w = Window.partitionBy("node")
             norm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))
-            cur = _materialize(
+            # _materialize_wide, not _materialize: AQE rightly coalesces
+            # the small (node, dim) agg output, but the checkpoint would
+            # freeze that narrow partitioning and the next round's join
+            # scans the frozen leaf with 1-2 tasks (same collapse as the
+            # louvain round-state fix; measured ~15% of fastrp wall time
+            # at sf0.1).
+            cur = _materialize_wide(
                 propagated.select(
                     "node",
                     "dim",

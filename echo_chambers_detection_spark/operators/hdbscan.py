@@ -15,8 +15,10 @@ HDBSCAN implementation makes):
 1. k-NN graph: blocked-GEMM tiles emit per-row top-k per tile, a
    window keeps the global top-k per node (`knn_graph`). O(n·B·k)
    shuffle rows, never n² pairs.
-2. core distance = distance to the min_pts-th nearest neighbor;
-   nodes with < min_pts neighbors get +inf (they can only be noise).
+2. core distance = distance to the (min_pts-1)-th nearest OTHER
+   neighbor (Campello counts the point itself in its min_pts-
+   neighborhood, matching the hdbscan library); nodes with fewer
+   neighbors get +inf (they can only be noise).
 3. mutual reachability: w(a,b) = max(d(a,b), core_a, core_b) on the
    undirected k-NN edges; non-finite edges dropped.
 4. minimum spanning forest: driver-side Kruskal below the small-graph
@@ -47,7 +49,7 @@ _MIN_W = 1e-7
 def knn_graph(
     embeddings: DataFrame,
     k: int,
-    num_blocks: int = 8,
+    num_blocks: int | None = 8,
     id_col: str = "node",
     vec_col: str = "vector",
 ) -> DataFrame:
@@ -55,8 +57,20 @@ def knn_graph(
     distance (1 - cosine, rounded 1e-6). Same tile shape as
     ann.similarity_self_join_gemm: rows replicate to O(B) tiles, each
     tile emits its LOCAL per-row top-k both directions, one window pass
-    keeps the global top-k. Deterministic ties: (dist, dst)."""
+    keeps the global top-k. Deterministic ties: (dist, dst).
+
+    num_blocks=None derives the block count from n (one count job): the
+    fixed-8 default keeps tile ROW counts growing with n, so the pair
+    matrix of one tile is (n/8)² doubles — fine at 77k nodes, executor
+    death at 100×. Derived tiles cap at ~4096 rows (≤128 MB pair
+    matrix) regardless of n. FLOPs stay O(n²) either way — this is the
+    exact path; `knn_graph_ann` is the scale path that prunes the pair
+    space itself."""
     import pandas as pd
+
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(8, -(-n // 4096))
 
     blocked = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -104,21 +118,36 @@ def knn_graph(
             raw[lid[:, None] == rid[None, :]] = np.inf  # no self edges
         out_s, out_d, out_w = [], [], []
 
-        # tile-local preselection keeps k+4 by RAW distance; the engine
-        # rounding (F.round, the repo's oracle-matched convention) and
-        # the (dist, dst) tie-break happen in the global window below,
-        # so rounding-induced ties near the cutoff still resolve the
-        # same way in both engines. The +4 pad covers candidates a
-        # 1e-6 rounding could promote across the raw boundary.
+        # tile-local preselection keeps k+4; the engine rounding
+        # (F.round, the repo's oracle-matched convention) and the
+        # (dist, dst) tie-break happen in the global window below, so
+        # rounding-induced ties near the cutoff still resolve the same
+        # way in both engines. The +4 pad covers candidates a 1e-6
+        # rounding could promote across the raw boundary. Pruning within
+        # a raw-distance tie set must follow the SAME (dist, dst) order
+        # as the global window — raw argpartition alone drops an
+        # arbitrary subset when >k+4 candidates tie (e.g. many duplicate
+        # vectors at dist 0), making the result shuffle-order-dependent.
         def emit(d, rows_ids, cols_ids):
             kk = min(k + 4, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             for i in range(d.shape[0]):
-                for j in part[i]:
-                    if np.isfinite(d[i, j]):
-                        out_s.append(rows_ids[i])
-                        out_d.append(cols_ids[j])
-                        out_w.append(float(d[i, j]))
+                di = d[i]
+                part = np.argpartition(di, kk - 1)[:kk]
+                thr = di[part].max()
+                if np.isfinite(thr):
+                    # all ties at the cutoff, then prune deterministically
+                    cand = np.flatnonzero(di <= thr)
+                else:
+                    cand = np.flatnonzero(np.isfinite(di))
+                if cand.size == 0:
+                    continue
+                cand = sorted(
+                    cand.tolist(), key=lambda j: (di[j], cols_ids[j])
+                )[:kk]
+                for j in cand:
+                    out_s.append(rows_ids[i])
+                    out_d.append(cols_ids[j])
+                    out_w.append(float(di[j]))
 
         emit(raw, lid, rid)
         if bi != bj:
@@ -144,12 +173,19 @@ def knn_graph(
 
 
 def core_distances(knn: DataFrame, min_pts: int) -> DataFrame:
-    """(node, core) — distance to the min_pts-th nearest neighbor from a
-    knn_graph frame; +inf when the node has fewer than min_pts
-    neighbors (such nodes can only ever be noise)."""
+    """(node, core) — Campello 2013 / hdbscan-library semantics: a point
+    counts ITSELF in its min_pts-neighborhood, so core distance is the
+    distance to the (min_pts-1)-th OTHER neighbor in the knn_graph
+    frame; +inf when the node has fewer than min_pts-1 neighbors (such
+    nodes can only ever be noise). min_pts=1 gives core 0 (the
+    neighborhood is the point alone)."""
+    if min_pts <= 1:
+        return knn.groupBy(F.col("src").alias("node")).agg(
+            F.lit(0.0).alias("core")
+        )
     return knn.groupBy(F.col("src").alias("node")).agg(
         F.coalesce(
-            F.element_at(F.sort_array(F.collect_list("dist")), min_pts),
+            F.element_at(F.sort_array(F.collect_list("dist")), min_pts - 1),
             F.lit(float("inf")),
         ).alias("core")
     )
@@ -251,7 +287,12 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .join(lab2, "u2")
             .select(F.col("c1").alias("u1"), F.col("c2").alias("u2"))
         )
-        remap = connected_components(c_edges)
+        # Borůvka's min-out-edge graph can form long pointer chains at
+        # extreme scale; min-label CC needs O(diameter) rounds and now
+        # RAISES instead of silently splitting a component (which would
+        # let a later round re-pick edges and break the forest
+        # contract), so give the contraction a generous budget.
+        remap = connected_components(c_edges, max_iter=200)
         new_comp = _materialize(
             comp.join(
                 remap.withColumnRenamed("node", "comp"), "comp", "left"

@@ -226,6 +226,28 @@ def test_knn_graph_exact_neighbors(spark):
         assert got_d == want_d, node
 
 
+def test_knn_graph_duplicate_vector_ties_deterministic(spark):
+    """ADVICE r3: with far more than k+4 identical vectors (all pairwise
+    dist 0), tile-local pruning must keep the tie set in the same
+    (dist, dst) order the global window uses — raw argpartition alone
+    dropped an arbitrary, shuffle-order-dependent subset. With 20 dups
+    the winners must be exactly the k lexicographically smallest OTHER
+    ids, on every run and for every block count."""
+    dup = [("d%02d" % i, [1.0, 0.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(dup, "node string, vector array<float>")
+    want = {
+        src: ["d%02d" % j for j in range(20) if "d%02d" % j != src][:3]
+        for src, _ in dup
+    }
+    for num_blocks in (1, 3, 8):
+        rows = knn_graph(emb, k=3, num_blocks=num_blocks).collect()
+        got: dict[str, list[str]] = {}
+        for r in sorted(rows, key=lambda r: (r["src"], r["dist"], r["dst"])):
+            got.setdefault(r["src"], []).append(r["dst"])
+            assert r["dist"] == 0.0
+        assert got == want, f"num_blocks={num_blocks}"
+
+
 def test_hdbscan_numeric_id_column(spark):
     """Non-string id columns must work (ids come back stringified, the
     forest/condense tail keys by string) — regression for the raw-vs-str

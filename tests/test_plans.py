@@ -128,6 +128,22 @@ def test_semi_and_anti_joins_planned(spark):
     assert count_operator(anti, "LeftAnti") >= 1
 
 
+def test_fastrp_plan_shape(spark):
+    """fastrp's final assembly plan (VERDICT r3 #4 — rule out silent
+    parallelism collapse behind the ×1.20 bench drift): zero Python
+    stages, exactly four exchanges (dense node×dim re-key + broadcast
+    of the 128-row dim range + node-set dedup + term-sum), and a
+    map-side partial_sum before the term-union aggregation. The loop
+    itself checkpoints through _materialize_wide, so every generation
+    is re-widened to the session's shuffle parallelism before the next
+    round scans it."""
+    df = _q(spark, "fastrp_embeddings")
+    assert not has_python_stage(df), "fastrp fell back to Python"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 4, plan
+    assert "partial_sum" in plan, plan
+
+
 def test_knn_graph_plan_shape(spark):
     """knn_graph's physical plan: exactly two exchanges (tile routing +
     the per-src window), the Pandas tile kernel as the only Python

@@ -1,0 +1,103 @@
+"""Edge-case checks for the native text expressions (SURVEY.md M6 text
+analysis). The short-document cases are the regression for the
+sequence(1,0)-descends crash: Spark's sequence(1, 0) evaluates to [1, 0]
+and slice(t, 0, n) then raises INVALID_PARAMETER_VALUE.START, so
+word_ngrams must branch explicitly on size(t) >= n. Quality filters see
+empty / punctuation-only docs constantly, so this path must not throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from echo_chambers_detection_spark.functions.text import (
+    minhash_fingerprint,
+    quality_score,
+    tokenize,
+    word_ngrams,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            ("d0", ""),
+            ("d1", "!!! ... ???"),
+            ("d2", "one"),
+            ("d3", "two words"),
+            ("d4", "the quick brown fox jumps"),
+        ],
+        "doc_id string, text string",
+    )
+
+
+def test_word_ngrams_short_docs_do_not_crash(spark):
+    rows = {
+        r.doc_id: r.bigrams
+        for r in _docs(spark)
+        .select(
+            "doc_id", word_ngrams(tokenize("text"), 2).alias("bigrams")
+        )
+        .collect()
+    }
+    assert rows["d0"] == []
+    assert rows["d1"] == []  # punctuation-only -> zero tokens
+    assert rows["d2"] == []  # one token < n=2
+    assert rows["d3"] == ["two words"]
+    assert rows["d4"] == [
+        "the quick",
+        "quick brown",
+        "brown fox",
+        "fox jumps",
+    ]
+
+
+def test_word_ngrams_trigram_boundary(spark):
+    rows = {
+        r.doc_id: r.tri
+        for r in _docs(spark)
+        .select("doc_id", word_ngrams(tokenize("text"), 3).alias("tri"))
+        .collect()
+    }
+    assert rows["d3"] == []  # 2 tokens < n=3
+    assert len(rows["d4"]) == 3
+
+
+def test_fingerprint_and_quality_on_short_docs(spark):
+    # minhash_fingerprint shingles via word_ngrams: NULL (not crash) for
+    # docs shorter than the shingle width; quality_score stays defined.
+    rows = (
+        _docs(spark)
+        .select(
+            "doc_id",
+            minhash_fingerprint("text", ngram=3).alias("fp"),
+            quality_score("text").alias("q"),
+        )
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id["d0"].fp is None
+    assert by_id["d1"].fp is None
+    assert by_id["d3"].fp is None
+    assert by_id["d4"].fp is not None
+    for r in rows:
+        assert r.q is not None and 0.0 <= r.q <= 1.0
+
+
+def test_doc_repetition_query_handles_short_docs(spark, tmp_path):
+    # End-to-end regression on the registered query itself: write a tiny
+    # documents table containing empty/one-token docs and run
+    # doc_repetition_scores over it (ADVICE r3: crashed before the guard).
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    d = str(tmp_path / "sf_tiny")
+    _docs(spark).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in QUERY_REGISTRY["doc_repetition_scores"]
+        .spark(spark, d)
+        .collect()
+    }
+    assert len(out) == 5
+    assert out["d0"].n_tokens == 0
+    assert out["d0"].top_bigram_frac is None
+    assert out["d3"].top_bigram_frac == 1.0
