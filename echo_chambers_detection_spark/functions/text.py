@@ -19,15 +19,45 @@ from pyspark.sql import Column, functions as F
 # Tiny per-language stopword sets for the n-gram/stopword language-ID
 # heuristic. Deliberately small and overlapping (de/la/en appear in
 # multiple languages) — the classifier is a heuristic, not a model.
+# 10 languages (VERDICT r3 #8 breadth); all entries ASCII so Spark and
+# DuckDB tokenize identically.
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
     "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "it": ["il", "di", "che", "e", "la", "per", "non", "una", "sono", "con"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um", "para", "com"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till", "med", "har"],
+    "pl": ["nie", "to", "sie", "na", "jest", "do", "ze", "jak", "ale", "po"],
+    "tr": ["bir", "bu", "ve", "da", "ne", "icin", "ile", "mi", "gibi", "en"],
 }
 
-# Tie-break order is the CASE-chain order: en > es > de > fr.
-LANG_ORDER = ("en", "es", "de", "fr")
+# Tie-break order IS the CASE-chain order: earlier language wins ties.
+LANG_ORDER = ("en", "es", "de", "fr", "it", "pt", "nl", "sv", "pl", "tr")
+
+# Character-level profiles for the trigram language-ID variant: counts
+# of these substrings in the raw lowercased text (so scripts the word
+# tokenizer cannot segment — zh — still classify). Latin profiles are
+# space-padded trigrams of high-frequency function-word shapes; the zh
+# profile is the highest-frequency hanzi. Shared substrings across
+# languages are fine — the deterministic chain resolves ties.
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", " an", "nd ", "ing"],
+    "es": [" de", " la", "os ", " qu", "ion", " es"],
+    "de": ["er ", "ein", "ich", "sch", "die", "und"],
+    "fr": [" le", "es ", " la", "ent", "que", " et"],
+    "it": [" di", "re ", "che", " co", "la ", "to "],
+    "pt": [" de", " co", "os ", " pa", "ao ", " um"],
+    "nl": [" de", "en ", "een", "van", "het", "aar"],
+    "sv": ["och", " at", "en ", "det", "som", "ar "],
+    "pl": ["nie", "prz", "ie ", "na ", " po", "ych"],
+    "tr": ["bir", "lar", "ler", " ve", " bi", "in "],
+    "zh": ["的", "是", "了", "在", "我", "一"],
+}
+
+TRIGRAM_ORDER = LANG_ORDER + ("zh",)
 
 
 def _c(col: Column | str) -> Column:
@@ -93,29 +123,53 @@ def quality_score(col: Column | str) -> Column:
     return length_term * sw_term * p_term
 
 
+def _lang_case_chain(hits: dict, order: tuple[str, ...]) -> Column:
+    """CASE chain over per-language scores: language L wins if its score
+    is >= every LATER language's score — so on full ties the earliest
+    language in `order` wins. The oracle SQL builds the identical chain
+    from the same tables (catalog._lang_hits_sql)."""
+    expr = F.lit(order[-1])
+    for idx in range(len(order) - 2, -1, -1):
+        lang = order[idx]
+        cond = None
+        for other in order[idx + 1 :]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def language_id(col: Column | str) -> Column:
-    """Stopword-hit language ID with a deterministic CASE-chain tie-break
-    (en > es > de > fr) — the same chain the oracle SQL uses."""
+    """Stopword-hit language ID over LANG_ORDER (10 languages) with the
+    deterministic CASE-chain tie-break — the same chain the oracle SQL
+    uses."""
     t = tokenize(col)
     hits = {}
     for lang in LANG_ORDER:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hits[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    expr = F.lit("fr")
-    # build the chain backwards so evaluation order matches LANG_ORDER
-    expr = F.when(
-        (hits["de"] >= hits["fr"]), F.lit("de")
-    ).otherwise(expr)
-    expr = F.when(
-        (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]), F.lit("es")
-    ).otherwise(expr)
-    expr = F.when(
-        (hits["en"] >= hits["es"])
-        & (hits["en"] >= hits["de"])
-        & (hits["en"] >= hits["fr"]),
-        F.lit("en"),
-    ).otherwise(expr)
-    return expr
+    return _lang_case_chain(hits, LANG_ORDER)
+
+
+def language_id_trigram(col: Column | str) -> Column:
+    """Character-profile language ID over TRIGRAM_ORDER (11 languages
+    incl. zh): score = total occurrences of the language's profile
+    substrings in the lowercased text (each counted as
+    (len - len(remove(sub))) / len(sub) — pure codegen string ops, no
+    Python, identical closed form in DuckDB). Scripts the word
+    tokenizer cannot segment still classify, which is why this variant
+    exists next to the stopword one."""
+    t = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    hits = {}
+    for lang in TRIGRAM_ORDER:
+        score = F.lit(0)
+        for sub in TRIGRAM_PROFILES[lang]:
+            occ = (
+                F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))
+            ) / F.lit(len(sub))
+            score = score + occ.cast("int")
+        hits[lang] = score
+    return _lang_case_chain(hits, TRIGRAM_ORDER)
 
 
 def minhash_fingerprint(col: Column | str, ngram: int = 3) -> Column:

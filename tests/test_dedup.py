@@ -54,3 +54,89 @@ def test_jaccard_cap_no_op_when_under_threshold(spark):
         for r in jaccard_pairs(sh, threshold=0.0, max_shingle_freq=10).collect()
     }
     assert base == capped
+
+
+def _md5_vote16(c):
+    """Test seam: a vote-hash long whose low 16 bits reproduce
+    simhash16's per-digit votes (bit j set iff hex digit j of md5 is in
+    8..f), bits 16+ all zero."""
+    h = F.md5(c)
+    acc = F.lit(0).cast("long")
+    for j in range(16):
+        acc = acc + F.when(
+            h.substr(j + 1, 1).isin(*"89abcdef"),
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def _sim_docs(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy cat"),
+            ("c", "pack my box with five dozen liquor jugs"),
+            ("d", "the quick brown fox jumps over the lazy dog"),
+            ("e", "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id string, text string",
+    )
+
+
+def test_simhash64_parity_with_simhash16_on_overlapping_width(spark):
+    """simhash64 with the md5-digit vote hash must reproduce simhash16
+    bit-for-bit on the overlapping 16-bit width (bits 16+ get no votes,
+    so the signatures are equal outright) — pins both paths to the same
+    vote/aggregate machinery (VERDICT r3 #5)."""
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash16,
+        simhash64,
+    )
+
+    docs = _sim_docs(spark)
+    got16 = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    got64 = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(docs, vote_hash=_md5_vote16).collect()
+    }
+    assert got64 == got16
+
+
+def test_simhash64_default_hash_deterministic_and_64bit(spark):
+    from echo_chambers_detection_spark.operators.dedup import simhash64
+
+    docs = _sim_docs(spark)
+    a = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert a == b
+    assert a["a"] == a["d"]  # identical docs, identical signatures
+    # xxhash64 votes really exercise the top bits on some doc
+    assert any(s < 0 or s >= (1 << 32) for s in a.values())
+
+
+def test_simhash64_banded_candidates_match_bruteforce(spark):
+    """Banded candidate generation finds EXACTLY the pairs within the
+    Hamming budget (pigeonhole guarantee, then exact verify)."""
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs_banded,
+    )
+
+    docs = _sim_docs(spark)
+    sigs = simhash64(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    for max_h in (0, 3, 7):
+        want = set()
+        ids = sorted(rows)
+        for i, d1 in enumerate(ids):
+            for d2 in ids[i + 1:]:
+                ham = bin((rows[d1] ^ rows[d2]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_h:
+                    want.add((d1, d2, ham))
+        got = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in simhash_candidate_pairs_banded(
+                sigs, max_hamming=max_h
+            ).collect()
+        }
+        assert got == want, f"max_hamming={max_h}"

@@ -29,14 +29,20 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    never_verified = {
-        "event_value_percentiles", "event_type_user_cube",
-        "embedded_documents", "ann_lsh_topk", "embedding_lsh_near_dup",
-        "density_clusters_lsh", "hdbscan_clusters", "knn_graph_topk",
-        "doc_repetition_scores",
-        # green in round 1 only — need a second-era stamp
-        "kafka_producer_messages", "order_stats_rollup",
-        "engaged_user_set_ops", "user_profiles_cleaned",
+    must_stamp_r4 = {
+        # new this round — never stamped
+        "knn_graph_ann_topk", "ann_ivf_probe_topk",
+        "simhash64_near_pairs", "language_id_trigram_pred",
+        # rotated out of r3's window — last stamped r2, restamp now
+        "embedding_near_dup", "multimodal_blob_stats",
+        "membership_with_labels", "pricing_summary", "revenue_by_nation",
+        "top_orders", "customers_without_orders", "active_customers",
+        "top3_orders_per_customer", "event_type_stats",
+        "engagement_union", "ann_extremes", "text_token_stats",
+        # code changed in round 4 — restamp after the change
+        "knn_graph_topk", "doc_repetition_scores", "doc_fingerprints",
+        "language_id_pred", "minhash_lsh_candidates",
+        "ngram_jaccard_pairs", "near_dup_keep_list",
     }
-    missing = never_verified - set(window)
+    missing = must_stamp_r4 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"

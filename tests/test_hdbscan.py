@@ -13,6 +13,7 @@ from echo_chambers_detection_spark.operators.hdbscan import (
     condense_and_select,
     hdbscan_cluster,
     knn_graph,
+    knn_graph_ann,
     minimum_spanning_forest,
 )
 
@@ -246,6 +247,59 @@ def test_knn_graph_duplicate_vector_ties_deterministic(spark):
             got.setdefault(r["src"], []).append(r["dst"])
             assert r["dist"] == 0.0
         assert got == want, f"num_blocks={num_blocks}"
+
+
+def test_knn_graph_ann_exhaustive_matches_exact(spark):
+    """nprobe == n_cells makes knn_graph_ann exhaustive: every point
+    queries every cell, so candidates are all pairs and the result must
+    be BIT-IDENTICAL to the exact tiled path — same rounding, same
+    (dist, dst) ties."""
+    emb, _ = _blob_embeddings(spark, n_per=10, n_noise=3)
+    exact = {
+        (r["src"], r["dst"], r["dist"])
+        for r in knn_graph(emb, k=4, num_blocks=3).collect()
+    }
+    ann = {
+        (r["src"], r["dst"], r["dist"])
+        for r in knn_graph_ann(
+            emb, k=4, n_cells=4, nprobe=4, iters=2
+        ).collect()
+    }
+    assert ann == exact
+
+
+def test_knn_graph_ann_pruned_recall(spark):
+    """Pruned configuration at the HDBSCAN operating point (k=10):
+    neighbor recall vs the exact graph must hold >= 0.95 — the
+    dual-path crossover contract (VERDICT r3 #1). Blob data is the
+    honest case for IVF: cells align with density, which is exactly
+    when the chain would use this path."""
+    emb, _ = _blob_embeddings(spark, n_per=25, n_noise=10, dim=8)
+    exact = {
+        (r["src"], r["dst"])
+        for r in knn_graph(emb, k=10, num_blocks=3).collect()
+    }
+    ann = {
+        (r["src"], r["dst"])
+        for r in knn_graph_ann(
+            emb, k=10, n_cells=8, nprobe=3, iters=2
+        ).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_knn_graph_ann_deterministic_across_runs(spark):
+    """Two invocations produce identical rows (md5-seeded centroids,
+    stable probe ordering, (dist, dst) pruning)."""
+    emb, _ = _blob_embeddings(spark, n_per=8, n_noise=2)
+    a = sorted(
+        map(tuple, knn_graph_ann(emb, k=3, n_cells=4, nprobe=2).collect())
+    )
+    b = sorted(
+        map(tuple, knn_graph_ann(emb, k=3, n_cells=4, nprobe=2).collect())
+    )
+    assert a == b and len(a) > 0
 
 
 def test_hdbscan_numeric_id_column(spark):
