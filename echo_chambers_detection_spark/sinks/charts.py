@@ -59,7 +59,13 @@ def _raster_bars(values, color, width=1000, height=600) -> bytes:
     img = np.full((height, width, 3), 255, dtype=np.uint8)
     m = 40  # margin px
     plot_w, plot_h = width - 2 * m, height - 2 * m
-    vals = [float(v) if v is not None else 0.0 for v in values]
+    import math
+
+    # pandas renders SQL NULL as NaN in double columns — chart as 0-height
+    vals = [
+        0.0 if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+        for v in values
+    ]
     if not vals:
         return _png_encode(img)
     lo, hi = min(0.0, min(vals)), max(0.0, max(vals))

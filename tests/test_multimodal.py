@@ -107,3 +107,15 @@ def test_decode_images_rejects_unknown_decoder(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
     with pytest.raises(ValueError, match="decoder"):
         decode_images(df, decoder="bogus")
+
+
+def test_repartition_honors_caller_row_count(blob_df):
+    # ingest often knows the row count already — no scan in that case,
+    # and the arithmetic is identical (VERDICT r3 sizing nit)
+    out = repartition_for_payloads(
+        blob_df,
+        avg_payload_bytes=2000,
+        target_partition_bytes=4000,
+        row_count=3,
+    )
+    assert out.rdd.getNumPartitions() == 2
