@@ -1191,8 +1191,10 @@ SELECT src, dst, dist FROM ranked WHERE rn <= 5
 def q_knn_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.hdbscan import knn_graph_ann
 
+    # iters=1: with every cell probed the result is quantizer-
+    # independent, so extra Lloyd rounds only buy bench time here
     return knn_graph_ann(
-        _emb(spark, sf_dir), k=5, n_cells=4, nprobe=4, iters=2,
+        _emb(spark, sf_dir), k=5, n_cells=4, nprobe=4, iters=1,
         id_col="post_cid", vec_col="vector",
     ).select(F.col("src"), F.col("dst"), F.col("dist"))
 

@@ -1219,13 +1219,14 @@ def fastrp(
             )
             w = Window.partitionBy("node")
             norm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))
-            # _materialize_wide, not _materialize: AQE rightly coalesces
-            # the small (node, dim) agg output, but the checkpoint would
-            # freeze that narrow partitioning and the next round's join
-            # scans the frozen leaf with 1-2 tasks (same collapse as the
-            # louvain round-state fix; measured ~15% of fastrp wall time
-            # at sf0.1).
-            cur = _materialize_wide(
+            # plain _materialize, NOT _materialize_wide: measured A/B at
+            # sf0.1 (round 4) — re-widening the per-round (node, dim)
+            # state costs an extra exchange per iteration and LOSES ~20%
+            # (cur is scanned once per round, unlike louvain's hot edge
+            # frame which is scanned every round of an inner loop; the
+            # propagation join re-shuffles cur anyway, so frozen-narrow
+            # checkpoints don't serialize the next round's work here).
+            cur = _materialize(
                 propagated.select(
                     "node",
                     "dim",

@@ -781,15 +781,17 @@ def hdbscan_cluster(
         F.col(id_col).cast("string").alias(id_col), F.col(vec_col)
     )
     n: int | None = None
-    if knn_mode == "auto":
+    needs_count = knn_mode == "auto" or (knn_mode == "ann" and n_cells is None)
+    if needs_count:
+        # the input is typically an expensive lazy plan (FastRP); cut it
+        # to a leaf BEFORE counting so the count doesn't execute the
+        # whole pipeline once for sizing and again for the k-NN build
+        embeddings = _materialize(embeddings)
         n = embeddings.count()
+    if knn_mode == "auto":
         knn_mode = "ann" if n > KNN_ANN_CROSSOVER else "exact"
     if knn_mode == "ann":
-        if n_cells is None:
-            n = n if n is not None else embeddings.count()
-            cells = max(16, int(n ** 0.5))
-        else:
-            cells = n_cells
+        cells = n_cells if n_cells is not None else max(16, int(n ** 0.5))
         knn = _materialize(
             knn_graph_ann(
                 embeddings, k=k, n_cells=cells, nprobe=nprobe,
