@@ -250,24 +250,38 @@ def simhash64(
     )
     h = (vote_hash or F.xxhash64)(F.col("token"))
     hashed = tok.select("doc_id", h.alias("h"))
-    sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"s{j}")
-            for j in range(64)
-        ]
-    )
+    # SWAR lane packing: 64 independent ±1 vote sums would be 64
+    # CASE-WHEN aggregates (measured 6.6 s for 5k docs — the generated
+    # aggregate falls out of whole-stage codegen). Instead count SET
+    # bits only (sign(Σ±1) > 0 ⇔ 2·count_set > n) and pack FOUR bit
+    # counters per long, 16 bits each — 16 SUM aggregates + one COUNT.
+    # A lane gains at most 1 per row, so lanes cannot cross below 65,536
+    # tokens per document (the tokenizer never yields that many; docs
+    # are bounded upstream by the curation pipeline's length filters).
+    one = F.lit(1).cast("long")
+    aggs = [F.count("*").alias("n")]
+    for g in range(16):
+        packed = F.lit(0).cast("long")
+        for lane in range(4):
+            j = g * 4 + lane
+            bit = F.shiftrightunsigned(F.col("h"), j).bitwiseAND(one)
+            packed = packed + F.shiftleft(bit, 16 * lane)
+        aggs.append(F.sum(packed).alias(f"p{g}"))
+    sums = hashed.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for j in range(64):
-        # 1 << 63 wraps to Long.MIN_VALUE — the sign bit of the packed
-        # signature, a valid bit position, not an overflow
-        sig = sig + F.when(
-            F.col(f"s{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    mask16 = F.lit((1 << 16) - 1).cast("long")
+    for g in range(16):
+        for lane in range(4):
+            j = g * 4 + lane
+            cnt = F.shiftrightunsigned(F.col(f"p{g}"), 16 * lane).bitwiseAND(
+                mask16
+            )
+            # 1 << 63 wraps to Long.MIN_VALUE — the sign bit of the
+            # packed signature, a valid bit position, not an overflow
+            sig = sig + F.when(
+                cnt * 2 > F.col("n"),
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
     return sums.select("doc_id", sig.alias("simhash"))
 
 

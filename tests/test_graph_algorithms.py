@@ -252,3 +252,35 @@ def test_materialize_fallback_path(spark, monkeypatch):
     runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)
                and "internalCreateDataFrame" in str(w.message)]
     assert len(runtime) == 1  # warned, and only once
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """ADVICE r3: a round budget too small for the graph's diameter must
+    raise, not silently return split components (a split corrupts the
+    Boruvka forest contract and dedup keep-lists downstream)."""
+    import pytest
+
+    from echo_chambers_detection_spark.operators.graph import (
+        LOCAL_GRAPH_EDGE_LIMIT,
+        connected_components,
+    )
+
+    # a path graph needs O(length) min-label rounds; force the
+    # distributed path by monkey-free env: build above the local bound
+    # is too slow, so instead drop the bound via the module knob
+    import echo_chambers_detection_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],
+        "u1 string, u2 string",
+    )
+    old = G.LOCAL_GRAPH_EDGE_LIMIT
+    G.LOCAL_GRAPH_EDGE_LIMIT = 0  # force the distributed loop
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=2)
+        # and with budget >= diameter it converges to one component
+        out = connected_components(edges, max_iter=30)
+        assert {r["component"] for r in out.collect()} == {"n00"}
+    finally:
+        G.LOCAL_GRAPH_EDGE_LIMIT = old

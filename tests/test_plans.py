@@ -144,6 +144,19 @@ def test_fastrp_plan_shape(spark):
     assert "partial_sum" in plan, plan
 
 
+def test_knn_graph_ann_plan_shape(spark):
+    """knn_graph_ann's candidate join (VERDICT r3 #1): exactly two
+    Python stages — the probe router (ArrowEvalPython/MapInPandas) and
+    the per-cell GEMM (FlatMapGroupsInPandas) — and two exchanges (the
+    cell bucket shuffle + the per-src window), so candidates move
+    through ONE bucket shuffle keyed on cell, never an n² join."""
+    df = _q(spark, "knn_graph_ann_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_knn_graph_plan_shape(spark):
     """knn_graph's physical plan: exactly two exchanges (tile routing +
     the per-src window), the Pandas tile kernel as the only Python
