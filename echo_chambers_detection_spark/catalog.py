@@ -1815,13 +1815,34 @@ FROM hits
     "expression uses, so the two engines cannot drift",
 )
 def q_language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.functions.text import language_id
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("lang").alias("lang_actual"),
-        language_id("text").alias("lang_pred"),
+    from echo_chambers_detection_spark.functions.text import (
+        LANG_ORDER,
+        STOPWORDS,
+        _lang_case_chain,
+        tokenize,
     )
+
+    # two-step select, mirroring the oracle's hits CTE: each language's
+    # hit count is computed ONCE as a named column, then the CASE chain
+    # references the columns — inlining the chain directly re-evaluates
+    # every score up to |langs| times per row (CollapseProject keeps
+    # multi-use non-cheap aliases in their own projection)
+    t = tokenize("text")
+
+    def _in(sw_arr):
+        return lambda x: F.array_contains(sw_arr, x)
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols.append(F.size(F.filter(t, _in(sw))).alias(f"_h_{lang}"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
+    )
+    pred = _lang_case_chain(
+        {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}, LANG_ORDER
+    )
+    return base.select("doc_id", "lang_actual", pred.alias("lang_pred"))
 
 
 @register(
@@ -1849,14 +1870,30 @@ FROM hits
 )
 def q_language_id_trigram_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.functions.text import (
-        language_id_trigram,
+        TRIGRAM_ORDER,
+        TRIGRAM_PROFILES,
+        _lang_case_chain,
     )
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("lang").alias("lang_actual"),
-        language_id_trigram("text").alias("lang_pred"),
+    # same two-step shape as q_language_id_pred: 66 substring counters
+    # once each, then the chain over the named columns
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hit_cols = []
+    for lang in TRIGRAM_ORDER:
+        score = F.lit(0)
+        for sub in TRIGRAM_PROFILES[lang]:
+            occ = (
+                F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))
+            ) / F.lit(len(sub))
+            score = score + occ.cast("int")
+        hit_cols.append(score.alias(f"_h_{lang}"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
     )
+    pred = _lang_case_chain(
+        {lang: F.col(f"_h_{lang}") for lang in TRIGRAM_ORDER}, TRIGRAM_ORDER
+    )
+    return base.select("doc_id", "lang_actual", pred.alias("lang_pred"))
 
 
 @register(
