@@ -1633,6 +1633,91 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_stats",
+    r"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_bpe_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       ROUND(CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+                  ELSE NULL END, 6) AS avg_token_len
+FROM toks
+""",
+    doc="BPE-ish token counting (M6): GPT-2-style pre-token split "
+    "(leading-space-attached letter/digit/punct runs, the regex subset "
+    "Java and RE2 share) — the token count a training-data pipeline "
+    "budgets against, next to the whitespace word count of "
+    "text_token_stats. Identical pattern in the DuckDB oracle.",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import bpe_tokens
+
+    t = bpe_tokens("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(
+            F.when(
+                F.size(t) > 0,
+                F.aggregate(
+                    F.transform(t, lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.size(t),
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_scrub_stats",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), 'https?://[^ ]+')) AS n_urls,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       length(regexp_replace(
+           regexp_replace(lower(text), 'https?://[^ ]+', ' ', 'g'),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g')) AS clean_len
+FROM documents
+""",
+    doc="URL/e-mail scrub pass (M6 curation): per-doc counts of scrubbed "
+    "spans + post-scrub length, the standard PII/noise removal step "
+    "before dedup/quality filtering. Spark regexp_replace is global by "
+    "default; the oracle passes the 'g' flag — same patterns, same "
+    "result. Mechanics on docs that actually contain URLs/e-mails are "
+    "unit-tested (tests/test_text_functions.py); the synthetic corpus "
+    "is clean, which the hash check also verifies.",
+)
+def q_text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        scrub_urls_and_emails,
+    )
+
+    low = F.lower(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(URL_PATTERN), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.length(scrub_urls_and_emails("text")).alias("clean_len"),
+    )
+
+
+@register(
     "doc_repetition_scores",
     f"""
 WITH {_ORACLE_TOKS_CTE},
@@ -2626,6 +2711,8 @@ _REGISTRY_ORDER = [
     "ann_ivf_probe_topk",
     "simhash64_near_pairs",
     "language_id_trigram_pred",
+    "bpe_token_stats",
+    "text_scrub_stats",
     # -- rotated out of r3's window, last stamped r2 — restamp now --------
     "embedding_near_dup",
     "multimodal_blob_stats",
@@ -2654,9 +2741,7 @@ _REGISTRY_ORDER = [
     # -- no_oracle iterative graph queries (rows-only driver check) -------
     "kcore_user_graph",
     "louvain_user_communities",
-    "label_propagation_communities",
     "leiden_communities",
-    "modularity_optimization_communities",
     "fastrp_embeddings",
     "density_clusters",
     # -- flagship + composite chains --------------------------------------
@@ -2679,6 +2764,8 @@ _REGISTRY_ORDER = [
     "session_windows_by_type",
     # ---- window boundary: entries below are position 51+ ----------------
     # -- stamped green in round 3; back in the window next round ----------
+    "label_propagation_communities",
+    "modularity_optimization_communities",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",

@@ -172,6 +172,32 @@ def language_id_trigram(col: Column | str) -> Column:
     return _lang_case_chain(hits, TRIGRAM_ORDER)
 
 
+# GPT-2-style pre-tokenizer shape, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) treat identically: a token is an optional
+# leading space plus a letter run, digit run, or punctuation run.
+BPE_PRETOKEN_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+URL_PATTERN = r"https?://[^ ]+"
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 pre-token split, ASCII
+    form): leading-space-attached letter/digit/punct runs — the token
+    count a curation pipeline budgets against, as opposed to the
+    whitespace word count. Pure regexp_extract_all; the identical
+    pattern runs in the DuckDB oracle."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def scrub_urls_and_emails(col: Column | str) -> Column:
+    """PII/noise scrub: URLs then e-mail addresses replaced with a
+    space (standard pre-training curation step). Global replace in both
+    engines (Spark regexp_replace is global; the oracle passes 'g')."""
+    c = F.regexp_replace(F.lower(_c(col)), URL_PATTERN, " ")
+    return F.regexp_replace(c, EMAIL_PATTERN, " ")
+
+
 def minhash_fingerprint(col: Column | str, ngram: int = 3) -> Column:
     """Single-permutation minhash document fingerprint: the lexicographic
     minimum of md5(shingle) over word n-grams. Deterministic, identical in

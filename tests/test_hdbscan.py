@@ -289,6 +289,34 @@ def test_knn_graph_ann_pruned_recall(spark):
     assert recall >= 0.95, f"recall {recall:.3f}"
 
 
+def test_hdbscan_ann_mode_end_to_end(spark):
+    """hdbscan_cluster(knn_mode='ann') recovers the same blob clusters
+    as the exact kernel — the k-NN kernel swap changes recall, not
+    semantics, and on well-separated blobs the pruned candidates
+    contain every MST edge."""
+    emb, blobs = _blob_embeddings(spark, n_per=12, n_noise=4)
+    exact = {
+        r["node"]: r["cluster"]
+        for r in hdbscan_cluster(
+            emb, min_pts=3, min_cluster_size=5, k=8, knn_mode="exact"
+        ).collect()
+    }
+    ann = {
+        r["node"]: r["cluster"]
+        for r in hdbscan_cluster(
+            emb,
+            min_pts=3,
+            min_cluster_size=5,
+            k=8,
+            knn_mode="ann",
+            n_cells=6,
+            nprobe=3,
+        ).collect()
+    }
+    for b, members in blobs.items():
+        assert {ann[m] for m in members} == {exact[next(iter(members))]}, b
+
+
 def test_knn_graph_ann_deterministic_across_runs(spark):
     """Two invocations produce identical rows (md5-seeded centroids,
     stable probe ordering, (dist, dst) pruning)."""

@@ -101,3 +101,98 @@ def test_doc_repetition_query_handles_short_docs(spark, tmp_path):
     assert out["d0"].n_tokens == 0
     assert out["d0"].top_bigram_frac is None
     assert out["d3"].top_bigram_frac == 1.0
+
+
+def test_bpe_tokens_split_shape(spark):
+    from echo_chambers_detection_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [("d1", "Hello, world! v2.0 costs $35")],
+        "doc_id string, text string",
+    )
+    toks = df.select(bpe_tokens("text").alias("t")).first().t
+    assert toks == [
+        "hello", ",", " world", "!", " v", "2", ".", "0",
+        " costs", " $", "35",
+    ]
+
+
+def test_scrub_urls_and_emails(spark):
+    from echo_chambers_detection_spark.functions.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        scrub_urls_and_emails,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "see https://example.com/a?b=1 or mail bob@corp.io now"),
+            ("d2", "no links here"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrub_urls_and_emails("text").alias("clean"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(URL_PATTERN), 0
+                )
+            ).alias("n_urls"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(EMAIL_PATTERN), 0
+                )
+            ).alias("n_emails"),
+        ).collect()
+    }
+    assert rows["d1"].n_urls == 1 and rows["d1"].n_emails == 1
+    assert "https" not in rows["d1"].clean and "@" not in rows["d1"].clean
+    assert "see" in rows["d1"].clean and "now" in rows["d1"].clean
+    assert rows["d2"].clean == "no links here"
+    assert rows["d2"].n_urls == 0 and rows["d2"].n_emails == 0
+
+
+def test_scrub_matches_duckdb_semantics(spark):
+    """The exact catalog query vs DuckDB on a crafted corpus WITH urls
+    and e-mails — the sf corpora are clean, so this is where the scrub
+    mechanics are actually oracle-checked."""
+    import duckdb
+
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "Visit HTTPS://Example.COM/x and ping a.b-c@mail.org ok"),
+            ("2", "two urls http://a.io http://b.io one mail x@y.dev"),
+            ("3", "plain text only"),
+        ],
+        "doc_id string, text string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = (
+        QUERY_REGISTRY["text_scrub_stats"]
+        .spark(spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(QUERY_REGISTRY["text_scrub_stats"].oracle)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_urls"].tolist() == want["n_urls"].tolist()
+    assert got["n_emails"].tolist() == want["n_emails"].tolist()
+    assert got["clean_len"].tolist() == want["clean_len"].tolist()
