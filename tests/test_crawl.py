@@ -113,3 +113,75 @@ def test_token_bucket_blocks_past_burst():
     for _ in range(60):  # 50 burst tokens + 10 paced at 50/s
         bucket.acquire()
     assert time.monotonic() - t0 >= 0.15
+
+
+def test_http_transport_parses_xrpc_shapes(monkeypatch):
+    """HttpXrpcTransport's response parsing against canned XRPC JSON
+    bodies (the shapes the reference's atproto client returns) — `_get`
+    is stubbed, so no network is touched."""
+    from echo_chambers_detection_spark.sources.crawl import HttpXrpcTransport
+
+    canned = {
+        "app.bsky.actor.getProfile": {
+            "did": "did:plc:abc",
+            "handle": "alice.bsky.social",
+            "displayName": "Alice",
+            "description": "hi",
+        },
+        "app.bsky.feed.getAuthorFeed": {
+            "feed": [
+                {
+                    "post": {
+                        "uri": "at://did:plc:abc/post/1",
+                        "cid": "c1",
+                        "record": {"text": "hello"},
+                    }
+                },
+                {"post": {"uri": "x", "cid": "c2", "record": {}}},  # no text
+            ]
+        },
+        "app.bsky.feed.getLikes": {
+            "likes": [
+                {"actor": {"did": "did:plc:b", "handle": "b", "displayName": "B"}},
+                {"actor": {}},
+            ]
+        },
+        "app.bsky.feed.getActorLikes": {
+            "feed": [
+                {
+                    "post": {
+                        "uri": "at://p/9",
+                        "cid": "c9",
+                        "record": {"text": "liked"},
+                        "author": {"did": "did:plc:z"},
+                    }
+                }
+            ]
+        },
+    }
+    t = HttpXrpcTransport()
+    monkeypatch.setattr(
+        t, "_get", lambda method, **params: canned[method]
+    )
+    prof = t.get_profile("did:plc:abc")
+    assert prof == {
+        "did": "did:plc:abc",
+        "handle": "alice.bsky.social",
+        "display_name": "Alice",
+        "description": "hi",
+    }
+    posts = t.get_author_posts("did:plc:abc", 10)
+    assert posts == [
+        {
+            "uri": "at://did:plc:abc/post/1",
+            "cid": "c1",
+            "text": "hello",
+            "author": "did:plc:abc",
+        }
+    ]  # the record without text is dropped, reference behavior
+    likers = t.get_likers("at://p/1", 5)
+    assert likers[0]["did"] == "did:plc:b" and likers[1]["did"] == ""
+    liked = t.get_actor_likes("did:plc:abc", 10)
+    assert liked == [
+        {"uri": "at://p/9", "cid": "c9", "text": "liked", "author": "did:plc:z"}
+    ]
