@@ -477,9 +477,13 @@ def ivf_index(
     import pandas as pd
 
     spark = embeddings.sparkSession
+    # one leaf for the whole build: every Lloyd round scans norm for the
+    # assignment AND the centroid update, and the caller's plan may be
+    # arbitrarily expensive (FastRP in the HDBSCAN chain) — without the
+    # checkpoint each of the 2·iters+1 passes re-executes it
     norm = embeddings.select(
         F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
-    )
+    ).localCheckpoint(eager=True)
 
     seed_rows = (
         norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
