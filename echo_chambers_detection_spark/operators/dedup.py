@@ -285,6 +285,49 @@ def simhash64(
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def simhash64_rowwise(text_col) -> "F.Column":
+    """The SAME 64-bit signature as `simhash64`, computed ROW-LOCALLY:
+    one `aggregate` over the token array folds the 16 SWAR lane-packs,
+    so no explode, no groupBy, no shuffle — a streaming micro-batch (or
+    plain ingest projection) signs documents with zero state. Bit-for-
+    bit parity with the aggregation formulation is pinned by test
+    (the vote sum is commutative, so token order cannot matter). One
+    deliberate difference: this signs EVERY row (token-less docs get
+    signature 0), while the explode+groupBy form emits no row for them
+    — filter on token count first if empty docs must not collide."""
+    toks = tokenize(text_col)
+    one = F.lit(1).cast("long")
+    zero16 = F.array(*[F.lit(0).cast("long") for _ in range(16)])
+
+    def step(acc, tok):
+        h = F.xxhash64(tok)
+        packs = []
+        for g in range(16):
+            p = F.lit(0).cast("long")
+            for lane in range(4):
+                j = g * 4 + lane
+                bit = F.shiftrightunsigned(h, j).bitwiseAND(one)
+                p = p + F.shiftleft(bit, 16 * lane)
+            packs.append(p)
+        return F.zip_with(acc, F.array(*packs), lambda a, b: a + b)
+
+    counts = F.aggregate(toks, zero16, step)
+    n = F.size(toks).cast("long")
+    mask16 = F.lit((1 << 16) - 1).cast("long")
+    sig = F.lit(0).cast("long")
+    for g in range(16):
+        for lane in range(4):
+            j = g * 4 + lane
+            cnt = F.shiftrightunsigned(
+                F.element_at(counts, g + 1), 16 * lane
+            ).bitwiseAND(mask16)
+            sig = sig + F.when(
+                cnt * 2 > n,
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
 def simhash_candidate_pairs_banded(
     signatures: DataFrame,
     max_hamming: int = 3,

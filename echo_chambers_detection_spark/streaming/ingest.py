@@ -304,3 +304,124 @@ def streaming_exact_dedup(
             .drop("_text_md5")
         )
     return hashed.dropDuplicates(["_text_md5"]).drop("_text_md5")
+
+
+def near_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    survivors_path: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> None:
+    """foreachBatch near-duplicate dedup stage: the streaming face of
+    the simhash64 chain (operators/dedup.py), in the shape a production
+    ingest actually runs —
+
+    1. sign the micro-batch ROW-LOCALLY (`simhash64_rowwise`: one fold
+       per row, zero shuffle, no state);
+    2. drop within-batch near-dups (banded candidates + exact Hamming
+       verify, keep the min id — the batch is small, the corpus is not);
+    3. band-join survivors against the ACCUMULATED signature store and
+       drop anything within the Hamming budget of a previously ingested
+       document. The store is partitioned on `_bkey = (band, hash(bv) %
+       num_buckets)`; the probe collects the batch's touched _bkey list
+       (≤ batch × bands values) and reads ONLY those partitions —
+       per-batch probe cost is O(touched buckets), never O(corpus),
+       the same copy-on-write pruning shape as `upsert_parquet`;
+    4. append the survivors to `survivors_path` and their band-keyed
+       signatures to the store.
+
+    Contrast with `streaming_exact_dedup`: exact dedup fits the native
+    watermarked-state operator because its key is one hash; near-dup
+    needs candidate+verify against ALL history, which belongs in an
+    indexed store, not in watermark-bounded operator state.
+    """
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash64_rowwise,
+    )
+
+    bands = max_hamming + 1
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    signed = batch.withColumn(
+        "_sig", simhash64_rowwise("text")
+    ).localCheckpoint(eager=True)
+
+    def banded(df: DataFrame, sig: str) -> DataFrame:
+        parts = []
+        for i in range(bands):
+            bv = F.shiftrightunsigned(F.col(sig), i * band_bits)
+            if band_bits < 64:
+                bv = bv.bitwiseAND(F.lit(mask))
+            parts.append(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    F.col(sig).alias("_s"),
+                    F.lit(i).alias("band"),
+                    bv.alias("bv"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- within-batch: candidates via banding, verify, keep min id ----
+    keyed = banded(signed, "_sig")
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "bv"])
+        .where(F.col("a._id") > F.col("b._id"))
+        .where(
+            F.bit_count(
+                F.col("a._s").bitwiseXOR(F.col("b._s"))
+            )
+            <= max_hamming
+        )
+        .select(F.col("a._id").alias("_id"))
+        .distinct()
+    )
+    local_kept = signed.join(cand, signed[id_col] == cand["_id"], "left_anti")
+
+    # -- against the store: partition-pruned band probe ---------------
+    num_buckets = 64
+    bkey = F.concat_ws(
+        "_",
+        F.col("band").cast("string"),
+        F.pmod(F.xxhash64(F.col("bv")), F.lit(num_buckets)).cast("string"),
+    )
+    if os.path.exists(store_path):
+        probe = banded(local_kept, "_sig").withColumn("_bkey", bkey)
+        touched = [
+            r["_bkey"] for r in probe.select("_bkey").distinct().collect()
+        ]
+        store = (
+            batch.sparkSession.read.parquet(store_path)
+            .where(F.col("_bkey").isin(touched))
+        )
+        hit = (
+            probe.join(store, ["band", "bv"])
+            .where(
+                F.bit_count(F.col("_s").bitwiseXOR(F.col("sig")))
+                <= max_hamming
+            )
+            .select(F.col("_id"))
+            .distinct()
+        )
+        kept = local_kept.join(
+            hit, local_kept[id_col] == hit["_id"], "left_anti"
+        )
+    else:
+        kept = local_kept
+    kept = kept.localCheckpoint(eager=True)
+
+    kept.drop("_sig").write.mode("append").parquet(survivors_path)
+    (
+        banded(kept, "_sig")
+        .select("band", "bv", F.col("_s").alias("sig"))
+        .withColumn("_bkey", bkey)
+        .write.mode("append")
+        .partitionBy("_bkey")
+        .parquet(store_path)
+    )

@@ -140,3 +140,22 @@ def test_simhash64_banded_candidates_match_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"max_hamming={max_h}"
+
+
+def test_simhash64_rowwise_parity(spark):
+    """The row-local fold (streaming/ingest shape, zero shuffle) equals
+    the aggregation formulation bit-for-bit."""
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash64,
+        simhash64_rowwise,
+    )
+
+    docs = _sim_docs(spark)
+    agg = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    row = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id", simhash64_rowwise("text").alias("simhash")
+        ).collect()
+    }
+    assert row == agg

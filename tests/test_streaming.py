@@ -273,3 +273,46 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # static-frame fixpoint: same operator, batch semantics
     static = spark.read.schema("doc_id string, text string, ts long").json(src)
     assert streaming_exact_dedup(static).count() == 3
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """near_dedup_batch_against_store: batch 1 seeds the signature
+    store; batch 2 contains (a) a near-duplicate of a batch-1 doc (one
+    word changed — Hamming 4 of 64), (b) a within-batch duplicate
+    pair, (c) a genuinely new doc. Only (c) and the min-id survivor of
+    (b) come through, and the store accumulates survivors only."""
+    from echo_chambers_detection_spark.streaming.ingest import (
+        near_dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "survivors")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches the garden gate and the wind moves the autumn leaves"
+    )
+    b1 = spark.createDataFrame(
+        [("a1", base), ("a2", "completely different content about spark "
+                              "query engines and distributed shuffles at scale")],
+        "doc_id string, text string",
+    )
+    near_dedup_batch_against_store(b1, store, out, max_hamming=4)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {
+        "a1",
+        "a2",
+    }
+
+    near = base.replace("autumn", "winter")  # near-dup of a1
+    b2 = spark.createDataFrame(
+        [
+            ("b1", near),
+            ("b2", "brand new text with its own vocabulary entirely "
+                   "unlike anything ingested before today"),
+            ("b3", "twin text alpha beta gamma delta epsilon zeta"),
+            ("b4", "twin text alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id string, text string",
+    )
+    near_dedup_batch_against_store(b2, store, out, max_hamming=4)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"a1", "a2", "b2", "b3"}, got
