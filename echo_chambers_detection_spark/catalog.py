@@ -561,6 +561,51 @@ def q_ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_int8_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+mx AS (SELECT post_cid, MAX(ABS(x)) AS amax FROM ex GROUP BY 1),
+dq AS (
+    SELECT e.post_cid, e.i,
+           ROUND(e.x / (CASE WHEN m.amax > 0 THEN m.amax / 127.0 ELSE 1.0 END), 0)
+           * (CASE WHEN m.amax > 0 THEN m.amax / 127.0 ELSE 1.0 END) AS x
+    FROM ex e JOIN mx m ON m.post_cid = e.post_cid
+),
+q AS (SELECT i, x FROM dq WHERE post_cid = '0'),
+scores AS (
+    SELECT d.post_cid,
+           ROUND(SUM(d.x * q.x) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
+    FROM dq d JOIN q ON d.i = q.i
+    GROUP BY d.post_cid
+)
+SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
+""",
+    doc="Cosine top-k over the INT8-quantized embedding store: symmetric "
+    "per-vector scalar quantization (scale = max|x|/127, round-half-"
+    "away codes) — the 4x memory cut a 100 TB vector scan takes first. "
+    "The quantization arithmetic is deterministic IEEE double math, so "
+    "the quantized search itself is hash-checked against DuckDB doing "
+    "the identical round/scale/rescore — stronger than a recall bound "
+    "(which tests/test_vector_functions.py pins separately vs the "
+    "float path).",
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.vector import (
+        int8_dequantize,
+        int8_quantize,
+    )
+    from echo_chambers_detection_spark.operators.ann import cosine_topk
+
+    deq = _emb(spark, sf_dir).select(
+        "post_cid", int8_dequantize(int8_quantize("vector")).alias("vector")
+    )
+    qv = _query_vec(spark, sf_dir).select(
+        int8_dequantize(int8_quantize("qvec")).alias("qvec")
+    )
+    return cosine_topk(deq, qv, k=10)
+
+
+@register(
     "ann_extremes",
     f"""
 WITH {_ORACLE_EMB_EXPLODED},
@@ -2713,6 +2758,7 @@ _REGISTRY_ORDER = [
     "language_id_trigram_pred",
     "bpe_token_stats",
     "text_scrub_stats",
+    "ann_int8_topk",
     # -- rotated out of r3's window, last stamped r2 — restamp now --------
     "embedding_near_dup",
     "multimodal_blob_stats",
@@ -2742,7 +2788,6 @@ _REGISTRY_ORDER = [
     "kcore_user_graph",
     "louvain_user_communities",
     "leiden_communities",
-    "fastrp_embeddings",
     "density_clusters",
     # -- flagship + composite chains --------------------------------------
     "coengagement_edges",
@@ -2766,6 +2811,7 @@ _REGISTRY_ORDER = [
     # -- stamped green in round 3; back in the window next round ----------
     "label_propagation_communities",
     "modularity_optimization_communities",
+    "fastrp_embeddings",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",

@@ -75,6 +75,33 @@ def squared_l2_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def int8_quantize(a: Column | str) -> Column:
+    """Symmetric per-vector int8 scalar quantization:
+    struct(scale double, codes array<int>) with scale = max|x| / 127
+    and codes = round(x / scale) ∈ [-127, 127] — a 4× memory cut for
+    the embedding store, the first knob a 100 TB vector scan turns.
+    Deterministic double arithmetic (IEEE division + half-away-from-
+    zero round match DuckDB exactly), so the quantized search path is
+    oracle-checkable, not just recall-tested. Zero vectors quantize to
+    all-zero codes with scale 1."""
+    v = _c(a)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.round(x.cast("double") / scale, 0).cast("int")
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def int8_dequantize(q: Column | str) -> Column:
+    """codes × scale back to array<double>; max elementwise error is
+    scale/2 by construction (tests pin it)."""
+    qq = _c(q)
+    return F.transform(
+        qq["codes"], lambda c: c.cast("double") * qq["scale"]
+    )
+
+
 # NOTE: centroids / mean embeddings aggregate in the exploded
 # (id, dim, val) representation (operators/ann.py, operators/metrics.py)
 # — an array-typed mean aggregate would funnel whole vectors through

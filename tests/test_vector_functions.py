@@ -125,3 +125,48 @@ def test_lsh_near_dup_is_subset_of_exact(spark):
         .collect()
     }
     assert approx <= exact
+
+
+def test_int8_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.functions.vector import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([0.5, -1.25, 3.0, 0.0],),
+            ([0.0, 0.0, 0.0, 0.0],),  # zero vector: scale 1, codes 0
+            ([-127.0, 127.0, 63.5, -0.001],),
+        ],
+        "v array<float>",
+    )
+    rows = df.select(
+        "v",
+        int8_quantize("v").alias("q"),
+        int8_dequantize(int8_quantize("v")).alias("d"),
+    ).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.q.codes)
+        half = r.q.scale / 2 + 1e-12
+        for x, y in zip(r.v, r.d):
+            assert abs(x - y) <= half, (x, y, r.q.scale)
+    zero = [r for r in rows if all(x == 0.0 for x in r.v)][0]
+    assert zero.q.scale == 1.0 and all(c == 0 for c in zero.q.codes)
+
+
+def test_int8_topk_recall_vs_float(spark):
+    """Quantized search quality: top-10 of the int8 path overlaps the
+    float path heavily on the sf0.001 embeddings (exactness is covered
+    by the catalog oracle; this pins the quality level)."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    f = [r["post_cid"] for r in QUERY_REGISTRY["ann_topk"].spark(spark, sf).collect()]
+    q = [
+        r["post_cid"]
+        for r in QUERY_REGISTRY["ann_int8_topk"].spark(spark, sf).collect()
+    ]
+    assert len(set(f) & set(q)) >= 8, (f, q)
