@@ -606,6 +606,34 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_topk",
+    None,
+    doc="Product-quantization ANN top-k (operators/ann.py::pq_topk): "
+    "vectors compress to m sub-space codes (deterministic md5-seeded "
+    "per-subspace k-means — at production m=8/k=256 that is 8 bytes "
+    "per vector vs 4d, the ~64x regime a 100 TB store runs), the scan "
+    "phase reads ONLY codes via the query's ADC lookup table, and "
+    "refine*k candidates get an exact-cosine rerank. Deterministic "
+    "end to end but the candidate set is genuinely approximate, so "
+    "this is a rows-only driver check; recall floor (>=7/10 on RANDOM "
+    "vectors, PQ's hardest regime) and rerank exactness are pinned in "
+    "tests/test_ivf.py.",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k_results=10,
+        m=8,
+        n_centroids=16,
+        iters=2,
+        refine=8,
+    )
+
+
+@register(
     "ann_extremes",
     f"""
 WITH {_ORACLE_EMB_EXPLODED},
@@ -2759,6 +2787,7 @@ _REGISTRY_ORDER = [
     "bpe_token_stats",
     "text_scrub_stats",
     "ann_int8_topk",
+    "ann_pq_topk",
     # -- rotated out of r3's window, last stamped r2 — restamp now --------
     "embedding_near_dup",
     "multimodal_blob_stats",
@@ -2788,7 +2817,6 @@ _REGISTRY_ORDER = [
     "kcore_user_graph",
     "louvain_user_communities",
     "leiden_communities",
-    "density_clusters",
     # -- flagship + composite chains --------------------------------------
     "coengagement_edges",
     "coengagement_top_pairs",
@@ -2811,6 +2839,7 @@ _REGISTRY_ORDER = [
     # -- stamped green in round 3; back in the window next round ----------
     "label_propagation_communities",
     "modularity_optimization_communities",
+    "density_clusters",
     "fastrp_embeddings",
     "exact_dedup_groups",
     "event_value_percentiles",

@@ -633,6 +633,186 @@ def ivf_topk_from_index(
     )
 
 
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+):
+    """Product quantization: split the (L2-normalized) vector into `m`
+    contiguous subspaces and run an independent deterministic k-means
+    (same md5-smallest-id seeding as `ivf_index`) in each; a vector
+    compresses to m small codes — at m=8, k=256 that is 8 bytes per
+    vector versus 4·d, the compression regime a 100 TB embedding store
+    actually operates in (int8_quantize is the 4× step; PQ is the
+    ~64× step). One Arrow-batched assignment pass per Lloyd round
+    covers ALL subspaces; the centroid update is a JVM-side exploded
+    mean, collected at m·k·(d/m) = k·d values — KB-scale driver state.
+
+    Returns (codebooks ndarray [m, k, d//m], codes DataFrame
+    (id, codes array<int>)). d must be divisible by m.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    norm = embeddings.select(
+        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
+    ).localCheckpoint(eager=True)
+
+    dim = len(norm.select("_vec").first()["_vec"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    seed_rows = (
+        norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    seeds = np.stack([np.asarray(r["_vec"], dtype="float64") for r in seed_rows])
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, k, dsub)
+
+    def assign_with(B: np.ndarray) -> DataFrame:
+        b = spark.sparkContext.broadcast(B)
+
+        def fn(batches):
+            C = b.value  # (m, k, dsub)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+                codes = np.empty((len(X), C.shape[0]), dtype="int32")
+                for s in range(C.shape[0]):
+                    sub = X[:, s * dsub : (s + 1) * dsub]
+                    d2 = (
+                        (sub * sub).sum(1)[:, None]
+                        - 2.0 * (sub @ C[s].T)
+                        + (C[s] * C[s]).sum(1)[None, :]
+                    )
+                    codes[:, s] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "codes": list(codes)}
+                )
+
+        id_type = dict(norm.dtypes)["_id"]
+        return norm.mapInPandas(
+            fn, schema=f"_id {id_type}, codes array<int>"
+        )
+
+    for _ in range(iters):
+        assigned = assign_with(books)
+        means = (
+            assigned.join(norm, "_id")
+            .select(
+                F.posexplode("_vec").alias("dim", "x"), "codes"
+            )
+            .select(
+                (F.col("dim") / dsub).cast("int").alias("sub"),
+                F.pmod(F.col("dim"), F.lit(dsub)).alias("subdim"),
+                F.element_at(
+                    "codes", (F.col("dim") / dsub).cast("int") + 1
+                ).alias("cluster"),
+                "x",
+            )
+            .groupBy("sub", "cluster", "subdim")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        new = books.copy()
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["cluster"]), {})[r["subdim"]] = r["mx"]
+        for (s, c), dims in got.items():
+            new[s, c] = [dims[i] for i in sorted(dims)]
+        books = new
+
+    codes = assign_with(books).withColumnRenamed("_id", id_col)
+    return books, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k_results: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    refine: int = 4,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+    query_col: str = "qvec",
+) -> DataFrame:
+    """PQ-ADC top-k with exact rerank: train/compress (or reuse a
+    trained codebook via `pq_train` directly), score every code row
+    against the query's per-subspace lookup table (m table lookups per
+    vector — no float vector is read in the scan phase), keep the
+    `refine`·k best ADC candidates, exact-cosine rerank only those.
+    Returns (id, score) like `cosine_topk`; deterministic end to end
+    (seeded codebooks, (adc, id) candidate order), rows-only in the
+    catalog — recall vs the float path is the pinned quality contract.
+    """
+    import numpy as np
+
+    books, codes = pq_train(
+        embeddings, m=m, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = books.shape[2]
+    qv = np.asarray(
+        query.select(query_col).first()[query_col], dtype="float64"
+    )
+    qn = np.linalg.norm(qv)
+    if qn > 0:
+        qv = qv / qn
+    # ADC table: squared L2 from the query's subvector to every
+    # sub-centroid — cosine on normalized vectors is monotone in L2
+    table = np.stack(
+        [
+            (
+                (books[s] - qv[s * dsub : (s + 1) * dsub][None, :]) ** 2
+            ).sum(1)
+            for s in range(books.shape[0])
+        ]
+    )  # (m, k)
+    spark = embeddings.sparkSession
+    bt = spark.sparkContext.broadcast(table)
+
+    def adc(batches):
+        import pandas as pd
+
+        T = bt.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            d = np.zeros(len(C))
+            for s in range(T.shape[0]):
+                d += T[s][C[:, s]]
+            yield pd.DataFrame({"_cid": pdf[id_col], "adc": d})
+
+    id_type = dict(codes.dtypes)[id_col]
+    scored = codes.mapInPandas(adc, schema=f"_cid {id_type}, adc double")
+    cand = (
+        scored.orderBy("adc", "_cid")
+        .limit(refine * k_results)
+        .select(F.col("_cid").alias(id_col))
+    )
+    pruned = embeddings.join(cand, id_col, "leftsemi")
+    return cosine_topk(
+        pruned,
+        query.select(F.col(query_col).alias("qvec")),
+        k=k_results,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -130,3 +130,39 @@ def test_ivf_probe_matches_inline_ivf(emb, query, tmp_path):
         ).collect()
     ]
     assert a == b
+
+
+def test_pq_train_deterministic_and_shapes(emb):
+    from echo_chambers_detection_spark.operators.ann import pq_train
+
+    b1, c1 = pq_train(emb, m=8, k=8, iters=2)
+    b2, c2 = pq_train(emb, m=8, k=8, iters=2)
+    assert b1.shape == (8, 8, 8)  # 64-d embeddings, 8 subspaces
+    assert (b1 == b2).all()
+    codes1 = {r["post_cid"]: r["codes"] for r in c1.collect()}
+    codes2 = {r["post_cid"]: r["codes"] for r in c2.collect()}
+    assert codes1 == codes2
+    assert all(len(v) == 8 for v in codes1.values())
+    assert all(0 <= x < 8 for v in codes1.values() for x in v)
+
+
+def test_pq_topk_recall_vs_float(emb, query):
+    """PQ-ADC + exact rerank: >= 7 of the float top-10 survive at
+    refine=8 on the sf0.001 embeddings — RANDOM vectors, PQ's
+    hardest regime (no cluster structure for the codebooks to model),
+    so this is the floor of the quality contract, not the typical."""
+    from echo_chambers_detection_spark.operators.ann import pq_topk
+
+    exact_ids = [r["post_cid"] for r in cosine_topk(emb, query, k=10).collect()]
+    got = pq_topk(
+        emb, query, k_results=10, m=8, n_centroids=16, iters=2, refine=8
+    )
+    got_ids = [r["post_cid"] for r in got.collect()]
+    assert len(set(exact_ids) & set(got_ids)) >= 7, (exact_ids, got_ids)
+    # reranked scores are EXACT cosine, so any overlap agrees exactly
+    exact_scores = dict(
+        (r["post_cid"], r["score"])
+        for r in cosine_topk(emb, query, k=1000).collect()
+    )
+    for r in got.collect():
+        assert exact_scores[r["post_cid"]] == r["score"]
