@@ -81,10 +81,11 @@ def main() -> None:
     # build is amortized infrastructure, like the standing Qdrant
     # collection it mirrors) — run it once here so the build lands in
     # warm-up, not in the timed pass.
-    if "ann_ivf_probe_topk" in QUERY_REGISTRY:
-        QUERY_REGISTRY["ann_ivf_probe_topk"].spark(spark, SF_DIR).write.format(
-            "noop"
-        ).mode("overwrite").save()
+    for _probe_q in ("ann_ivf_probe_topk", "ann_pq_probe_topk"):
+        if _probe_q in QUERY_REGISTRY:
+            QUERY_REGISTRY[_probe_q].spark(spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
     release_persisted()
 
     t_total = time.perf_counter()

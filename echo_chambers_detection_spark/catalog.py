@@ -634,6 +634,39 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_probe_topk",
+    None,
+    doc="PQ top-k against a PERSISTED index: codebooks + code table "
+    "built once per embeddings table (fingerprint-keyed cache, same "
+    "contract as ann_ivf_probe_topk), queries are probe-only — "
+    "resident codebooks, ADC over stored 8-byte codes, exact rerank. "
+    "This is the per-query shape of a PQ deployment; the inline "
+    "ann_pq_topk keeps the self-contained train+search form. Rows-only "
+    "check; inline/persisted parity is pinned in tests/test_ivf.py.",
+)
+def q_ann_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from echo_chambers_detection_spark.operators.ann import (
+        pq_index_build,
+        pq_topk_from_index,
+    )
+
+    idx = os.path.join(
+        _ivf_index_dir(sf_dir, n_cells=16, iters=2), "pq_m8"
+    )
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        pq_index_build(_emb(spark, sf_dir), idx, m=8, k=16, iters=2)
+    return pq_topk_from_index(
+        _emb(spark, sf_dir),
+        idx,
+        _query_vec(spark, sf_dir),
+        k_results=10,
+        refine=8,
+    )
+
+
+@register(
     "ann_extremes",
     f"""
 WITH {_ORACLE_EMB_EXPLODED},
@@ -2788,6 +2821,7 @@ _REGISTRY_ORDER = [
     "text_scrub_stats",
     "ann_int8_topk",
     "ann_pq_topk",
+    "ann_pq_probe_topk",
     # -- rotated out of r3's window, last stamped r2 — restamp now --------
     "embedding_near_dup",
     "multimodal_blob_stats",
@@ -2816,7 +2850,6 @@ _REGISTRY_ORDER = [
     # -- no_oracle iterative graph queries (rows-only driver check) -------
     "kcore_user_graph",
     "louvain_user_communities",
-    "leiden_communities",
     # -- flagship + composite chains --------------------------------------
     "coengagement_edges",
     "coengagement_top_pairs",
@@ -2839,6 +2872,7 @@ _REGISTRY_ORDER = [
     # -- stamped green in round 3; back in the window next round ----------
     "label_propagation_communities",
     "modularity_optimization_communities",
+    "leiden_communities",
     "density_clusters",
     "fastrp_embeddings",
     "exact_dedup_groups",

@@ -757,12 +757,35 @@ def pq_topk(
     (seeded codebooks, (adc, id) candidate order), rows-only in the
     catalog — recall vs the float path is the pinned quality contract.
     """
-    import numpy as np
-
     books, codes = pq_train(
         embeddings, m=m, k=n_centroids, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
+    return _pq_adc_rerank(
+        embeddings, books, codes, query,
+        k_results=k_results, refine=refine,
+        id_col=id_col, vec_col=vec_col, query_col=query_col,
+    )
+
+
+def _pq_adc_rerank(
+    embeddings: DataFrame,
+    books,
+    codes: DataFrame,
+    query: DataFrame,
+    k_results: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+    query_col: str,
+) -> DataFrame:
+    """Shared tail of the inline and persisted-index PQ paths: build the
+    query's (m, k) ADC table (squared L2 to every sub-centroid — cosine
+    on normalized vectors is monotone in L2), score the code table with
+    m lookups per vector, keep refine·k candidates under the
+    deterministic (adc, id) order, exact-cosine rerank."""
+    import numpy as np
+
     dsub = books.shape[2]
     qv = np.asarray(
         query.select(query_col).first()[query_col], dtype="float64"
@@ -770,16 +793,12 @@ def pq_topk(
     qn = np.linalg.norm(qv)
     if qn > 0:
         qv = qv / qn
-    # ADC table: squared L2 from the query's subvector to every
-    # sub-centroid — cosine on normalized vectors is monotone in L2
     table = np.stack(
         [
-            (
-                (books[s] - qv[s * dsub : (s + 1) * dsub][None, :]) ** 2
-            ).sum(1)
+            ((books[s] - qv[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(1)
             for s in range(books.shape[0])
         ]
-    )  # (m, k)
+    )
     spark = embeddings.sparkSession
     bt = spark.sparkContext.broadcast(table)
 
@@ -810,6 +829,80 @@ def pq_topk(
         k=k_results,
         vec_col=vec_col,
         id_col=id_col,
+    )
+
+
+def pq_index_build(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> None:
+    """Persist a PQ index: codebooks ((sub, cell, centroid) — m·k rows,
+    KB-scale) and the code table ((id, codes)) as parquet under `path`.
+    Same build-once contract as `ivf_index_build`: the store a 100 TB
+    deployment scans is the CODES, refreshed on ingest cadence, never
+    per query."""
+    import os
+
+    books, codes = pq_train(
+        embeddings, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = embeddings.sparkSession
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    _CENTROID_CACHE.pop(os.path.abspath(path), None)
+
+
+def pq_topk_from_index(
+    embeddings: DataFrame,
+    index_path: str,
+    query: DataFrame,
+    k_results: int = 10,
+    refine: int = 4,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+    query_col: str = "qvec",
+) -> DataFrame:
+    """Probe-only PQ-ADC top-k against a persisted index: resident
+    codebooks (same cache as the IVF centroids), ADC scan over the
+    stored code table (8-byte codes, no float vectors read), exact
+    rerank of refine·k candidates from the live embeddings."""
+    import os
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    key = os.path.abspath(index_path)
+    books = _CENTROID_CACHE.get(key)
+    if books is None:
+        rows = spark.read.parquet(
+            os.path.join(index_path, "codebooks")
+        ).collect()
+        m = max(r["sub"] for r in rows) + 1
+        k = max(r["cell"] for r in rows) + 1
+        dsub = len(rows[0]["centroid"])
+        books = np.zeros((m, k, dsub))
+        for r in rows:
+            books[r["sub"], r["cell"]] = r["centroid"]
+        _CENTROID_CACHE[key] = books
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    return _pq_adc_rerank(
+        embeddings, books, codes, query,
+        k_results=k_results, refine=refine,
+        id_col=id_col, vec_col=vec_col, query_col=query_col,
     )
 
 

@@ -166,3 +166,34 @@ def test_pq_topk_recall_vs_float(emb, query):
     )
     for r in got.collect():
         assert exact_scores[r["post_cid"]] == r["score"]
+
+
+def test_pq_persisted_index_matches_inline(emb, query, tmp_path):
+    """pq_index_build + pq_topk_from_index returns exactly what the
+    inline train+search does at the same parameters, and the probe
+    does not touch the stored index."""
+    import os
+
+    from echo_chambers_detection_spark.operators.ann import (
+        pq_index_build,
+        pq_topk,
+        pq_topk_from_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    pq_index_build(emb, idx, m=8, k=8, iters=2)
+    assert os.path.exists(os.path.join(idx, "codebooks"))
+    assert os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
+    a = [
+        tuple(r)
+        for r in pq_topk_from_index(
+            emb, idx, query, k_results=10, refine=4
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in pq_topk(
+            emb, query, k_results=10, m=8, n_centroids=8, iters=2, refine=4
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
