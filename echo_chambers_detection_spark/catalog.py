@@ -1824,6 +1824,131 @@ def q_text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_quality_flags",
+    r"""
+WITH lines AS (
+    SELECT doc_id,
+           lower(text) AS lt,
+           list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS ls
+    FROM documents
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       ROUND(CASE WHEN len(ls) > 0
+             THEN len(list_filter(ls, x -> right(rtrim(x), 1) IN ('.', '!', '?')))
+                  * 1.0 / len(ls)
+             ELSE NULL END, 6) AS frac_terminal_punct_lines,
+       ROUND(CASE WHEN len(ls) > 0
+             THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+             ELSE NULL END, 6) AS frac_duplicate_lines,
+       CAST(contains(lt, 'lorem ipsum') AS BOOLEAN) AS has_lorem_ipsum,
+       CAST(contains(lt, '{') AS BOOLEAN) AS has_curly_brace
+FROM lines
+""",
+    doc="C4-style line-level quality flags (M6 curation; Raffel et al. "
+    "2020 §2.2 rules): terminal-punctuation line fraction, duplicate-"
+    "line fraction, lorem-ipsum and curly-brace markers — the classic "
+    "web-corpus drop rules, per doc so a filter pass is one predicate. "
+    "Single-line synthetic docs hash-verify the degenerate case; the "
+    "multi-line mechanics are oracle-checked on a crafted corpus in "
+    "tests/test_text_functions.py.",
+)
+def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lt = F.lower(F.col("text"))
+    ls = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != ""
+    )
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", lt.alias("lt"), ls.alias("ls")
+    )
+    n = F.size("ls")
+    term = F.size(
+        F.filter(
+            F.col("ls"),
+            lambda x: F.right(F.rtrim(x), F.lit(1)).isin(".", "!", "?"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_lines"),
+        F.round(
+            F.when(n > 0, term.cast("double") / n), 6
+        ).alias("frac_terminal_punct_lines"),
+        F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct("ls")).cast("double") / n,
+            ),
+            6,
+        ).alias("frac_duplicate_lines"),
+        F.col("lt").contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col("lt").contains("{").alias("has_curly_brace"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    r"""
+WITH g AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+),
+hs AS (
+    SELECT doc_id,
+           CASE WHEN length(t) >= 8
+                THEN [md5(substr(t, i, 8))
+                      for i in generate_series(1, length(t) - 7)]
+                ELSE [] END AS h
+    FROM g
+),
+wins AS (
+    SELECT doc_id, h,
+           CASE WHEN len(h) >= 4
+                THEN [list_min(h[j : j + 3])
+                      for j in generate_series(1, len(h) - 3)]
+                ELSE [] END AS w
+    FROM hs
+)
+SELECT doc_id,
+       len(h) AS n_grams,
+       len(list_distinct(w)) AS n_fingerprints,
+       list_min(w) AS min_fingerprint
+FROM wins
+""",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "2003 — the rolling-hash fingerprinting of the M6 inventory): "
+    "hash every 8-char k-gram, keep the minimum of each 4-hash "
+    "window; the distinct window-minima are the fingerprint set that "
+    "guarantees detection of any shared run >= k+w-1 chars. All "
+    "native array expressions over the SAME md5 both engines share; "
+    "short docs yield empty sets via the explicit guards (the "
+    "sequence(1,0)-descends rule from ADVICE r3 applies here too).",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.lower(F.col("text"))
+    h = F.when(
+        F.length(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 7),
+            lambda i: F.md5(F.substring(t, i, F.lit(8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _t(spark, sf_dir, "documents").select("doc_id", h.alias("h"))
+    w = F.when(
+        F.size("h") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - 3),
+            lambda j: F.array_min(F.slice("h", j, 4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        F.size(F.array_distinct(w)).alias("n_fingerprints"),
+        F.array_min(w).alias("min_fingerprint"),
+    )
+
+
+@register(
     "doc_repetition_scores",
     f"""
 WITH {_ORACLE_TOKS_CTE},
@@ -2822,6 +2947,8 @@ _REGISTRY_ORDER = [
     "ann_int8_topk",
     "ann_pq_topk",
     "ann_pq_probe_topk",
+    "c4_quality_flags",
+    "winnowing_fingerprints",
     # -- rotated out of r3's window, last stamped r2 — restamp now --------
     "embedding_near_dup",
     "multimodal_blob_stats",
@@ -2848,8 +2975,6 @@ _REGISTRY_ORDER = [
     "density_clusters_lsh",
     "hdbscan_clusters",
     # -- no_oracle iterative graph queries (rows-only driver check) -------
-    "kcore_user_graph",
-    "louvain_user_communities",
     # -- flagship + composite chains --------------------------------------
     "coengagement_edges",
     "coengagement_top_pairs",
@@ -2872,6 +2997,8 @@ _REGISTRY_ORDER = [
     # -- stamped green in round 3; back in the window next round ----------
     "label_propagation_communities",
     "modularity_optimization_communities",
+    "kcore_user_graph",
+    "louvain_user_communities",
     "leiden_communities",
     "density_clusters",
     "fastrp_embeddings",

@@ -35,6 +35,7 @@ def test_registry_window_covers_unverified_queries():
         "simhash64_near_pairs", "language_id_trigram_pred",
         "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
         "ann_pq_topk", "ann_pq_probe_topk",
+        "c4_quality_flags", "winnowing_fingerprints",
         # rotated out of r3's window — last stamped r2, restamp now
         "embedding_near_dup", "multimodal_blob_stats",
         "membership_with_labels", "pricing_summary", "revenue_by_nation",

@@ -196,3 +196,103 @@ def test_scrub_matches_duckdb_semantics(spark):
     assert got["n_urls"].tolist() == want["n_urls"].tolist()
     assert got["n_emails"].tolist() == want["n_emails"].tolist()
     assert got["clean_len"].tolist() == want["clean_len"].tolist()
+
+
+def _crafted_corpus(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "Good line one.\nAnother fine line!\nIs this enough?\n"
+                  "no punctuation here\nGood line one."),
+            ("2", "Lorem ipsum dolor sit amet { padding: 0 }"),
+            ("3", "short"),
+            ("4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    d = str(tmp_path / "crafted")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_c4_flags_multiline_mechanics(spark, tmp_path):
+    """The sf corpora are single-line; the line-level C4 rules are
+    verified here on a crafted multi-line corpus, Spark vs DuckDB."""
+    import duckdb
+
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    d = _crafted_corpus(spark, tmp_path)
+    got = {
+        r.doc_id: r
+        for r in QUERY_REGISTRY["c4_quality_flags"].spark(spark, d).collect()
+    }
+    assert got["1"].n_lines == 5
+    assert got["1"].frac_terminal_punct_lines == 0.8  # 4 of 5
+    assert got["1"].frac_duplicate_lines == 0.2  # one repeated line
+    assert got["2"].has_lorem_ipsum and got["2"].has_curly_brace
+    assert got["4"].n_lines == 0
+    assert got["4"].frac_terminal_punct_lines is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        QUERY_REGISTRY["c4_quality_flags"].oracle
+    ).df().set_index("doc_id")
+    for did, r in got.items():
+        w = want.loc[did]
+        assert r.n_lines == w["n_lines"]
+        assert bool(r.has_lorem_ipsum) == bool(w["has_lorem_ipsum"])
+
+
+def test_winnowing_detects_shared_runs(spark):
+    """Winnowing's guarantee: two docs sharing a run of >= k+w-1 = 11
+    chars share at least one fingerprint; disjoint-content docs (over
+    the md5 gram space) share none."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+    import os, tempfile
+
+    shared = "identical-substring-here"
+    docs = spark.createDataFrame(
+        [
+            ("1", "prefix AAA " + shared + " suffix BBB"),
+            ("2", "zzz " + shared + " qqq totally other tail"),
+            ("3", "unrelated content with nothing in common at all"),
+        ],
+        "doc_id string, text string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    # recompute the fingerprint SETS (the query returns summaries;
+    # reuse its internals by re-deriving with the same expressions)
+    from pyspark.sql import functions as F
+
+    t = F.lower(F.col("text"))
+    h = F.transform(
+        F.sequence(F.lit(1), F.length(t) - 7),
+        lambda i: F.md5(F.substring(t, i, F.lit(8))),
+    )
+    w = F.transform(
+        F.sequence(F.lit(1), F.size(h) - 3),
+        lambda j: F.array_min(F.slice(h, j, 4)),
+    )
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in docs.select(
+            "doc_id", F.array_distinct(w).alias("fp")
+        ).collect()
+    }
+    assert fps["1"] & fps["2"], "shared 24-char run must share a fingerprint"
+    assert not (fps["1"] & fps["3"])
+    assert not (fps["2"] & fps["3"])
+    # and the registered query runs green on this frame
+    out = {
+        r.doc_id: r
+        for r in QUERY_REGISTRY["winnowing_fingerprints"]
+        .spark(spark, d)
+        .collect()
+    }
+    assert out["1"].n_fingerprints > 0
