@@ -256,8 +256,11 @@ def simhash64(
     # bits only (sign(Σ±1) > 0 ⇔ 2·count_set > n) and pack FOUR bit
     # counters per long, 16 bits each — 16 SUM aggregates + one COUNT.
     # A lane gains at most 1 per row, so lanes cannot cross below 65,536
-    # tokens per document (the tokenizer never yields that many; docs
-    # are bounded upstream by the curation pipeline's length filters).
+    # tokens per document; beyond that failure is LOUD, never silent:
+    # ANSI arithmetic overflows the packed SUM itself for typical token
+    # mixes, and the explicit n-based raise below covers adversarial
+    # mixes that keep the high lanes cold (real curation pipelines
+    # length-filter far below the bound).
     one = F.lit(1).cast("long")
     aggs = [F.count("*").alias("n")]
     for g in range(16):
@@ -282,6 +285,16 @@ def simhash64(
                 cnt * 2 > F.col("n"),
                 F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
+    sig = F.when(
+        F.col("n") >= (1 << 16),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash64 lane overflow: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" has >= 65536 tokens — filter oversized docs first"),
+            )
+        ).cast("long"),
+    ).otherwise(sig)
     return sums.select("doc_id", sig.alias("simhash"))
 
 
@@ -325,7 +338,16 @@ def simhash64_rowwise(text_col) -> "F.Column":
                 cnt * 2 > n,
                 F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
-    return sig
+    # same 16-bit lane bound as simhash64 — overflow must be loud
+    return F.when(
+        n >= (1 << 16),
+        F.raise_error(
+            F.lit(
+                "simhash64_rowwise lane overflow: document has >= 65536 "
+                "tokens — filter oversized docs first"
+            )
+        ).cast("long"),
+    ).otherwise(sig)
 
 
 def simhash_candidate_pairs_banded(

@@ -159,3 +159,31 @@ def test_simhash64_rowwise_parity(spark):
         ).collect()
     }
     assert row == agg
+
+
+def test_simhash64_overflow_is_loud(spark):
+    """>= 65,536 tokens would corrupt the SWAR lane counters — both
+    signature forms must fail LOUDLY instead (round-4 self-review).
+    Two layers guarantee it: ANSI arithmetic overflows the packed SUM
+    itself for typical token mixes, and the explicit n-based
+    raise_error covers adversarial mixes that keep the top lane cold;
+    either way, never a silent wrong signature."""
+    import pytest
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash64,
+        simhash64_rowwise,
+    )
+
+    big = spark.createDataFrame(
+        [("huge", "w " * 66_000)], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="lane overflow|ARITHMETIC_OVERFLOW"):
+        simhash64(big).collect()
+    with pytest.raises(Exception, match="lane overflow|ARITHMETIC_OVERFLOW"):
+        big.select(simhash64_rowwise("text")).collect()
+    # and normal docs still sign fine with the guard in the plan
+    ok = spark.createDataFrame(
+        [("d", "normal sized document text")], "doc_id string, text string"
+    )
+    assert simhash64(ok).count() == 1
