@@ -74,3 +74,33 @@ def test_chart_handles_negative_and_null(spark, tmp_path):
     )
     p = save_bar_chart_png(df, "community", "ecs", str(tmp_path / "n.png"))
     _decode_png_size(open(p, "rb").read())
+
+
+def test_html_report(spark, tmp_path):
+    """save_html_report writes a self-contained report: count tiles,
+    the metrics table, and the chart quartet it references (reference
+    ui/app.py content, minus the interactive shell)."""
+    from echo_chambers_detection_spark.sinks.report import save_html_report
+
+    p = save_html_report(
+        spark,
+        _metrics_df(spark),
+        str(tmp_path),
+        n_users=77_392,
+        n_posts=12_345,
+    )
+    doc = open(p, encoding="utf-8").read()
+    assert "77,392" in doc and "Number of users" in doc
+    assert "12,345" in doc and "Number of posts" in doc
+    for c in ("c1", "c2", "c3"):
+        assert f"<td>{c}</td>" in doc
+    import os
+
+    for img in (
+        "ecs_by_community.png",
+        "conductance_by_community.png",
+        "homophily_by_community.png",
+        "variance_by_community.png",
+    ):
+        assert img in doc
+        _decode_png_size(open(os.path.join(str(tmp_path), img), "rb").read())
