@@ -127,7 +127,9 @@ def _lang_case_chain(hits: dict, order: tuple[str, ...]) -> Column:
     """CASE chain over per-language scores: language L wins if its score
     is >= every LATER language's score — so on full ties the earliest
     language in `order` wins. The oracle SQL builds the identical chain
-    from the same tables (catalog._lang_hits_sql)."""
+    from the same tables (catalog._sw_hits_sql / catalog._trigram_hits_sql
+    generate the per-language scores, catalog._lang_case_sql the CASE
+    chain)."""
     expr = F.lit(order[-1])
     for idx in range(len(order) - 2, -1, -1):
         lang = order[idx]

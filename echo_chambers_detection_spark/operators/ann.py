@@ -476,14 +476,21 @@ def ivf_index(
     import numpy as np
     import pandas as pd
 
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
     spark = embeddings.sparkSession
     # one leaf for the whole build: every Lloyd round scans norm for the
     # assignment AND the centroid update, and the caller's plan may be
     # arbitrarily expensive (FastRP in the HDBSCAN chain) — without the
-    # checkpoint each of the 2·iters+1 passes re-executes it
-    norm = embeddings.select(
-        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
-    ).localCheckpoint(eager=True)
+    # checkpoint each of the 2·iters+1 passes re-executes it. The ckpt
+    # ids ride on the returned assignments frame so the persisted-index
+    # builders can free the blocks once the parquet write lands
+    # (ADVICE r4: build checkpoints accumulated in long sessions).
+    norm = _materialize(
+        embeddings.select(
+            F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
+        )
+    )
 
     seed_rows = (
         norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
@@ -528,11 +535,31 @@ def ivf_index(
                 new[c] = v / n
         cent = new
 
-    return assign_with(cent).withColumnRenamed("_id", id_col), cent
+    out = assign_with(cent).withColumnRenamed("_id", id_col)
+    out._ckpt_rdd_ids = getattr(norm, "_ckpt_rdd_ids", [])
+    return out, cent
+
+
+def _release_checkpoints_of(df: DataFrame) -> None:
+    """Free the build checkpoint blocks tagged on `df` (`_ckpt_rdd_ids`).
+
+    Persisted-index builders call this AFTER their parquet write — the
+    write is the last reader of the checkpointed leaf, so the blocks
+    are dead the moment it completes. Inline (non-persisted) paths keep
+    the checkpoint alive because their returned plan still reads it;
+    those blocks go with the result frame via the ContextCleaner."""
+    from echo_chambers_detection_spark.operators.graph import (
+        _release_checkpoint,
+    )
+
+    _release_checkpoint(df)
 
 
 # process-resident centroid matrices per persisted index dir (immutable
-# once written); see ivf_topk_from_index
+# once written); see ivf_topk_from_index. Keys are (kind, abspath) —
+# IVF centroid matrices are 2-D, PQ codebooks 3-D, and one directory
+# may legally host both (ADVICE r4: a path-only key returned a
+# wrong-shaped array when the two probes shared a directory).
 _CENTROID_CACHE: dict = {}
 
 
@@ -569,7 +596,8 @@ def ivf_index_build(
     assignments.write.mode("overwrite").parquet(
         os.path.join(path, "assignments")
     )
-    _CENTROID_CACHE.pop(os.path.abspath(path), None)
+    _release_checkpoints_of(assignments)
+    _CENTROID_CACHE.pop(("ivf", os.path.abspath(path)), None)
 
 
 def ivf_topk_from_index(
@@ -594,7 +622,7 @@ def ivf_topk_from_index(
     import numpy as np
 
     spark = embeddings.sparkSession
-    key = os.path.abspath(index_path)
+    key = ("ivf", os.path.abspath(index_path))
     cent = _CENTROID_CACHE.get(key)
     if cent is None:
         cent_rows = spark.read.parquet(
@@ -657,10 +685,16 @@ def pq_train(
     import numpy as np
     import pandas as pd
 
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
     spark = embeddings.sparkSession
-    norm = embeddings.select(
-        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
-    ).localCheckpoint(eager=True)
+    # same ckpt-id tagging contract as ivf_index (released by
+    # pq_index_build after its write)
+    norm = _materialize(
+        embeddings.select(
+            F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_vec")
+        )
+    )
 
     dim = len(norm.select("_vec").first()["_vec"])
     if dim % m != 0:
@@ -733,6 +767,7 @@ def pq_train(
         books = new
 
     codes = assign_with(books).withColumnRenamed("_id", id_col)
+    codes._ckpt_rdd_ids = getattr(norm, "_ckpt_rdd_ids", [])
     return books, codes
 
 
@@ -863,7 +898,8 @@ def pq_index_build(
         os.path.join(path, "codebooks")
     )
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    _CENTROID_CACHE.pop(os.path.abspath(path), None)
+    _release_checkpoints_of(codes)
+    _CENTROID_CACHE.pop(("pq", os.path.abspath(path)), None)
 
 
 def pq_topk_from_index(
@@ -885,7 +921,7 @@ def pq_topk_from_index(
     import numpy as np
 
     spark = embeddings.sparkSession
-    key = os.path.abspath(index_path)
+    key = ("pq", os.path.abspath(index_path))
     books = _CENTROID_CACHE.get(key)
     if books is None:
         rows = spark.read.parquet(

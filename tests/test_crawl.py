@@ -78,15 +78,20 @@ def test_crawl_bfs_two_waves(spark):
     posts = {r["uri"]: r["author"] for r in res.posts.collect()}
     assert posts == {"p:u1a": "did:u1", "p:u2a": "did:u2", "p:u3a": "did:u3"}
     likes = {(r["user_did"], r["uri"]) for r in res.likes.collect()}
+    # reference edge semantics (producer_main.py:170-177): wave-0 seed
+    # likes emit NO edges, and seen likers are filtered — u2's like of
+    # p:u1a (u2 is in the same wave as u1) and u1's like of p:u3a
+    # (u1 seen since wave 1) are discovery-filtered, exactly like the
+    # reference's `if liker not in seen_users` guard
     assert likes == {
-        ("did:u1", "post:s0"),
-        ("did:u2", "post:s0"),
-        ("did:u2", "p:u1a"),
         ("did:u3", "p:u1a"),
         ("did:u3", "p:u2a"),
-        ("did:u1", "p:u3a"),
     }
     assert all(r["type"] == "LIKED" for r in res.likes.collect())
+    # the reference invariant the r4 formulation broke: every LIKED uri
+    # has a fetched post row
+    post_uris = set(posts)
+    assert {u for _, u in likes} <= post_uris
     # visited-set dedup: each profile exactly once even though u2/u3
     # are reachable along several like paths
     assert res.profiles.count() == 3

@@ -100,7 +100,12 @@ def test_ivf_persisted_index_probe_only(emb, query, tmp_path):
             emb, idx, query, k_results=10, nprobe=2
         ).collect()
     ]
-    assert set(got2) <= set(exact) or len(got2) == 10  # pruned probe
+    # pruned probe: still k results, with a concrete recall floor
+    # against the exact top-10 (ADVICE r4: the old disjunction was
+    # vacuously true) — nprobe=2 of 8 cells on this clustered fixture
+    # keeps the query's own cell, so most of the head survives
+    assert len(got2) == 10
+    assert len(set(got2) & set(exact)) >= 6
     assert mtimes == {
         f: os.path.getmtime(os.path.join(idx, "assignments", f))
         for f in os.listdir(os.path.join(idx, "assignments"))
