@@ -778,7 +778,7 @@ def pq_topk(
     m: int = 8,
     n_centroids: int = 16,
     iters: int = 3,
-    refine: int = 4,
+    refine: int | None = 4,
     id_col: str = "post_cid",
     vec_col: str = "vector",
     query_col: str = "qvec",
@@ -818,7 +818,14 @@ def _pq_adc_rerank(
     query's (m, k) ADC table (squared L2 to every sub-centroid — cosine
     on normalized vectors is monotone in L2), score the code table with
     m lookups per vector, keep refine·k candidates under the
-    deterministic (adc, id) order, exact-cosine rerank."""
+    deterministic (adc, id) order, exact-cosine rerank.
+
+    `refine=None` is the EXHAUSTIVE configuration (VERDICT r4 #1, the
+    PQ analogue of nprobe=n_cells): every scored code row is a
+    candidate, so the exact rerank provably returns the true top-k and
+    the whole train→compress→ADC-scan→rerank machinery is
+    oracle-checkable against the plain cosine_topk SQL. Finite refine
+    is the production recall/candidate trade, pinned in tests."""
     import numpy as np
 
     dsub = books.shape[2]
@@ -852,11 +859,16 @@ def _pq_adc_rerank(
 
     id_type = dict(codes.dtypes)[id_col]
     scored = codes.mapInPandas(adc, schema=f"_cid {id_type}, adc double")
-    cand = (
-        scored.orderBy("adc", "_cid")
-        .limit(refine * k_results)
-        .select(F.col("_cid").alias(id_col))
-    )
+    if refine is None:
+        # exhaustive: no TakeOrdered cut — every code row survives the
+        # ADC scan, so the rerank is exact (see docstring)
+        cand = scored.select(F.col("_cid").alias(id_col))
+    else:
+        cand = (
+            scored.orderBy("adc", "_cid")
+            .limit(refine * k_results)
+            .select(F.col("_cid").alias(id_col))
+        )
     pruned = embeddings.join(cand, id_col, "leftsemi")
     return cosine_topk(
         pruned,
@@ -907,7 +919,7 @@ def pq_topk_from_index(
     index_path: str,
     query: DataFrame,
     k_results: int = 10,
-    refine: int = 4,
+    refine: int | None = 4,
     id_col: str = "post_cid",
     vec_col: str = "vector",
     query_col: str = "qvec",

@@ -298,6 +298,26 @@ def simhash64(
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def md5_vote64(token) -> "F.Column":
+    """Cross-engine-reproducible 64-bit vote hash for `simhash64`
+    (VERDICT r4 #4): the first 16 hex digits of md5(token) read as a
+    64-bit integer — bit j of the vote long is bit (j mod 4) of hex
+    digit (j div 4). Pure string ops + conv, so DuckDB rebuilds the
+    IDENTICAL bits from the same md5 string and the 64-bit production
+    width itself becomes oracle-checkable (the default xxhash64 vote
+    has no DuckDB twin). Digit values stay < 16, so every shiftleft
+    lane is disjoint — bitwiseOR packing, no carries, no overflow
+    (bit 63 wraps to the sign bit by Java shift semantics, which is
+    exactly the two's-complement encoding the oracle's CASE emits)."""
+    c = F.col(token) if isinstance(token, str) else token
+    h = F.md5(c)
+    acc = F.lit(0).cast("long")
+    for p in range(16):
+        v = F.conv(h.substr(p + 1, 1), 16, 10).cast("long")
+        acc = acc.bitwiseOR(F.shiftleft(v, 4 * p))
+    return acc
+
+
 def simhash64_rowwise(text_col) -> "F.Column":
     """The SAME 64-bit signature as `simhash64`, computed ROW-LOCALLY:
     one `aggregate` over the token array folds the 16 SWAR lane-packs,

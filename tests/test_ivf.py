@@ -202,3 +202,24 @@ def test_pq_persisted_index_matches_inline(emb, query, tmp_path):
         ).collect()
     ]
     assert a == b and len(a) == 10
+
+
+def test_pq_exhaustive_refine_equals_exact(emb, query):
+    """refine=None (the oracle configuration, VERDICT r4 #1): every
+    ADC-scored code row survives to the exact rerank, so PQ returns
+    the true cosine top-k bit-for-bit — the PQ analogue of IVF's
+    nprobe=n_cells exhaustive probe."""
+    from echo_chambers_detection_spark.operators.ann import pq_topk
+
+    exact = [
+        (r["post_cid"], r["score"])
+        for r in cosine_topk(emb, query, k=10).collect()
+    ]
+    got = [
+        (r["post_cid"], r["score"])
+        for r in pq_topk(
+            emb, query, k_results=10, m=8, n_centroids=8, iters=2,
+            refine=None,
+        ).collect()
+    ]
+    assert got == exact
