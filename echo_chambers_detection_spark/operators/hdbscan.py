@@ -25,12 +25,16 @@ HDBSCAN implementation makes):
    bound (operators/localgraph semantics), distributed Borůvka above —
    per-component min out-edge under the strict total order (w, u1, u2)
    (no tie cycles), contract via connected components, O(log n) rounds.
-5. The forest (n-1 edges max — MB-scale even for 1e8 nodes) collects to
-   the driver for the inherently sequential condense: single-linkage
-   dendrogram -> condensed tree (min_cluster_size) -> stability
-   selection (excess of mass). The virtual root joining forest trees
-   and any cluster holding EVERY point are not selectable
-   (allow_single_cluster=False semantics).
+5. Hanging sub-min_cluster_size subtrees of the forest are contracted
+   DISTRIBUTEDLY first (`contract_runt_fringes` — they can never hold a
+   genuine split, so only size + min member id survive), then the
+   contracted forest (cluster backbone + one row per fringe, not n-1
+   rows) collects to the driver for the inherently sequential condense:
+   single-linkage dendrogram -> condensed tree (min_cluster_size,
+   weighted by supernode size) -> stability selection (excess of mass).
+   Labels expand back through a distributed member-map join. The
+   virtual root joining forest trees and any cluster holding EVERY
+   point are not selectable (allow_single_cluster=False semantics).
 
 Labels: cluster id = min member node id (consistent with the other
 graph operators), noise = '-1' (the reference's convention).
@@ -474,6 +478,8 @@ def condense_and_select(
     node_ids: list[str],
     mst_edges: list[tuple[str, str, float]],
     min_cluster_size: int,
+    node_sizes: dict[str, int] | None = None,
+    node_min_ids: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Driver-side HDBSCAN* tail over the (tiny) spanning forest:
     single-linkage dendrogram -> condensed tree -> stability selection.
@@ -483,11 +489,27 @@ def condense_and_select(
     sum of subtree sizes over GENUINE splits (both sides >=
     min_cluster_size) plus small-side enumeration elsewhere — near
     n log n on real hierarchies.
+
+    WEIGHTED nodes (VERDICT r4 #2): `node_sizes[id]` is how many
+    original points a node stands for (default 1) and
+    `node_min_ids[id]` the smallest original member id (default the
+    node id) — the two facts `contract_runt_fringes` preserves when it
+    collapses a hanging sub-min_cluster_size subtree to one supernode.
+    Every point count in the walk (split sizes, runt fall-out
+    stability, cluster mass, the total-mass selectability guard, min-
+    member labels) is weighted accordingly; with default weights the
+    arithmetic is bit-identical to the unweighted form.
     """
     n = len(node_ids)
     if n == 0:
         return {}
     idx = {s: i for i, s in enumerate(node_ids)}
+    wt = [
+        (node_sizes.get(s, 1) if node_sizes else 1) for s in node_ids
+    ]
+    mid = [
+        (node_min_ids.get(s, s) if node_min_ids else s) for s in node_ids
+    ]
 
     # ---- single-linkage dendrogram via union-find over sorted edges ----
     # cluster handle -> (members resolved lazily through a tree of merge
@@ -548,15 +570,8 @@ def condense_and_select(
 
     sizes: dict[int, int] = {}
 
-    def size_of(d: int) -> int:
-        if d < n:
-            return 1
-        if d not in sizes:
-            l, r = children[d - n]
-            sizes[d] = size_of(l) + size_of(r)
-        return sizes[d]
-
-    # iterative size computation to avoid deep recursion
+    # iterative size computation to avoid deep recursion; leaves carry
+    # their supernode weight (1 in the uncontracted form)
     stack = [root]
     order = []
     while stack:
@@ -569,9 +584,9 @@ def condense_and_select(
     for x in reversed(order):
         if x >= n:
             l, r = children[x - n]
-            sizes[x] = sizes.get(l, 1) + sizes.get(r, 1)
+            sizes[x] = sizes[l] + sizes[r]
         else:
-            sizes[x] = 1
+            sizes[x] = wt[x]
 
     # ---- condense ----
     # condensed cluster records
@@ -623,15 +638,16 @@ def condense_and_select(
             big, small = (l, r) if sl >= sr else (r, l)
             if sizes[small] >= min_cluster_size:
                 big, small = small, big  # keep the qualifying side
-            # runt points fall out of cid at lam
+            # runt points fall out of cid at lam (weighted: a supernode
+            # of w points contributes w times)
             for p in leaves_of(small):
                 point_cluster[p] = (cid, lam)
-                c_stability[cid] += lam - c_birth[cid]
+                c_stability[cid] += (lam - c_birth[cid]) * wt[p]
             if sizes[big] < min_cluster_size:
                 # both runts: everything falls out, cluster dies
                 for p in leaves_of(big):
                     point_cluster[p] = (cid, lam)
-                    c_stability[cid] += lam - c_birth[cid]
+                    c_stability[cid] += (lam - c_birth[cid]) * wt[p]
                 d = -1
                 break
             d = big  # continue as the same condensed cluster
@@ -655,21 +671,21 @@ def condense_and_select(
     for p, (cid, lam) in list(point_cluster.items()):
         if lam == float("inf"):
             lam_eff = max_lam.get(cid, c_birth[cid])
-            c_stability[cid] += lam_eff - c_birth[cid]
+            c_stability[cid] += (lam_eff - c_birth[cid]) * wt[p]
             point_cluster[p] = (cid, lam_eff)
 
     # ---- selection (excess of mass) ----
-    total_n = n
+    total_w = sum(wt)
     c_size = [0] * len(c_parent)
     # size = points that ever belonged (fell out OR persisted)
     for p, (cid, _) in point_cluster.items():
         c = cid
         while c >= 0:
-            c_size[c] += 1
+            c_size[c] += wt[p]
             c = c_parent[c]
 
     selectable = [
-        cid != root_cid and c_size[cid] < total_n
+        cid != root_cid and c_size[cid] < total_w
         for cid in range(len(c_parent))
     ]
     selected = [False] * len(c_parent)
@@ -721,7 +737,7 @@ def condense_and_select(
         sc = selected_ancestor(cid)
         assign[p] = sc
         if sc >= 0:
-            s = node_ids[p]
+            s = mid[p]  # smallest ORIGINAL member id of the supernode
             if sc not in member_min or s < member_min[sc]:
                 member_min[sc] = s
 
@@ -729,6 +745,254 @@ def condense_and_select(
         node_ids[p]: (member_min[sc] if sc >= 0 else "-1")
         for p, sc in assign.items()
     }
+
+
+def _lex_lt(aw, a1, a2, bw, b1, b2):
+    """Strict lexicographic (w, u1, u2) < (w, u1, u2) as a Column —
+    the same total order the dendrogram replays edges in."""
+    return (
+        (aw < bw)
+        | ((aw == bw) & (a1 < b1))
+        | ((aw == bw) & (a1 == b1) & (a2 < b2))
+    )
+
+
+def contract_runt_fringes(
+    forest: DataFrame,
+    min_cluster_size: int,
+    max_rounds: int | None = None,
+):
+    """Distributedly collapse hanging sub-`min_cluster_size` subtrees of
+    the spanning forest BEFORE the driver-side condense collect
+    (VERDICT r4 #2) — the one place the HDBSCAN chain pulled O(n) rows
+    to the driver.
+
+    Returns `(edges, nodes, member_map)`:
+      edges   — (u1, u2, w) between surviving supernodes;
+      nodes   — (node, size, min_id), one row per surviving supernode;
+      member_map — (member, snode): original node -> its supernode,
+      kept DISTRIBUTED (the label join consumes it; it is never
+      collected).
+
+    Absorbing leaf supernode u into its sole neighbor v along edge e is
+    safe exactly when, under the strict edge order (w, u1, u2) the
+    single-linkage dendrogram replays:
+      (a) every edge already inside u sorts before e,
+      (b) every edge already inside v sorts before e,
+      (c) e sorts before every other edge still incident to v,
+      (d) size(u) + size(v) < min_cluster_size.
+    (a)-(c) make members(u) ∪ members(v) a dendrogram node that is
+    fully merged before anything external touches it; (d) means no
+    genuine split can ever open inside it. Such a unit either falls
+    out of a bigger cluster as one runt or dies with it — only its
+    SIZE (stability mass), its MIN member id (labels) and its member
+    list (the output join) matter, which is exactly what the
+    supernode carries into the weighted `condense_and_select`.
+
+    What stays uncontracted is semantically irreducible: points that
+    fall out of >= min_cluster_size clusters at distinct lambdas are
+    individual inputs to the stability sums (condition (c) admits at
+    most one absorption per target per round for the same reason).
+    Compression is therefore bounded by ~min_cluster_size x on
+    fringe-heavy forests — the driver collect drops from n-1 edge rows
+    to the cluster backbone plus one row per contracted fringe, and
+    every round is a handful of joins over a strictly shrinking
+    edge frame.
+    """
+    import math
+
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _release_checkpoint,
+    )
+
+    if max_rounds is None:
+        max_rounds = min(max(min_cluster_size - 1, 0), 16)
+    neg_inf = float("-inf")
+    e = _materialize(forest.select("u1", "u2", F.col("w").cast("double")))
+    base_nodes = _materialize(
+        e.select(F.col("u1").alias("node"))
+        .unionAll(e.select(F.col("u2").alias("node")))
+        .distinct()
+    )
+    nodes = _materialize(
+        base_nodes.select(
+            "node",
+            F.lit(1).cast("long").alias("size"),
+            F.col("node").alias("min_id"),
+            F.lit(neg_inf).alias("m_w"),
+            F.lit("").alias("m_u1"),
+            F.lit("").alias("m_u2"),
+        )
+    )
+    absorptions: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        inc = e.select(
+            F.col("u1").alias("node"), F.col("u2").alias("other"),
+            "w", "u1", "u2",
+        ).unionAll(
+            e.select(
+                F.col("u2").alias("node"), F.col("u1").alias("other"),
+                "w", "u1", "u2",
+            )
+        )
+        deg = inc.groupBy("node").agg(F.count("*").alias("deg"))
+        # per-node second-smallest incident key — condition (c) reduces
+        # to key(e) < k2(target) because edge keys are unique
+        wk = Window.partitionBy("node").orderBy("w", "u1", "u2")
+        k2 = (
+            inc.withColumn("_rk", F.row_number().over(wk))
+            .where(F.col("_rk") == 2)
+            .select(
+                F.col("node").alias("other"),
+                F.col("w").alias("k2_w"),
+                F.col("u1").alias("k2_u1"),
+                F.col("u2").alias("k2_u2"),
+            )
+        )
+        cand = (
+            inc.join(deg.where(F.col("deg") == 1).select("node"), "node")
+            .join(
+                deg.select(
+                    F.col("node").alias("other"), F.col("deg").alias("odeg")
+                ),
+                "other",
+            )
+            # two-leaf components: exactly one direction absorbs
+            .where((F.col("odeg") > 1) | (F.col("node") > F.col("other")))
+            .join(
+                nodes.select(
+                    "node",
+                    F.col("size").alias("lsize"),
+                    F.col("min_id").alias("lmin"),
+                    F.col("m_w").alias("lm_w"),
+                    F.col("m_u1").alias("lm_u1"),
+                    F.col("m_u2").alias("lm_u2"),
+                ),
+                "node",
+            )
+            .join(
+                nodes.select(
+                    F.col("node").alias("other"),
+                    F.col("size").alias("tsize"),
+                    F.col("m_w").alias("tm_w"),
+                    F.col("m_u1").alias("tm_u1"),
+                    F.col("m_u2").alias("tm_u2"),
+                ),
+                "other",
+            )
+            .join(k2, "other", "left")
+            .where(
+                _lex_lt(  # (a)
+                    F.col("lm_w"), F.col("lm_u1"), F.col("lm_u2"),
+                    F.col("w"), F.col("u1"), F.col("u2"),
+                )
+                & _lex_lt(  # (b)
+                    F.col("tm_w"), F.col("tm_u1"), F.col("tm_u2"),
+                    F.col("w"), F.col("u1"), F.col("u2"),
+                )
+                & (  # (c)
+                    F.col("k2_w").isNull()
+                    | _lex_lt(
+                        F.col("w"), F.col("u1"), F.col("u2"),
+                        F.col("k2_w"), F.col("k2_u1"), F.col("k2_u2"),
+                    )
+                )
+                & (  # (d)
+                    F.col("lsize") + F.col("tsize")
+                    < F.lit(min_cluster_size)
+                )
+            )
+        )
+        acc = _materialize(
+            cand.select(
+                F.col("node").alias("leaf"),
+                F.col("other").alias("target"),
+                "w", "u1", "u2", "lsize", "lmin",
+            )
+        )
+        if acc.limit(1).count() == 0:
+            _release_checkpoint(acc)
+            break
+        tgt = acc.select(
+            F.col("target").alias("node"),
+            F.col("lsize").alias("a_size"),
+            F.col("lmin").alias("a_min"),
+            F.col("w").alias("a_w"),
+            F.col("u1").alias("a_u1"),
+            F.col("u2").alias("a_u2"),
+        )
+        nodes_new = _materialize(
+            nodes.join(
+                acc.select(F.col("leaf").alias("node")), "node", "left_anti"
+            )
+            .join(tgt, "node", "left")
+            .select(
+                "node",
+                (F.col("size") + F.coalesce("a_size", F.lit(0))).alias(
+                    "size"
+                ),
+                F.least(
+                    "min_id", F.coalesce("a_min", F.col("min_id"))
+                ).alias("min_id"),
+                # key(e) sorts after both old m's by (a)+(b), so it IS
+                # the new internal max
+                F.coalesce("a_w", F.col("m_w")).alias("m_w"),
+                F.coalesce("a_u1", F.col("m_u1")).alias("m_u1"),
+                F.coalesce("a_u2", F.col("m_u2")).alias("m_u2"),
+            )
+        )
+        e_new = _materialize(
+            e.join(acc.select("u1", "u2"), ["u1", "u2"], "left_anti")
+        )
+        amap_new = acc.select("leaf", "target")
+        if absorptions is not None:
+            amap_new = _materialize(absorptions.unionByName(amap_new))
+            _release_checkpoint(absorptions)
+        else:
+            amap_new = _materialize(amap_new)
+        _release_checkpoint(nodes, e, acc)
+        nodes, e, absorptions = nodes_new, e_new, amap_new
+
+    if absorptions is None:
+        member_map = _materialize(
+            base_nodes.select(
+                F.col("node").alias("member"), F.col("node").alias("snode")
+            )
+        )
+        _release_checkpoint(base_nodes)
+        return e, nodes, member_map
+
+    # absorption chains are <= max_rounds deep; pointer-jump to roots
+    amap = absorptions
+    for _ in range(max(1, math.ceil(math.log2(max(max_rounds, 2))) + 1)):
+        nxt = _materialize(
+            amap.join(
+                amap.select(
+                    F.col("leaf").alias("target"),
+                    F.col("target").alias("_t2"),
+                ),
+                "target",
+                "left",
+            ).select(
+                "leaf", F.coalesce("_t2", F.col("target")).alias("target")
+            )
+        )
+        _release_checkpoint(amap)
+        amap = nxt
+    member_map = _materialize(
+        base_nodes.join(
+            amap.select(F.col("leaf").alias("node"), "target"),
+            "node",
+            "left",
+        ).select(
+            F.col("node").alias("member"),
+            F.coalesce("target", F.col("node")).alias("snode"),
+        )
+    )
+    _release_checkpoint(base_nodes, amap)
+    return e, nodes, member_map
 
 
 # Measured crossover for hdbscan_cluster's knn_mode="auto" (local[32],
@@ -808,19 +1072,40 @@ def hdbscan_cluster(
     core = core_distances(knn, min_pts)
     mre = mutual_reachability_edges(knn, core)
     forest = minimum_spanning_forest(mre)
-    # the forest is <= n-1 rows — THIS is the driver-side step, not the
-    # data; condense is sequential in any HDBSCAN implementation
+    # Pre-contract hanging sub-min_cluster_size subtrees DISTRIBUTEDLY
+    # (VERDICT r4 #2): the driver then collects the contracted forest —
+    # cluster backbone + one row per fringe, not n-1 rows — and the
+    # member expansion stays a distributed join. Condense itself is
+    # sequential in any HDBSCAN implementation; this bounds what it is
+    # fed, label-identically (tests pin contracted == uncontracted).
+    c_edges, c_nodes, member_map = contract_runt_fringes(
+        forest, min_cluster_size
+    )
     f_rows = [
-        (r["u1"], r["u2"], float(r["w"])) for r in forest.collect()
+        (r["u1"], r["u2"], float(r["w"])) for r in c_edges.collect()
     ]
-    _release_checkpoint(forest, knn)
-    in_forest = sorted({u for e in f_rows for u in (e[0], e[1])})
-    labels = condense_and_select(in_forest, f_rows, min_cluster_size)
-    # labels cover only forest members; everything else (inf-core nodes,
-    # isolated points) is noise — the join stays distributed
+    node_rows = c_nodes.collect()
+    _release_checkpoint(forest, knn, c_edges, c_nodes)
+    sn_sizes = {r["node"]: int(r["size"]) for r in node_rows}
+    sn_min = {r["node"]: r["min_id"] for r in node_rows}
+    labels = condense_and_select(
+        sorted(sn_sizes),
+        f_rows,
+        min_cluster_size,
+        node_sizes=sn_sizes,
+        node_min_ids=sn_min,
+    )
+    # labels cover only forest supernodes; everything else (inf-core
+    # nodes, isolated points) is noise — member expansion and the final
+    # join both stay distributed
     if labels:
-        lab_df = spark.createDataFrame(
-            list(labels.items()), f"{id_col} string, _lab string"
+        lab_sn = spark.createDataFrame(
+            list(labels.items()), "snode string, _lab string"
+        )
+        # no broadcast hint: lab_sn is a LocalRelation sized by the
+        # cluster-tree, AQE broadcasts it when small
+        lab_df = member_map.join(lab_sn, "snode").select(
+            F.col("member").alias(id_col), "_lab"
         )
         return (
             embeddings.select(id_col)

@@ -408,3 +408,102 @@ def test_condense_single_linkage_identity(seed, mcs):
                     seen.add(nb)
                     stack.append(nb)
         assert seen == members, (lab, mcs)
+
+
+def _contracted_labels(spark, nodes, edges, mcs):
+    """Run the exact path hdbscan_cluster takes since VERDICT r4 #2:
+    contract_runt_fringes -> weighted condense -> member expansion.
+    Returns ({node: label}, contracted_edge_rows, contracted_node_rows)."""
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        contract_runt_fringes,
+    )
+
+    f = spark.createDataFrame(edges, "u1 string, u2 string, w double")
+    c_e, c_n, mm = contract_runt_fringes(f, mcs)
+    f_rows = [(r["u1"], r["u2"], float(r["w"])) for r in c_e.collect()]
+    node_rows = c_n.collect()
+    sizes = {r["node"]: int(r["size"]) for r in node_rows}
+    mins = {r["node"]: r["min_id"] for r in node_rows}
+    lab_sn = condense_and_select(
+        sorted(sizes), f_rows, mcs, node_sizes=sizes, node_min_ids=mins
+    )
+    snode_of = {r["member"]: r["snode"] for r in mm.collect()}
+    out = {
+        nd: lab_sn.get(snode_of[nd], "-1") if nd in snode_of else "-1"
+        for nd in nodes
+    }
+    return out, len(f_rows), len(node_rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("mcs", [3, 5, 8])
+def test_contracted_condense_matches_uncontracted(spark, seed, mcs):
+    """Fringe contraction is label-INVISIBLE: on random spanning
+    forests (same generator as the single-linkage identity test) the
+    contracted weighted condense returns exactly the labels the plain
+    n-row condense does."""
+    rng = np.random.default_rng(seed)
+    n = 40
+    nodes = [f"p{i:02d}" for i in range(n)]
+    cut = n // 2 if seed % 2 else n
+    edges = []
+    weights = rng.permutation(n * 10)[: n - 1] / 7.0 + 0.01
+    wi = 0
+    for i in range(1, n):
+        if i == cut:
+            continue
+        lo = cut if i > cut else 0
+        j = int(rng.integers(lo, i)) if i > lo else 0
+        edges.append((nodes[j], nodes[i], float(weights[wi])))
+        wi += 1
+
+    want = condense_and_select(nodes, edges, min_cluster_size=mcs)
+    got, n_e, n_n = _contracted_labels(spark, nodes, edges, mcs)
+    assert got == want
+    assert n_e <= len(edges) and n_n <= n
+
+
+def test_contract_runt_fringes_bounds_collected_rows(spark):
+    """The at-scale contract (VERDICT r4 #2): a backbone of 20 hubs,
+    each with 8 pendant leaves whose edges all sort before the
+    backbone edges, contracts to just the backbone — collected rows
+    drop ~9x (bounded by ~n/min_cluster_size), and labels still match
+    the uncontracted condense bit-for-bit."""
+    mcs = 10
+    hubs = [f"h{i:02d}" for i in range(20)]
+    nodes = list(hubs)
+    edges = []
+    for i, h in enumerate(hubs):
+        for j in range(8):
+            leaf = f"{h}_l{j}"
+            nodes.append(leaf)
+            # distinct tiny weights, ascending per hub — every pendant
+            # edge sorts before every backbone edge
+            edges.append((h, leaf, 0.001 * (1 + j) + 0.00001 * i))
+    for i in range(len(hubs) - 1):
+        edges.append((hubs[i], hubs[i + 1], 1.0 + 0.001 * i))
+
+    want = condense_and_select(nodes, edges, min_cluster_size=mcs)
+    got, n_e, n_n = _contracted_labels(spark, nodes, edges, mcs)
+    assert got == want
+    assert len(edges) == 179
+    assert n_e == 19, n_e     # backbone only
+    assert n_n == 20, n_n     # one supernode per hub
+
+
+def test_weighted_condense_defaults_identical():
+    """node_sizes/node_min_ids default to 1/identity — the weighted
+    arithmetic must be bit-identical to the unweighted form."""
+    nodes = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    mst = [
+        ("a1", "a2", 0.1), ("a2", "a3", 0.1),
+        ("b1", "b2", 0.1), ("b2", "b3", 0.1),
+        ("a3", "b1", 10.0),
+    ]
+    plain = condense_and_select(nodes, mst, 3)
+    weighted = condense_and_select(
+        nodes, mst, 3,
+        node_sizes={s: 1 for s in nodes},
+        node_min_ids={s: s for s in nodes},
+    )
+    assert plain == weighted
