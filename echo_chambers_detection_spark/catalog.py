@@ -1043,6 +1043,237 @@ def q_conductance_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analysis_run_metrics",
+    f"""
+WITH RECURSIVE
+{_ORACLE_ENGAGEMENTS_CTE},
+pedges AS (
+    SELECT a.post_uri AS u1, b.post_uri AS u2, COUNT(*) AS weight
+    FROM e a JOIN e b ON a.user_did = b.user_did AND a.post_uri < b.post_uri
+    GROUP BY 1, 2
+),
+thr AS (SELECT 1.2 * AVG(weight) AS t FROM pedges),
+strong AS (SELECT u1, u2 FROM pedges, thr WHERE weight >= t),
+sym AS (
+    SELECT u1 AS s, u2 AS d FROM strong
+    UNION ALL SELECT u2 AS s, u1 AS d FROM strong
+),
+vertices AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, lab) AS (
+    SELECT node, node FROM vertices
+    UNION
+    SELECT s.d, r.lab FROM reach r JOIN sym s ON s.s = r.node
+),
+cc AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+emb_nodes AS (SELECT DISTINCT CAST(vec_id AS VARCHAR) AS node FROM embeddings),
+comm0 AS (SELECT c.node, c.label FROM cc c JOIN emb_nodes en ON en.node = c.node),
+edges AS (
+    SELECT s.u1, s.u2 FROM strong s
+    JOIN comm0 a ON a.node = s.u1
+    JOIN comm0 b ON b.node = s.u2
+),
+ex AS (
+    SELECT CAST(vec_id AS VARCHAR) AS node,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+sims AS (
+    SELECT e.u1, e.u2,
+           SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))) AS sim
+    FROM edges e
+    JOIN ex a ON a.node = e.u1
+    JOIN ex b ON b.node = e.u2 AND a.i = b.i
+    GROUP BY 1, 2
+),
+we AS (
+    SELECT s.u1, s.u2, s.sim, la.label AS l1, lb.label AS l2
+    FROM sims s
+    JOIN comm0 la ON la.node = s.u1
+    JOIN comm0 lb ON lb.node = s.u2
+),
+-- NOTE: inside WITH RECURSIVE DuckDB parses `a UNION b` CTEs as
+-- anchor/step and does NOT dedupe across the branches — DISTINCT over
+-- UNION ALL is the safe spelling here
+gnodes AS (SELECT DISTINCT node FROM (
+    SELECT u1 AS node FROM edges UNION ALL SELECT u2 AS node FROM edges
+)),
+comm AS (SELECT c.node, c.label FROM comm0 c JOIN gnodes g ON g.node = c.node),
+deg AS (
+    SELECT node, COUNT(*) AS degree
+    FROM (SELECT u1 AS node FROM edges UNION ALL SELECT u2 AS node FROM edges)
+    GROUP BY 1
+),
+tot AS (SELECT 2 * COUNT(*) AS total_deg FROM edges),
+sizes AS (SELECT label, COUNT(*) AS size FROM comm GROUP BY 1),
+internal AS (
+    SELECT l1 AS label, COUNT(*) AS internal_edge_count, AVG(sim) AS cohesion
+    FROM we WHERE l1 = l2 GROUP BY 1
+),
+extc AS (
+    SELECT label, COUNT(*) AS cut_edges, AVG(sim) AS mes FROM (
+        SELECT l1 AS label, sim FROM we WHERE l1 != l2
+        UNION ALL
+        SELECT l2 AS label, sim FROM we WHERE l1 != l2
+    ) GROUP BY 1
+),
+vol AS (
+    SELECT c.label, SUM(COALESCE(d.degree, 0)) AS vol_c
+    FROM comm c LEFT JOIN deg d ON d.node = c.node GROUP BY 1
+),
+exv AS (SELECT c.label, c.node, e.x, e.i FROM comm c JOIN ex e ON e.node = c.node),
+cent AS (SELECT label, i, AVG(x) AS cx FROM exv GROUP BY 1, 2),
+sqd AS (
+    SELECT v.label, v.node, SUM((v.x - c.cx) ** 2) AS sqd
+    FROM exv v JOIN cent c ON c.label = v.label AND c.i = v.i
+    GROUP BY 1, 2
+),
+varc AS (SELECT label, AVG(sqd) AS variance FROM sqd GROUP BY 1)
+SELECT md5('community:' || s.label) AS community_id,
+    s.label, s.size,
+    ROUND(i.cohesion, 6) AS cohesion,
+    ROUND(1 - e.mes, 6) AS separation,
+    ROUND(i.cohesion * (1 - e.mes), 6) AS ecs,
+    ROUND(CASE WHEN LEAST(v.vol_c, t.total_deg - v.vol_c) > 0
+          THEN COALESCE(e.cut_edges, 0) / LEAST(v.vol_c, t.total_deg - v.vol_c)
+          END, 6) AS conductance,
+    ROUND(varc.variance, 6) AS variance,
+    ROUND(i.cohesion, 6) AS homophily,
+    ROUND(CASE WHEN s.size > 1
+          THEN COALESCE(i.internal_edge_count, 0) / (s.size * (s.size - 1) / 2.0)
+          END, 6) AS density_internal,
+    COALESCE(i.internal_edge_count, 0) AS internal_edge_count,
+    md5('analysis_run:cc_strong') AS run_id
+FROM sizes s
+LEFT JOIN internal i USING (label)
+LEFT JOIN extc e USING (label)
+LEFT JOIN vol v USING (label)
+LEFT JOIN varc USING (label), tot t
+""",
+    doc="END-TO-END analysis run (VERDICT r4 #5), the reference's "
+    "button-press DAG as ONE chained query "
+    "(project/metrics/community_detection.py:124-141 -> "
+    "metrics_interface.py:120-150): graph projection -> community "
+    "algorithm -> save-step identity mint (deterministic community_id "
+    "= md5('community:'||label), run_id — the reference's uuid4 per "
+    "row/run, substituted deterministic so the tail hashes) -> "
+    "per-community metrics table keyed by the minted ids. The "
+    "algorithm is connected components over the strong co-engagement "
+    "backbone — the one member of the algorithm family with an exact "
+    "recursive-CTE oracle, so the WHOLE chain is hash-checked "
+    "end-to-end; the FastRP->HDBSCAN branch of the same DAG runs as "
+    "analysis_run_hdbscan (rows-only, iterative labels). SCD-2 "
+    "expire/append of a previous run's membership is the "
+    "scd2_membership_* family; the report stage is sinks/report.",
+)
+def q_analysis_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+    from echo_chambers_detection_spark.operators.metrics import (
+        community_metrics,
+        restrict_to_members,
+    )
+
+    # stage 1: graph projection (reference produce_graph_projection)
+    pg = _post_graph(spark, sf_dir)
+    thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
+    strong = (
+        pg.crossJoin(F.broadcast(thr))
+        .where(F.col("weight") >= F.col("t"))
+        .select("u1", "u2")
+    )
+    # stage 2: community algorithm (deterministic min-label components)
+    labels = connected_components(strong).select(
+        "node", F.col("component").alias("label")
+    )
+    # stage 3: member discipline + metric world (metrics_interface.py)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node"),
+        F.col("embedding").alias("vector"),
+    )
+    edges_m, members = restrict_to_members(strong, labels, emb)
+    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
+    members = members.coalesce(1).localCheckpoint(eager=True)
+    # stage 4: save-step identity mint + metrics table (the columns the
+    # reference appends to community / community_metrics in Postgres)
+    t = community_metrics(edges_m, members, emb)
+    return t.select(
+        F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
+            "community_id"
+        ),
+        "label",
+        "size",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round("ecs", 6).alias("ecs"),
+        F.round("conductance", 6).alias("conductance"),
+        F.round("variance", 6).alias("variance"),
+        F.round("homophily", 6).alias("homophily"),
+        F.round("density_internal", 6).alias("density_internal"),
+        "internal_edge_count",
+        F.md5(F.lit("analysis_run:cc_strong")).alias("run_id"),
+    )
+
+
+@register(
+    "analysis_run_hdbscan",
+    None,
+    doc="The OTHER branch of the reference's button-press DAG "
+    "(community_detection.py:124-141 run_hdbscan path): projection -> "
+    "FastRP (dim=128, reference parameters) -> HDBSCAN* -> noise "
+    "filter (reference result_df[label != -1]) -> save-step identity "
+    "mint -> per-community metrics over the saved membership. "
+    "Iterative + embedding-derived labels have no SQL twin, so this "
+    "is a rows-only driver check; every stage is individually pinned "
+    "(fastrp_embeddings, hdbscan_clusters, community_metrics_table, "
+    "and analysis_run_metrics for the chain shape itself).",
+)
+def q_analysis_run_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        hdbscan_cluster,
+    )
+    from echo_chambers_detection_spark.operators.metrics import (
+        community_metrics,
+        restrict_to_members,
+    )
+
+    pg = _post_graph(spark, sf_dir)
+    frp = fastrp(pg, dim=128).withColumnRenamed("embedding", "vector")
+    clusters = hdbscan_cluster(frp, min_pts=3, min_cluster_size=3, k=10)
+    labels = clusters.where(F.col("cluster") != "-1").select(
+        F.col("node"), F.col("cluster").alias("label")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node"),
+        F.col("embedding").alias("vector"),
+    )
+    edges_m, members = restrict_to_members(
+        pg.select("u1", "u2"), labels, emb
+    )
+    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
+    members = members.coalesce(1).localCheckpoint(eager=True)
+    t = community_metrics(edges_m, members, emb)
+    return t.select(
+        F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
+            "community_id"
+        ),
+        "label",
+        "size",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round("ecs", 6).alias("ecs"),
+        F.round("conductance", 6).alias("conductance"),
+        F.round("variance", 6).alias("variance"),
+        F.round("homophily", 6).alias("homophily"),
+        F.round("density_internal", 6).alias("density_internal"),
+        "internal_edge_count",
+        F.md5(F.lit("analysis_run:hdbscan")).alias("run_id"),
+    )
+
+
 # ===========================================================================
 # Graph algorithms (SURVEY.md M3: G2, G4-G8) — iterative, not SQL-
 # expressible (except connected components, which gets a recursive-CTE
@@ -3018,6 +3249,8 @@ _REGISTRY_ORDER = [
     "ann_ivf_probe_topk",
     "simhash64_near_pairs",
     "simhash64_md5_near_pairs",
+    "analysis_run_metrics",
+    "analysis_run_hdbscan",
     "language_id_trigram_pred",
     "bpe_token_stats",
     "text_scrub_stats",
