@@ -2495,6 +2495,66 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfc4122_point_ids",
+    None,
+    doc="EXACT uuid5(NAMESPACE_URL, id) point ids — the reference's "
+    "make_id for every vector-store point "
+    "(project/qdrant/consumer_post.py:56-60; SURVEY.md F2, VERDICT r4 "
+    "#8: the md5 substitution is closed). Pure JVM expressions "
+    "(sha1 + nibble twiddles + dashing), no UDF. DuckDB has no sha1, "
+    "so this is a rows-only driver check; bit-parity vs CPython's "
+    "uuid.uuid5 is pinned in tests/test_cleaning.py and the identical "
+    "layout transform is hash-checked by rfc4122_layout_ids.",
+)
+def q_rfc4122_point_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.cleaning import uuid5_url
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", uuid5_url("doc_id").alias("point_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "rfc4122_layout_ids",
+    """
+SELECT doc_id,
+       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+       '3' || substr(h, 14, 3) || '-' ||
+       substr('89ab',
+              ((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) % 4) + 1,
+              1) || substr(h, 18, 3) || '-' ||
+       substr(h, 21, 12) AS point_id
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+ORDER BY doc_id
+""",
+    doc="The RFC-4122 layout transform itself under a hash-green "
+    "oracle: version/variant nibble overwrite + 8-4-4-4-12 dashing "
+    "over md5(doc_id) — DuckDB rebuilds it character-for-character. "
+    "The namespace-prefixed digests (uuid5_url/uuid3_url) use the "
+    "SAME _rfc4122_from_hex tail; only the digest input differs "
+    "(DuckDB md5 is VARCHAR-only and the namespace bytes are not "
+    "valid UTF-8, hence the name-only digest here).",
+)
+def q_rfc4122_layout_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.cleaning import (
+        _rfc4122_from_hex,
+    )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            _rfc4122_from_hex(
+                F.md5(F.col("doc_id").cast("string")), 3
+            ).alias("point_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "exact_dedup_groups",
     """
 SELECT md5(text) AS text_md5,
@@ -3251,6 +3311,8 @@ _REGISTRY_ORDER = [
     "simhash64_md5_near_pairs",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
+    "rfc4122_point_ids",
+    "rfc4122_layout_ids",
     "language_id_trigram_pred",
     "bpe_token_stats",
     "text_scrub_stats",
