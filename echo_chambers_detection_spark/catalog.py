@@ -3291,82 +3291,35 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver hashes the FIRST 50 registry entries in insertion
 # order; source order above is topical, not gate-aware. Rebuild the dict in
 # an explicit order so no query's most recent driver stamp ages past two
-# rounds (VERDICT r3 #3). Round-4 window:
+# rounds (VERDICT r3 #3). Round-5 window:
 #   - new queries this round (never stamped);
-#   - the 13 queries rotated out of the r3 window (last stamped r2 —
-#     they MUST restamp now);
-#   - queries whose code changed this round (restamp after change);
-#   - the no_oracle iterative queries (rows-only evidence kept fresh)
-#     and the r3-first-stamped pair needing a second stamp;
-#   - flagship/composite chains.
-# Tail (51+): queries stamped green in r3 (age 1 after this round),
+#   - queries whose code changed this round (PQ exhaustive-oracle
+#     config, IVF/PQ build lifecycle, HDBSCAN fringe contraction) —
+#     restamp after change (VERDICT r4 staleness note);
+#   - the 23 queries carrying r3 stamps, oldest in the rotation
+#     (VERDICT r4 #3 — includes simhash_near_pairs/simhash_signatures
+#     atop the dedup.py code that changed in r4);
+#   - r4-stamped pad: flagship/heavy families kept fresh.
+# Tail (51+): queries stamped green in r4 (age 1 after this round),
 # still locally hash-verified every run by tests/test_catalog_oracle.py;
-# they return to the window in round 5.
+# they return to the window in round 6.
 
 _REGISTRY_ORDER = [
-    # -- new this round (no stamp yet) ------------------------------------
-    "knn_graph_ann_topk",
-    "ann_ivf_probe_topk",
-    "simhash64_near_pairs",
+    # -- new this round (never stamped) ------------------------------
     "simhash64_md5_near_pairs",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
     "rfc4122_point_ids",
     "rfc4122_layout_ids",
-    "language_id_trigram_pred",
-    "bpe_token_stats",
-    "text_scrub_stats",
-    "ann_int8_topk",
+    # -- code changed this round (PQ oracle config, IVF/PQ build
+    #    lifecycle, HDBSCAN fringe contraction) — restamp after change --
     "ann_pq_topk",
     "ann_pq_probe_topk",
-    "c4_quality_flags",
-    "winnowing_fingerprints",
-    # -- rotated out of r3's window, last stamped r2 — restamp now --------
-    "embedding_near_dup",
-    "multimodal_blob_stats",
-    "membership_with_labels",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders",
-    "customers_without_orders",
-    "active_customers",
-    "top3_orders_per_customer",
-    "event_type_stats",
-    "engagement_union",
-    "ann_extremes",
-    "text_token_stats",
-    # -- code changed this round — restamp after change -------------------
-    "knn_graph_topk",
-    "doc_repetition_scores",
-    "doc_fingerprints",
-    "language_id_pred",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "near_dup_keep_list",
-    # -- r3-first-stamped no_oracle pair (second rows-only stamp) ---------
-    "density_clusters_lsh",
+    "ann_ivf_topk",
+    "ann_ivf_probe_topk",
+    "knn_graph_ann_topk",
     "hdbscan_clusters",
-    # -- no_oracle iterative graph queries (rows-only driver check) -------
-    # -- flagship + composite chains --------------------------------------
-    "coengagement_edges",
-    "coengagement_top_pairs",
-    "ann_topk",
-    "embedding_similarity_join",
-    "user_mean_embeddings",
-    "community_metrics_table",
-    "global_echo_metrics",
-    "conductance_sentinel",
-    "connected_components_strong",
-    "scd2_membership_history",
-    "scd2_current_membership",
-    "scd2_membership_as_of",
-    "community_catalog_save",
-    "community_membership_save",
-    "tumbling_event_counts",
-    "sliding_event_counts",
-    "session_windows_by_type",
-    # ---- window boundary: entries below are position 51+ ----------------
-    # -- stamped green in round 3; back in the window next round ----------
+    # -- r3-stamped, oldest in the rotation — restamp now --------------
     "label_propagation_communities",
     "modularity_optimization_communities",
     "kcore_user_graph",
@@ -3384,13 +3337,60 @@ _REGISTRY_ORDER = [
     "order_stats_rollup",
     "engaged_user_set_ops",
     "user_profiles_cleaned",
-    "ann_ivf_topk",
     "membership_asof_join",
     "simhash_signatures",
     "user_first_seen",
     "user_running_totals",
     "text_quality_scores",
     "simhash_near_pairs",
+    # -- r4-stamped pad: flagship/heavy families kept fresh ------------
+    "coengagement_edges",
+    "ann_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "near_dup_keep_list",
+    "community_metrics_table",
+    "global_echo_metrics",
+    "scd2_membership_history",
+    "language_id_pred",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "tumbling_event_counts",
+    "engagement_union",
+    "sliding_event_counts",
+    # ---- window boundary: entries below are position 51+ -------------
+    # -- stamped green in round 4; back in the window next round -------
+    "simhash64_near_pairs",
+    "language_id_trigram_pred",
+    "bpe_token_stats",
+    "text_scrub_stats",
+    "ann_int8_topk",
+    "c4_quality_flags",
+    "winnowing_fingerprints",
+    "multimodal_blob_stats",
+    "membership_with_labels",
+    "top_orders",
+    "customers_without_orders",
+    "active_customers",
+    "top3_orders_per_customer",
+    "event_type_stats",
+    "ann_extremes",
+    "text_token_stats",
+    "knn_graph_topk",
+    "doc_repetition_scores",
+    "density_clusters_lsh",
+    "coengagement_top_pairs",
+    "embedding_similarity_join",
+    "user_mean_embeddings",
+    "conductance_sentinel",
+    "connected_components_strong",
+    "scd2_current_membership",
+    "scd2_membership_as_of",
+    "community_catalog_save",
+    "community_membership_save",
+    "session_windows_by_type",
 ]
 
 

@@ -1003,6 +1003,12 @@ def contract_runt_fringes(
 # default; above it the IVF-candidate path is.
 KNN_ANN_CROSSOVER = 32_000
 
+# Below this forest size the condense collect is trivially cheap and the
+# fringe-contraction rounds are pure overhead (+3 s measured at sf0.1);
+# above it the contraction bounds driver rows to the cluster backbone
+# (the 40k-node bench probe bench_hdbscan_auto_40k times this path).
+CONTRACT_MIN_FOREST_EDGES = 20_000
+
 
 def hdbscan_cluster(
     embeddings: DataFrame,
@@ -1071,6 +1077,9 @@ def hdbscan_cluster(
         )
     core = core_distances(knn, min_pts)
     mre = mutual_reachability_edges(knn, core)
+    # (forest is either a local createDataFrame or a union of
+    # checkpointed Borůvka parts — the gate count below re-reads
+    # cached blocks, not the k-NN pipeline)
     forest = minimum_spanning_forest(mre)
     # Pre-contract hanging sub-min_cluster_size subtrees DISTRIBUTEDLY
     # (VERDICT r4 #2): the driver then collects the contracted forest —
@@ -1078,34 +1087,60 @@ def hdbscan_cluster(
     # member expansion stays a distributed join. Condense itself is
     # sequential in any HDBSCAN implementation; this bounds what it is
     # fed, label-identically (tests pin contracted == uncontracted).
-    c_edges, c_nodes, member_map = contract_runt_fringes(
-        forest, min_cluster_size
-    )
-    f_rows = [
-        (r["u1"], r["u2"], float(r["w"])) for r in c_edges.collect()
-    ]
-    node_rows = c_nodes.collect()
-    _release_checkpoint(forest, knn, c_edges, c_nodes)
-    sn_sizes = {r["node"]: int(r["size"]) for r in node_rows}
-    sn_min = {r["node"]: r["min_id"] for r in node_rows}
-    labels = condense_and_select(
-        sorted(sn_sizes),
-        f_rows,
-        min_cluster_size,
-        node_sizes=sn_sizes,
-        node_min_ids=sn_min,
-    )
-    # labels cover only forest supernodes; everything else (inf-core
-    # nodes, isolated points) is noise — member expansion and the final
-    # join both stay distributed
-    if labels:
-        lab_sn = spark.createDataFrame(
-            list(labels.items()), "snode string, _lab string"
+    # Below CONTRACT_MIN_FOREST_EDGES the collect is trivially cheap and
+    # the contraction rounds are pure overhead (+3 s measured at sf0.1),
+    # so the gate — like every crossover here — takes the direct path
+    # small and the bounded path at scale.
+    if forest.count() >= CONTRACT_MIN_FOREST_EDGES:
+        c_edges, c_nodes, member_map = contract_runt_fringes(
+            forest, min_cluster_size
         )
-        # no broadcast hint: lab_sn is a LocalRelation sized by the
-        # cluster-tree, AQE broadcasts it when small
-        lab_df = member_map.join(lab_sn, "snode").select(
-            F.col("member").alias(id_col), "_lab"
+        f_rows = [
+            (r["u1"], r["u2"], float(r["w"])) for r in c_edges.collect()
+        ]
+        node_rows = c_nodes.collect()
+        _release_checkpoint(forest, knn, c_edges, c_nodes)
+        sn_sizes = {r["node"]: int(r["size"]) for r in node_rows}
+        sn_min = {r["node"]: r["min_id"] for r in node_rows}
+        labels = condense_and_select(
+            sorted(sn_sizes),
+            f_rows,
+            min_cluster_size,
+            node_sizes=sn_sizes,
+            node_min_ids=sn_min,
+        )
+        # labels cover only forest supernodes; everything else
+        # (inf-core nodes, isolated points) is noise — member expansion
+        # and the final join both stay distributed. No broadcast hint:
+        # lab_sn is a LocalRelation sized by the cluster-tree, AQE
+        # broadcasts it when small.
+        if labels:
+            lab_sn = spark.createDataFrame(
+                list(labels.items()), "snode string, _lab string"
+            )
+            lab_df = member_map.join(lab_sn, "snode").select(
+                F.col("member").alias(id_col), "_lab"
+            )
+            return (
+                embeddings.select(id_col)
+                .join(lab_df, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("_lab", F.lit("-1")).alias("cluster"),
+                )
+            )
+        return embeddings.select(id_col).withColumn(
+            "cluster", F.lit("-1")
+        )
+    f_rows = [
+        (r["u1"], r["u2"], float(r["w"])) for r in forest.collect()
+    ]
+    _release_checkpoint(forest, knn)
+    in_forest = sorted({u for e in f_rows for u in (e[0], e[1])})
+    labels = condense_and_select(in_forest, f_rows, min_cluster_size)
+    if labels:
+        lab_df = spark.createDataFrame(
+            list(labels.items()), f"{id_col} string, _lab string"
         )
         return (
             embeddings.select(id_col)

@@ -25,27 +25,31 @@ def test_queries_and_oracles_aligned():
 def test_registry_window_covers_unverified_queries():
     """The correctness driver hashes only the FIRST 50 registry entries
     (VERDICT r2 #1). Queries that have never had a green driver row —
-    plus anything newly registered — must sit inside that window."""
+    plus code changed this round and the oldest stamps in the
+    rotation — must sit inside that window."""
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r4 = {
+    must_stamp_r5 = {
         # new this round — never stamped
-        "knn_graph_ann_topk", "ann_ivf_probe_topk",
-        "simhash64_near_pairs", "language_id_trigram_pred",
-        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
-        "ann_pq_topk", "ann_pq_probe_topk",
-        "c4_quality_flags", "winnowing_fingerprints",
-        # rotated out of r3's window — last stamped r2, restamp now
-        "embedding_near_dup", "multimodal_blob_stats",
-        "membership_with_labels", "pricing_summary", "revenue_by_nation",
-        "top_orders", "customers_without_orders", "active_customers",
-        "top3_orders_per_customer", "event_type_stats",
-        "engagement_union", "ann_extremes", "text_token_stats",
-        # code changed in round 4 — restamp after the change
-        "knn_graph_topk", "doc_repetition_scores", "doc_fingerprints",
-        "language_id_pred", "minhash_lsh_candidates",
-        "ngram_jaccard_pairs", "near_dup_keep_list",
+        "simhash64_md5_near_pairs", "analysis_run_metrics",
+        "analysis_run_hdbscan", "rfc4122_point_ids",
+        "rfc4122_layout_ids",
+        # code changed in round 5 — restamp after the change
+        "ann_pq_topk", "ann_pq_probe_topk", "ann_ivf_topk",
+        "ann_ivf_probe_topk", "knn_graph_ann_topk", "hdbscan_clusters",
+        # r3 stamps, oldest in the rotation (VERDICT r4 #3)
+        "label_propagation_communities",
+        "modularity_optimization_communities", "kcore_user_graph",
+        "louvain_user_communities", "leiden_communities",
+        "density_clusters", "fastrp_embeddings", "exact_dedup_groups",
+        "event_value_percentiles", "event_type_user_cube",
+        "embedded_documents", "ann_lsh_topk", "embedding_lsh_near_dup",
+        "kafka_producer_messages", "order_stats_rollup",
+        "engaged_user_set_ops", "user_profiles_cleaned",
+        "membership_asof_join", "simhash_signatures", "user_first_seen",
+        "user_running_totals", "text_quality_scores",
+        "simhash_near_pairs",
     }
-    missing = must_stamp_r4 - set(window)
+    missing = must_stamp_r5 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"

@@ -507,3 +507,27 @@ def test_weighted_condense_defaults_identical():
         node_min_ids={s: s for s in nodes},
     )
     assert plain == weighted
+
+
+def test_hdbscan_contraction_gate_paths_agree(spark, monkeypatch):
+    """hdbscan_cluster takes the direct collect below
+    CONTRACT_MIN_FOREST_EDGES and the contracted path above — both must
+    label identically (the gate is a cost knob, never a semantics
+    knob)."""
+    import echo_chambers_detection_spark.operators.hdbscan as H
+
+    df, blobs = _blob_embeddings(spark)
+    direct = {
+        r["node"]: r["cluster"]
+        for r in hdbscan_cluster(
+            df, min_pts=3, min_cluster_size=4, k=8
+        ).collect()
+    }
+    monkeypatch.setattr(H, "CONTRACT_MIN_FOREST_EDGES", 0)
+    contracted = {
+        r["node"]: r["cluster"]
+        for r in hdbscan_cluster(
+            df, min_pts=3, min_cluster_size=4, k=8
+        ).collect()
+    }
+    assert direct == contracted
