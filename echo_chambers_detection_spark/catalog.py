@@ -2323,6 +2323,253 @@ def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_val_test_split",
+    """
+WITH h AS (
+    SELECT doc_id, lang,
+           md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+pct AS (
+    SELECT doc_id, lang,
+           ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 100
+               AS pct
+    FROM h
+)
+SELECT doc_id, lang, pct,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM pct ORDER BY doc_id
+""",
+    doc="Deterministic salted-hash train/val/test split (80/10/10) — "
+    "the assignment every training pipeline needs to be REPRODUCIBLE "
+    "and join-free at 100 TB: split is a pure function of the row key "
+    "(first 3 hex digits of md5('split:'||id) mod 100), so any two "
+    "jobs agree without coordination and adding data never reshuffles "
+    "old assignments. Hash buckets are uniform per-row, so per-lang "
+    "strata inherit the 80/10/10 proportions (the ±1% mod-4096 bias "
+    "is deterministic and identical in both engines).",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            pct.alias("pct"),
+            F.when(pct < 80, F.lit("train"))
+            .when(pct < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_pack_chunks",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+nt AS (
+    SELECT doc_id, len(t) AS n_tokens, doc_id % 8 AS shard
+    FROM toks WHERE len(t) > 0
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+    FROM nt
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS last_chunk,
+       CAST(FLOOR((cum - 1) / 2048.0)
+            - FLOOR((cum - n_tokens) / 2048.0) + 1 AS BIGINT) AS n_chunks
+FROM c ORDER BY doc_id
+""",
+    doc="LLM-pretraining sequence packing (concat-and-chunk, the "
+    "GPT-2/Pile convention: documents concatenate in key order and "
+    "split at a fixed 2048-token budget, docs spanning boundaries): "
+    "per doc its first/last chunk index and span count, from ONE "
+    "window cumsum. Sharded (doc_id mod 8) so the running sum is "
+    "per-shard — the 100 TB shape, where packing runs inside each "
+    "data shard in parallel and a global sort never exists.",
+)
+def q_token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    budget = 2048
+    nt = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+            F.pmod("doc_id", F.lit(8)).alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    first = F.floor((cum - F.col("n_tokens")) / budget)
+    last = F.floor((cum - 1) / budget)
+    return nt.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_head_per_lang",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+feat AS (
+    SELECT d.doc_id, d.lang,
+           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
+           CASE WHEN len(tk.t) > 0
+                THEN len(list_filter(tk.t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','on','for','with'], x)))
+                     * 1.0 / len(tk.t)
+                ELSE 0.0 END AS sw_ratio,
+           CASE WHEN length(d.text) > 0
+                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(d.text)
+                ELSE 0.0 END AS punct
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+),
+scored AS (
+    SELECT doc_id, lang,
+           ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+               AS quality
+    FROM feat
+),
+ranked AS (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+               AS rank
+    FROM scored
+)
+SELECT lang, doc_id, quality, rank FROM ranked
+WHERE rank <= 25 ORDER BY lang, rank
+""",
+    doc="Quality-stratified curation head: top-25 documents per "
+    "language bucket by the heuristic quality score (deterministic "
+    "(quality desc, doc_id) tie order on the ROUNDED score so both "
+    "engines rank identically) — the 'keep the best N per stratum' "
+    "selection step of a curation pipeline, one partitioned window, "
+    "no global sort.",
+)
+def q_quality_head_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import quality_score
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+        .select("lang", "doc_id", "quality", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+sh5 AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                       || t[i+3] || ' ' || t[i+4]
+                       for i in generate_series(1, len(t) - 4)]) AS s
+        FROM toks
+    )
+),
+bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+nonb AS (SELECT doc_id FROM documents WHERE doc_id % 97 != 0),
+shared AS (
+    SELECT f.doc_id, COUNT(DISTINCT f.s) AS n
+    FROM sh5 f JOIN bench b ON b.s = f.s
+    WHERE f.doc_id % 97 != 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n, 0) AS n_shared,
+       COALESCE(s.n, 0) > 0 AS contaminated
+FROM nonb d LEFT JOIN shared s USING (doc_id)
+ORDER BY d.doc_id
+""",
+    doc="Benchmark-contamination scan (the GPT-3-style n-gram overlap "
+    "decontamination step, word 5-grams here at the synthetic doc "
+    "length): the held-out set is doc_id % 97 == 0; every training "
+    "candidate reports how many distinct 5-grams it shares with ANY "
+    "benchmark document. The benchmark shingle set is the SMALL side "
+    "by construction (a benchmark suite, not the corpus), so the scan "
+    "is a broadcast semi-join against the 100 TB training side — no "
+    "shuffle of the corpus shingles.",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh5 = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize("text"), 5)).alias("s"),
+    ).distinct()
+    is_bench = F.pmod("doc_id", F.lit(97)) == 0
+    bench_sh = sh5.where(is_bench).select("s").distinct()
+    shared = (
+        sh5.where(~is_bench)
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lang_tables():
     from echo_chambers_detection_spark.functions.text import (
         LANG_ORDER,
@@ -3307,6 +3554,10 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY_ORDER = [
     # -- new this round (never stamped) ------------------------------
     "simhash64_md5_near_pairs",
+    "train_val_test_split",
+    "token_pack_chunks",
+    "quality_head_per_lang",
+    "benchmark_contamination",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
     "rfc4122_point_ids",
@@ -3356,12 +3607,12 @@ _REGISTRY_ORDER = [
     "scd2_membership_history",
     "language_id_pred",
     "doc_fingerprints",
+    # ---- window boundary: entries below are position 51+ -------------
+    # -- stamped green in round 4; back in the window next round -------
     "embedding_near_dup",
     "tumbling_event_counts",
     "engagement_union",
     "sliding_event_counts",
-    # ---- window boundary: entries below are position 51+ -------------
-    # -- stamped green in round 4; back in the window next round -------
     "simhash64_near_pairs",
     "language_id_trigram_pred",
     "bpe_token_stats",
