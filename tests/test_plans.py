@@ -168,3 +168,35 @@ def test_knn_graph_plan_shape(spark):
     assert plan.count("Exchange") == 2
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+
+
+def test_curation_family_plan_shapes(spark):
+    """The round-5 curation queries keep their scale-critical plan
+    facts: the split is scan+project only (no shuffle at all — that is
+    the point of a hash split), packing windows per shard (one
+    exchange on shard, no global sort before the window), the
+    contamination scan BROADCASTS the benchmark shingle side, and none
+    of them touch Python."""
+    split = _q(spark, "train_val_test_split")
+    # orderBy is presentation; the assignment itself adds no join/agg
+    assert count_operator(split, "Join") == 0
+    assert count_operator(split, "HashAggregate") == 0
+    schemas = read_schemas(split)
+    assert all("text" not in s for s in schemas), schemas  # pruning
+
+    pack = _q(spark, "token_pack_chunks")
+    assert count_operator(pack, "Window") >= 1
+    assert count_operator(pack, "Join") == 0
+
+    contam = _q(spark, "benchmark_contamination")
+    assert count_operator(contam, "BroadcastHashJoin") >= 1
+
+    for name in (
+        "train_val_test_split",
+        "token_pack_chunks",
+        "quality_head_per_lang",
+        "benchmark_contamination",
+        "rfc4122_point_ids",
+        "rfc4122_layout_ids",
+    ):
+        assert not has_python_stage(_q(spark, name)), name
