@@ -107,6 +107,93 @@ def _first_seen_fn(
     yield pd.DataFrame({"user_did": [key[0]], "first_ts_ms": [first_ts]})
 
 
+PACK_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("shard", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("first_chunk", LongType(), False),
+        StructField("last_chunk", LongType(), False),
+        StructField("n_chunks", LongType(), False),
+    ]
+)
+
+_PACK_STATE = StructType([StructField("cum", LongType(), False)])
+
+
+def _packing_fn_factory(budget: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((cum,))
+            return
+        pdf = pd.concat(frames).sort_values("doc_id")
+        firsts, lasts = [], []
+        for n in pdf["n_tokens"]:
+            firsts.append(cum // budget)
+            cum += int(n)
+            lasts.append((cum - 1) // budget)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": [key[0]] * len(pdf),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "first_chunk": firsts,
+                "last_chunk": lasts,
+                "n_chunks": [
+                    l - f + 1 for f, l in zip(firsts, lasts)
+                ],
+            }
+        )
+
+    return fn
+
+
+def streaming_token_packing(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Streaming concat-and-chunk sequence packing — the stateful dual
+    of catalog `token_pack_chunks`: per-shard state is ONE long (the
+    running token total), each arriving document is assigned its
+    first/last chunk index as it lands, and chunk ids keep growing
+    across micro-batches. This is how a training-data ingest assigns
+    pack positions incrementally instead of re-running a global window
+    over the whole corpus per batch.
+
+    Token counting stays a JVM expression BEFORE the stateful op (the
+    Python state fn sees (doc_id, n_tokens) only). Matches the batch
+    query exactly when documents arrive in doc_id order per shard (the
+    batch window's ordering contract); out-of-order arrival packs in
+    arrival order — the streaming-native semantics, same totals.
+    Input needs (doc_id long, text string)."""
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(n_shards))
+            .cast("long")
+            .alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _packing_fn_factory(budget),
+            PACK_OUTPUT,
+            _PACK_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def first_seen(events: DataFrame) -> DataFrame:
     """Visited-set dedup as operator state (SURVEY.md U4/X3): emit each
     key exactly once, on first sight, with its first-seen timestamp.

@@ -52,3 +52,28 @@ def test_uuid5_is_plain_expression(spark):
     df = spark.range(3).select(uuid5_url(F.col("id")).alias("u"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_uuid5_url_property_random_unicode(spark):
+    """Property sweep: uuid5_url == CPython's uuid5 on randomly drawn
+    unicode names (drawn once with a fixed seed — the engine parity is
+    the property, not the sampler)."""
+    import random
+
+    rng = random.Random(20260814)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyz0123456789:/.-_ "
+        "éüß中文こんにちは"
+        "\U0001f600☃"
+    )
+    names = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(1, 64)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in names], "name string")
+    got = {
+        r["name"]: r["u"]
+        for r in df.select("name", uuid5_url("name").alias("u")).collect()
+    }
+    for s in names:
+        assert got[s] == str(uuid.uuid5(uuid.NAMESPACE_URL, s)), repr(s)

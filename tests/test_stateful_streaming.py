@@ -104,3 +104,71 @@ def test_first_seen_dedups_across_batches(spark, tmp_path):
     got = {r["user_did"]: r["first_ts_ms"] for r in rows}
     assert len(rows) == 3  # exactly one emission per key, ever
     assert got == {"u1": 1000, "u2": 3000, "u3": 9000}
+
+
+def test_streaming_packing_matches_batch_fixpoint(spark, tmp_path):
+    """streaming_token_packing over a two-batch in-order file stream
+    reproduces the batch `token_pack_chunks` window EXACTLY — chunk
+    indices keep growing across the micro-batch boundary (per-shard
+    cum state), which is the whole point of the stateful form."""
+    import json as _json
+
+    from pyspark.sql.types import StringType as _S
+
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+    from echo_chambers_detection_spark.streaming.stateful import (
+        streaming_token_packing,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [
+        {"doc_id": r["doc_id"], "text": r["text"]}
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    rows.sort(key=lambda r: r["doc_id"])
+    mid = len(rows) // 2
+    src = str(tmp_path / "src")
+    _write(src, "b1.json", rows[:mid])
+    _write(src, "b2.json", rows[mid:])
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", _S())]
+    )
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        streaming_token_packing(stream)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (
+            r["shard"], r["n_tokens"], r["first_chunk"],
+            r["last_chunk"], r["n_chunks"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["shard"], r["n_tokens"], r["first_chunk"],
+            r["last_chunk"], r["n_chunks"],
+        )
+        for r in QUERY_REGISTRY["token_pack_chunks"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+    # the state genuinely crossed batches: some doc in batch 2 starts
+    # mid-chunk (first_chunk > 0) on every populated shard
+    assert any(v[2] > 0 for v in got.values())
