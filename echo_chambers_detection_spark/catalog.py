@@ -438,9 +438,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return post_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "ann_topk",
-    f"""
+# The exact cosine top-k oracle, shared verbatim by every ANN query whose
+# exhaustive configuration provably returns the true top-k (ann_topk and
+# the IVF/PQ inline + persisted variants) — ONE definition so a change to
+# the tie-break or rounding convention cannot silently diverge per query
+# (round-5 review finding).
+_ORACLE_COSINE_TOPK_SQL = f"""
 WITH {_ORACLE_EMB_EXPLODED},
 q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
 scores AS (
@@ -450,7 +453,12 @@ scores AS (
     GROUP BY e.post_cid
 )
 SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
-""",
+"""
+
+
+@register(
+    "ann_topk",
+    _ORACLE_COSINE_TOPK_SQL,
     doc="Exact cosine top-k search (reference Qdrant search limit=1000, "
     "SURVEY.md G10/T1; TakeOrderedAndProject, no global sort)",
 )
@@ -462,17 +470,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    f"""
-WITH {_ORACLE_EMB_EXPLODED},
-q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
-scores AS (
-    SELECT e.post_cid,
-           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
-    FROM ex e JOIN q ON e.i = q.i
-    GROUP BY e.post_cid
-)
-SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
-""",
+    _ORACLE_COSINE_TOPK_SQL,
     doc="IVF (inverted-file) ANN top-k — deterministic Lloyd coarse "
     "quantizer + cell-probe pruning (operators/ann.py::ivf_topk), the "
     "cluster-parallel substitute for the reference's per-node Qdrant "
@@ -518,17 +516,7 @@ def _ivf_index_dir(sf_dir: str, n_cells: int, iters: int) -> str:
 
 @register(
     "ann_ivf_probe_topk",
-    f"""
-WITH {_ORACLE_EMB_EXPLODED},
-q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
-scores AS (
-    SELECT e.post_cid,
-           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
-    FROM ex e JOIN q ON e.i = q.i
-    GROUP BY e.post_cid
-)
-SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
-""",
+    _ORACLE_COSINE_TOPK_SQL,
     doc="IVF top-k against a PERSISTED index (VERDICT r3 #2): the Lloyd "
     "build runs once per embeddings table (centroids + assignments to "
     "parquet, operators/ann.py::ivf_index_build) and every query after "
@@ -607,17 +595,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_topk",
-    f"""
-WITH {_ORACLE_EMB_EXPLODED},
-q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
-scores AS (
-    SELECT e.post_cid,
-           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
-    FROM ex e JOIN q ON e.i = q.i
-    GROUP BY e.post_cid
-)
-SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
-""",
+    _ORACLE_COSINE_TOPK_SQL,
     doc="Product-quantization ANN top-k (operators/ann.py::pq_topk): "
     "vectors compress to m sub-space codes (deterministic md5-seeded "
     "per-subspace k-means — at production m=8/k=256 that is 8 bytes "
@@ -647,17 +625,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_probe_topk",
-    f"""
-WITH {_ORACLE_EMB_EXPLODED},
-q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
-scores AS (
-    SELECT e.post_cid,
-           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
-    FROM ex e JOIN q ON e.i = q.i
-    GROUP BY e.post_cid
-)
-SELECT post_cid, score FROM scores ORDER BY score DESC, post_cid LIMIT 10
-""",
+    _ORACLE_COSINE_TOPK_SQL,
     doc="PQ top-k against a PERSISTED index: codebooks + code table "
     "built once per embeddings table (fingerprint-keyed cache, same "
     "contract as ann_ivf_probe_topk), queries are probe-only — "
@@ -1043,6 +1011,50 @@ def q_conductance_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node"),
+        F.col("embedding").alias("vector"),
+    )
+
+
+def _mint_and_metrics(
+    edges: DataFrame, labels: DataFrame, emb: DataFrame, run_key: str
+) -> DataFrame:
+    """Shared tail of the analysis-run chains (round-5 review finding —
+    the two DAG branches must not diverge silently): member discipline
+    (metrics_interface.py:95-108), the save-step identity mint
+    (deterministic community_id/run_id standing in for the reference's
+    uuid4 appends), and the per-community metrics table keyed by the
+    minted ids."""
+    from echo_chambers_detection_spark.operators.metrics import (
+        community_metrics,
+        restrict_to_members,
+    )
+
+    edges_m, members = restrict_to_members(edges, labels, emb)
+    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
+    members = members.coalesce(1).localCheckpoint(eager=True)
+    t = community_metrics(edges_m, members, emb)
+    return t.select(
+        F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
+            "community_id"
+        ),
+        "label",
+        "size",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round("ecs", 6).alias("ecs"),
+        F.round("conductance", 6).alias("conductance"),
+        F.round("variance", 6).alias("variance"),
+        F.round("homophily", 6).alias("homophily"),
+        F.round("density_internal", 6).alias("density_internal"),
+        "internal_edge_count",
+        F.md5(F.lit(run_key)).alias("run_id"),
+    )
+
+
+
 @register(
     "analysis_run_metrics",
     f"""
@@ -1171,10 +1183,6 @@ def q_analysis_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
         connected_components,
     )
-    from echo_chambers_detection_spark.operators.metrics import (
-        community_metrics,
-        restrict_to_members,
-    )
 
     # stage 1: graph projection (reference produce_graph_projection)
     pg = _post_graph(spark, sf_dir)
@@ -1188,32 +1196,9 @@ def q_analysis_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(strong).select(
         "node", F.col("component").alias("label")
     )
-    # stage 3: member discipline + metric world (metrics_interface.py)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("string").alias("node"),
-        F.col("embedding").alias("vector"),
-    )
-    edges_m, members = restrict_to_members(strong, labels, emb)
-    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
-    members = members.coalesce(1).localCheckpoint(eager=True)
-    # stage 4: save-step identity mint + metrics table (the columns the
-    # reference appends to community / community_metrics in Postgres)
-    t = community_metrics(edges_m, members, emb)
-    return t.select(
-        F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
-            "community_id"
-        ),
-        "label",
-        "size",
-        F.round("cohesion", 6).alias("cohesion"),
-        F.round("separation", 6).alias("separation"),
-        F.round("ecs", 6).alias("ecs"),
-        F.round("conductance", 6).alias("conductance"),
-        F.round("variance", 6).alias("variance"),
-        F.round("homophily", 6).alias("homophily"),
-        F.round("density_internal", 6).alias("density_internal"),
-        "internal_edge_count",
-        F.md5(F.lit("analysis_run:cc_strong")).alias("run_id"),
+    # stages 3-4: member discipline + identity mint + metrics table
+    return _mint_and_metrics(
+        strong, labels, _emb_nodes(spark, sf_dir), "analysis_run:cc_strong"
     )
 
 
@@ -1235,42 +1220,19 @@ def q_analysis_run_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.hdbscan import (
         hdbscan_cluster,
     )
-    from echo_chambers_detection_spark.operators.metrics import (
-        community_metrics,
-        restrict_to_members,
-    )
 
     pg = _post_graph(spark, sf_dir)
     frp = fastrp(pg, dim=128).withColumnRenamed("embedding", "vector")
     clusters = hdbscan_cluster(frp, min_pts=3, min_cluster_size=3, k=10)
+    # reference noise filter: result_df[label != -1]
     labels = clusters.where(F.col("cluster") != "-1").select(
         F.col("node"), F.col("cluster").alias("label")
     )
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("string").alias("node"),
-        F.col("embedding").alias("vector"),
-    )
-    edges_m, members = restrict_to_members(
-        pg.select("u1", "u2"), labels, emb
-    )
-    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
-    members = members.coalesce(1).localCheckpoint(eager=True)
-    t = community_metrics(edges_m, members, emb)
-    return t.select(
-        F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
-            "community_id"
-        ),
-        "label",
-        "size",
-        F.round("cohesion", 6).alias("cohesion"),
-        F.round("separation", 6).alias("separation"),
-        F.round("ecs", 6).alias("ecs"),
-        F.round("conductance", 6).alias("conductance"),
-        F.round("variance", 6).alias("variance"),
-        F.round("homophily", 6).alias("homophily"),
-        F.round("density_internal", 6).alias("density_internal"),
-        "internal_edge_count",
-        F.md5(F.lit("analysis_run:hdbscan")).alias("run_id"),
+    return _mint_and_metrics(
+        pg.select("u1", "u2"),
+        labels,
+        _emb_nodes(spark, sf_dir),
+        "analysis_run:hdbscan",
     )
 
 
@@ -2391,7 +2353,10 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_ORACLE_TOKS_CTE},
 nt AS (
-    SELECT doc_id, len(t) AS n_tokens, doc_id % 8 AS shard
+    -- ((x % 8) + 8) % 8 mirrors Spark's pmod for negative keys; plain
+    -- SQL % is signed and would shard negative ids differently
+    SELECT doc_id, len(t) AS n_tokens,
+           ((doc_id % 8) + 8) % 8 AS shard
     FROM toks WHERE len(t) > 0
 ),
 c AS (

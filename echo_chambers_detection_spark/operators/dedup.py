@@ -386,11 +386,14 @@ def simhash_candidate_pairs_banded(
     trade as every LSH bucket join here — band count is the knob."""
     bands = max_hamming + 1
     band_bits = width // bands
-    # materialize: the signature plan (explode + 17-aggregate SWAR
-    # pass) feeds 2·bands union branches below — without the
-    # checkpoint Catalyst re-executes it once per branch (measured 8×
-    # at max_hamming=3: ~12 s instead of ~3 s for 5k docs at sf0.1)
-    signatures = signatures.localCheckpoint(eager=True)
+    # LAZY checkpoint: the signature plan (explode + 17-aggregate SWAR
+    # pass) feeds 2·bands union branches below — without the barrier
+    # Catalyst re-executes it once per branch (measured 8× at
+    # max_hamming=3: ~12 s instead of ~3 s for 5k docs at sf0.1).
+    # eager=False so merely CONSTRUCTING the plan (plan tests, dry
+    # builds) runs no job; the persisted RDD computes once on first
+    # action and is shared by every branch within it (round-5 review).
+    signatures = signatures.localCheckpoint(eager=False)
     keyed = None
     for i in range(bands):
         shifted = F.shiftrightunsigned(F.col("simhash"), i * band_bits)
@@ -438,9 +441,9 @@ def simhash_candidate_pairs(
     into two 8-bit halves; by pigeonhole, any pair within Hamming
     distance 1 agrees exactly on at least one half — one equality join
     per half, then an exact Hamming verify. Returns (d1, d2, hamming)."""
-    # same re-execution guard as simhash_candidate_pairs_banded: the
-    # signature aggregation feeds 4 union branches
-    signatures = signatures.localCheckpoint(eager=True)
+    # same lazy re-execution guard as simhash_candidate_pairs_banded:
+    # the signature aggregation feeds 4 union branches
+    signatures = signatures.localCheckpoint(eager=False)
     halves = signatures.select(
         "doc_id",
         "simhash",

@@ -264,13 +264,18 @@ def crawl_like_graph(
     visited sets, not driver sets).
 
     Seen-liker filter: the reference emits a LIKED edge only for likers
-    not yet in `seen_users` (producer_main.py:170-177) — its exact
-    edge set depends on Python set iteration order mid-wave. The
-    deterministic distributed equivalent here filters likers against
-    seen-as-of-wave-start INCLUDING the whole current frontier (one
-    valid sequential ordering of the reference loop); consequently
-    likes ⊆ posts holds and every liked user in `likes` is a
-    next-wave discovery, exactly the reference's invariants."""
+    not yet in `seen_users` (producer_main.py:170-177). For NEXT-wave
+    likers (users first discovered by these edges) the reference and
+    this version agree exactly — `seen_users` never gains them
+    mid-wave, so a user liking several of the wave's posts yields an
+    edge per post in both. For SAME-wave likers the reference's edge
+    set depends on Python set iteration order (a wave user's like is
+    emitted only if its own processing turn comes later); here ALL
+    same-wave likers are filtered, i.e. the deterministic
+    INTERSECTION over the reference's possible orderings. The crawl
+    set itself is unaffected (those users are already being crawled),
+    likes ⊆ posts holds, and every liked user in `likes` is a
+    next-wave discovery — the reference's invariants."""
     import pandas as pd  # noqa: F401  (executor dependency, fail fast)
 
     seeds = spark.createDataFrame(

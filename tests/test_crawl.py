@@ -79,10 +79,14 @@ def test_crawl_bfs_two_waves(spark):
     assert posts == {"p:u1a": "did:u1", "p:u2a": "did:u2", "p:u3a": "did:u3"}
     likes = {(r["user_did"], r["uri"]) for r in res.likes.collect()}
     # reference edge semantics (producer_main.py:170-177): wave-0 seed
-    # likes emit NO edges, and seen likers are filtered — u2's like of
-    # p:u1a (u2 is in the same wave as u1) and u1's like of p:u3a
-    # (u1 seen since wave 1) are discovery-filtered, exactly like the
-    # reference's `if liker not in seen_users` guard
+    # likes emit NO edges, and seen likers are filtered — u1's like of
+    # p:u3a (u1 seen since wave 1) is dropped in EVERY reference
+    # ordering; u2's like of p:u1a (u2 in the same wave as u1) is
+    # dropped in the orderings where u2 processes first, and this
+    # implementation takes the deterministic intersection over
+    # orderings (see crawl_like_graph docstring). u3's likes of BOTH
+    # wave-1 posts survive — next-wave likers are never in seen_users
+    # mid-wave, in the reference and here alike.
     assert likes == {
         ("did:u3", "p:u1a"),
         ("did:u3", "p:u2a"),
