@@ -2535,6 +2535,180 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_manifest",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+survivors AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+feat AS (
+    SELECT d.doc_id, d.lang, len(tk.t) AS n_tokens,
+           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
+           CASE WHEN len(tk.t) > 0
+                THEN len(list_filter(tk.t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','on','for','with'], x)))
+                     * 1.0 / len(tk.t)
+                ELSE 0.0 END AS sw_ratio,
+           CASE WHEN length(d.text) > 0
+                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(d.text)
+                ELSE 0.0 END AS punct
+    FROM documents d
+    JOIN survivors s USING (doc_id)
+    JOIN toks tk ON tk.doc_id = d.doc_id
+),
+kept AS (
+    SELECT doc_id, lang, n_tokens
+    FROM feat
+    WHERE ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+          >= 0.5
+),
+assigned AS (
+    SELECT lang, n_tokens,
+           CASE WHEN pct < 80 THEN 'train'
+                WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT lang, n_tokens,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 100 AS pct
+        FROM (SELECT lang, n_tokens,
+                     md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM kept)
+    )
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="The corpus-BUILD chain end-to-end, as one query: exact dedup "
+    "(min-doc_id survivor per md5(text) group) -> quality gate "
+    "(heuristic score >= 0.5, the same expression text_quality_scores "
+    "hashes) -> salted-hash split assignment -> the per-(split, lang) "
+    "manifest a training run consumes (doc + token budgets). Every "
+    "stage reuses an already-oracle-checked operator; this chain "
+    "hash-checks their COMPOSITION — the curation analogue of "
+    "analysis_run_metrics. Each stage is a shuffle on its natural key "
+    "(md5 group, then one final (split, lang) agg); nothing global.",
+)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        quality_score,
+        tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = (
+        docs.join(survivors, "doc_id", "leftsemi")
+        .where(F.round(quality_score("text"), 6) >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    assigned = kept.select(
+        "lang",
+        "n_tokens",
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "source_mixture_rates",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+per_doc AS (
+    SELECT d.source, len(tk.t) AS n_tokens
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+),
+per_source AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY 1
+),
+shares AS (
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / SUM(n_tokens) OVER () AS actual_share,
+           1.0 / COUNT(*) OVER () AS target_share
+    FROM per_source
+),
+rates AS (
+    SELECT *, target_share / actual_share AS raw_rate FROM shares
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(actual_share, 6) AS actual_share,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(raw_rate / MAX(raw_rate) OVER (), 6) AS sample_rate
+FROM rates ORDER BY source
+""",
+    doc="Data-mixture planning over the `source` column: per-source "
+    "token shares vs a uniform target, normalized to sample-down-only "
+    "rates (the largest deficit keeps rate 1.0, everything else "
+    "down-samples proportionally — how pretraining mixtures rebalance "
+    "without upsampling). One aggregation + two unpartitioned window "
+    "functions over the per-source table (rows = |sources|, tiny by "
+    "construction at any corpus scale).",
+)
+def q_source_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source", F.size(tokenize("text")).cast("long").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    actual = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    raw = target / actual
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(raw / F.max(raw).over(w), 6).alias("sample_rate"),
+    ).orderBy("source")
+
+
 def _lang_tables():
     from echo_chambers_detection_spark.functions.text import (
         LANG_ORDER,
@@ -3523,6 +3697,8 @@ _REGISTRY_ORDER = [
     "token_pack_chunks",
     "quality_head_per_lang",
     "benchmark_contamination",
+    "corpus_manifest",
+    "source_mixture_rates",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
     "rfc4122_point_ids",
@@ -3569,11 +3745,11 @@ _REGISTRY_ORDER = [
     "near_dup_keep_list",
     "community_metrics_table",
     "global_echo_metrics",
-    "scd2_membership_history",
-    "language_id_pred",
     "doc_fingerprints",
     # ---- window boundary: entries below are position 51+ -------------
     # -- stamped green in round 4; back in the window next round -------
+    "scd2_membership_history",
+    "language_id_pred",
     "embedding_near_dup",
     "tumbling_event_counts",
     "engagement_union",

@@ -36,7 +36,8 @@ def test_registry_window_covers_unverified_queries():
         "analysis_run_hdbscan", "rfc4122_point_ids",
         "rfc4122_layout_ids", "train_val_test_split",
         "token_pack_chunks", "quality_head_per_lang",
-        "benchmark_contamination",
+        "benchmark_contamination", "corpus_manifest",
+        "source_mixture_rates",
         # code changed in round 5 — restamp after the change
         "ann_pq_topk", "ann_pq_probe_topk", "ann_ivf_topk",
         "ann_ivf_probe_topk", "knn_graph_ann_topk", "hdbscan_clusters",
