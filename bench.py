@@ -157,7 +157,13 @@ def main() -> None:
     # r4-and-earlier at the ±5% level.
     import glob as _glob
 
-    for _f in _glob.glob(os.path.join(SF_DIR, "*.parquet")):
+    _repo = os.path.dirname(os.path.abspath(__file__))
+    _warm_files = _glob.glob(os.path.join(SF_DIR, "*.parquet")) + _glob.glob(
+        # the persisted IVF/PQ index parquet the probe queries read
+        os.path.join(_repo, ".cache", "**", "*.parquet"),
+        recursive=True,
+    )
+    for _f in _warm_files:
         with open(_f, "rb") as _fh:
             while _fh.read(1 << 22):
                 pass

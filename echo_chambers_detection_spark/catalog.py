@@ -2251,13 +2251,10 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_scores",
-    f"""
-WITH {_ORACLE_TOKS_CTE},
-feat AS (
-    SELECT d.doc_id, tk.t,
-           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
+# Shared oracle fragments for the quality/split conventions (round-5
+# review: one definition each, so a threshold/salt/term change cannot
+# silently diverge the queries that compose them).
+_ORACLE_QUALITY_TERMS = """LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
            CASE WHEN len(tk.t) > 0
                 THEN len(list_filter(tk.t, x -> list_contains(
                      ['the','a','and','of','to','in','is','on','for','with'], x)))
@@ -2266,11 +2263,36 @@ feat AS (
            CASE WHEN length(d.text) > 0
                 THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
                      * 1.0 / length(d.text)
-                ELSE 0.0 END AS punct
+                ELSE 0.0 END AS punct"""
+
+_ORACLE_QUALITY_EXPR = (
+    "ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0))"
+    " * (1 - punct), 6)"
+)
+
+
+def _oracle_split_pct(hx: str) -> str:
+    """DuckDB twin of `_split_pct`: value of the first 3 hex digits of
+    the md5 column `hx`, mod 100."""
+    d = "strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1"
+    return (
+        "((" + d.format(hx=hx, i=1) + ") * 256\n"
+        "            + (" + d.format(hx=hx, i=2) + ") * 16\n"
+        "            + (" + d.format(hx=hx, i=3) + ")) % 100"
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+feat AS (
+    SELECT d.doc_id, tk.t,
+           {_ORACLE_QUALITY_TERMS}
     FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
 )
 SELECT doc_id,
-       ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+       {_ORACLE_QUALITY_EXPR}
        AS quality
 FROM feat
 """,
@@ -2285,9 +2307,34 @@ def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_pct(id_col: str = "doc_id"):
+    """The salted-hash split percentile (first 3 hex digits of
+    md5('split:'||id) mod 100) — ONE definition shared by
+    train_val_test_split and corpus_manifest (round-5 review: a salt or
+    threshold change must not diverge the two). The oracle twin is
+    _ORACLE_SPLIT_PCT."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+
+
+
 @register(
     "train_val_test_split",
-    """
+    f"""
 WITH h AS (
     SELECT doc_id, lang,
            md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
@@ -2295,9 +2342,7 @@ WITH h AS (
 ),
 pct AS (
     SELECT doc_id, lang,
-           ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
-            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 100
+           {_oracle_split_pct("hx")}
                AS pct
     FROM h
 )
@@ -2317,22 +2362,7 @@ FROM pct ORDER BY doc_id
     "is deterministic and identical in both engines).",
 )
 def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pct = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("split:"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                3,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 100
-    )
+    pct = _split_pct()
     return (
         _t(spark, sf_dir, "documents")
         .select(
@@ -2414,21 +2444,12 @@ def q_token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_ORACLE_TOKS_CTE},
 feat AS (
     SELECT d.doc_id, d.lang,
-           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
-           CASE WHEN len(tk.t) > 0
-                THEN len(list_filter(tk.t, x -> list_contains(
-                     ['the','a','and','of','to','in','is','on','for','with'], x)))
-                     * 1.0 / len(tk.t)
-                ELSE 0.0 END AS sw_ratio,
-           CASE WHEN length(d.text) > 0
-                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
-                     * 1.0 / length(d.text)
-                ELSE 0.0 END AS punct
+           {_ORACLE_QUALITY_TERMS}
     FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
 ),
 scored AS (
     SELECT doc_id, lang,
-           ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+           {_ORACLE_QUALITY_EXPR}
                AS quality
     FROM feat
 ),
@@ -2544,16 +2565,7 @@ survivors AS (
 ),
 feat AS (
     SELECT d.doc_id, d.lang, len(tk.t) AS n_tokens,
-           LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
-           CASE WHEN len(tk.t) > 0
-                THEN len(list_filter(tk.t, x -> list_contains(
-                     ['the','a','and','of','to','in','is','on','for','with'], x)))
-                     * 1.0 / len(tk.t)
-                ELSE 0.0 END AS sw_ratio,
-           CASE WHEN length(d.text) > 0
-                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
-                     * 1.0 / length(d.text)
-                ELSE 0.0 END AS punct
+           {_ORACLE_QUALITY_TERMS}
     FROM documents d
     JOIN survivors s USING (doc_id)
     JOIN toks tk ON tk.doc_id = d.doc_id
@@ -2561,7 +2573,7 @@ feat AS (
 kept AS (
     SELECT doc_id, lang, n_tokens
     FROM feat
-    WHERE ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0)) * (1 - punct), 6)
+    WHERE {_ORACLE_QUALITY_EXPR}
           >= 0.5
 ),
 assigned AS (
@@ -2570,9 +2582,7 @@ assigned AS (
                 WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
     FROM (
         SELECT lang, n_tokens,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
-                + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 100 AS pct
+               {_oracle_split_pct("hx")} AS pct
         FROM (SELECT lang, n_tokens,
                      md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
               FROM kept)
@@ -2598,10 +2608,16 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize,
     )
 
+    from echo_chambers_detection_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    survivors = docs.groupBy(F.md5("text")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    # the SAME survivor policy the oracle-green exact_dedup_groups
+    # query encodes (round-5 review: no inline re-implementation)
+    survivors = exact_dedup_groups(docs).select(
+        F.col("survivor_id").alias("doc_id")
+    )
     kept = (
         docs.join(survivors, "doc_id", "leftsemi")
         .where(F.round(quality_score("text"), 6) >= 0.5)
@@ -2611,20 +2627,7 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokenize("text")).cast("long").alias("n_tokens"),
         )
     )
-    pct = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                3,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 100
-    )
+    pct = _split_pct()
     assigned = kept.select(
         "lang",
         "n_tokens",

@@ -386,14 +386,18 @@ def simhash_candidate_pairs_banded(
     trade as every LSH bucket join here — band count is the knob."""
     bands = max_hamming + 1
     band_bits = width // bands
-    # LAZY checkpoint: the signature plan (explode + 17-aggregate SWAR
-    # pass) feeds 2·bands union branches below — without the barrier
-    # Catalyst re-executes it once per branch (measured 8× at
-    # max_hamming=3: ~12 s instead of ~3 s for 5k docs at sf0.1).
-    # eager=False so merely CONSTRUCTING the plan (plan tests, dry
-    # builds) runs no job; the persisted RDD computes once on first
-    # action and is shared by every branch within it (round-5 review).
-    signatures = signatures.localCheckpoint(eager=False)
+    # Materialization barrier: the signature plan (explode +
+    # 17-aggregate SWAR pass) feeds 2·bands union branches below —
+    # without it Catalyst re-executes the aggregation once per branch
+    # (measured 8× at max_hamming=3: ~12 s instead of ~3 s for 5k docs
+    # at sf0.1). Eager by necessity: under the session's AQE even a
+    # lazy localCheckpoint materializes the shuffle map stage at plan
+    # construction (verified — eager=False saved nothing), so we take
+    # the construction-time job like every other catalog barrier and
+    # use graph._materialize for its ckpt-id tagging convention.
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    signatures = _materialize(signatures)
     keyed = None
     for i in range(bands):
         shifted = F.shiftrightunsigned(F.col("simhash"), i * band_bits)
@@ -441,9 +445,12 @@ def simhash_candidate_pairs(
     into two 8-bit halves; by pigeonhole, any pair within Hamming
     distance 1 agrees exactly on at least one half — one equality join
     per half, then an exact Hamming verify. Returns (d1, d2, hamming)."""
-    # same lazy re-execution guard as simhash_candidate_pairs_banded:
-    # the signature aggregation feeds 4 union branches
-    signatures = signatures.localCheckpoint(eager=False)
+    # same re-execution barrier as simhash_candidate_pairs_banded
+    # (see the AQE note there): the signature aggregation feeds 4
+    # union branches
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    signatures = _materialize(signatures)
     halves = signatures.select(
         "doc_id",
         "simhash",

@@ -56,3 +56,20 @@ def test_registry_window_covers_unverified_queries():
     }
     missing = must_stamp_r5 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
+
+
+def test_registry_entries_bind_their_own_query_functions():
+    """Every registry entry must bind the function named q_<entry> —
+    guards the decorator-capture bug class where a helper def inserted
+    between @register(...) and its intended def silently becomes the
+    registered callable (bitten twice during round-5 refactors; the
+    symptom is a query returning a helper's frame, caught only by
+    oracle shape checks)."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    bad = [
+        (n, spec.spark.__name__)
+        for n, spec in QUERY_REGISTRY.items()
+        if spec.spark.__name__ != f"q_{n}"
+    ]
+    assert not bad, bad
