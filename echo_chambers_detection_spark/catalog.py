@@ -2712,6 +2712,41 @@ def q_source_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "event_user_cardinalities",
+    None,
+    doc="Cardinality SKETCHES next to truth: per event_type the exact "
+    "distinct-user count, the HyperLogLog++ estimate "
+    "(approx_count_distinct, rsd=0.02 — the one-pass mergeable sketch "
+    "a 100 TB scan uses when exact distinct means a full shuffle), "
+    "and the signed relative error. Deterministic (HLL++ is hash-"
+    "based and order-insensitive) but engine-specific, so rows-only; "
+    "tests/test_entry.py pins the error bound |err| <= 3*rsd per "
+    "group. At scale the exact column is the one you DROP — it is "
+    "here so the sketch's honesty is visible in the result itself.",
+)
+def q_event_user_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "n_approx",
+            F.round(
+                (F.col("n_approx") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _lang_tables():
     from echo_chambers_detection_spark.functions.text import (
         LANG_ORDER,
@@ -3702,6 +3737,7 @@ _REGISTRY_ORDER = [
     "benchmark_contamination",
     "corpus_manifest",
     "source_mixture_rates",
+    "event_user_cardinalities",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
     "rfc4122_point_ids",
@@ -3748,9 +3784,9 @@ _REGISTRY_ORDER = [
     "near_dup_keep_list",
     "community_metrics_table",
     "global_echo_metrics",
-    "doc_fingerprints",
     # ---- window boundary: entries below are position 51+ -------------
     # -- stamped green in round 4; back in the window next round -------
+    "doc_fingerprints",
     "scd2_membership_history",
     "language_id_pred",
     "embedding_near_dup",

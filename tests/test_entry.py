@@ -37,7 +37,7 @@ def test_registry_window_covers_unverified_queries():
         "rfc4122_layout_ids", "train_val_test_split",
         "token_pack_chunks", "quality_head_per_lang",
         "benchmark_contamination", "corpus_manifest",
-        "source_mixture_rates",
+        "source_mixture_rates", "event_user_cardinalities",
         # code changed in round 5 — restamp after the change
         "ann_pq_topk", "ann_pq_probe_topk", "ann_ivf_topk",
         "ann_ivf_probe_topk", "knn_graph_ann_topk", "hdbscan_clusters",
@@ -73,3 +73,19 @@ def test_registry_entries_bind_their_own_query_functions():
         if spec.spark.__name__ != f"q_{n}"
     ]
     assert not bad, bad
+
+
+def test_event_user_cardinalities_error_bound(spark):
+    """The HLL++ sketch column stays within 3x its configured rsd of
+    the exact distinct count on every event_type group (rows-only
+    catalog query — this bound IS its quality contract)."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    rows = (
+        QUERY_REGISTRY["event_user_cardinalities"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["rel_error"]) <= 0.06, (r["event_type"], r["rel_error"])
