@@ -1632,6 +1632,77 @@ def q_scd2_membership_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_in_membership_intervals",
+    f"""
+WITH {_ORACLE_CHANGELOG_CTE}
+SELECT h.user_did, h.community,
+       epoch_ms(h.valid_from) AS valid_from_ms,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM hist h
+JOIN events e
+  ON CAST(e.user_id AS VARCHAR) = h.user_did
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+""",
+    doc="Bucketized INTERVAL (range) join (operators/rangejoin.py — "
+    "the temporal primitive next to the as-of join): every event lands "
+    "in the SCD-2 membership validity window containing its own "
+    "timestamp, then per-window activity aggregates. The oracle is the "
+    "naive BETWEEN inequality join; the Spark plan is the scale shape "
+    "— probes keyed to ONE day-bucket each, intervals replicated per "
+    "covered bucket, equi-join on (user, bucket) + exact predicate, "
+    "never a broadcast-nested-loop. Open-ended current rows are "
+    "capped at max(event ts)+1 (lossless). Decimal-exact value sums.",
+)
+def q_events_in_membership_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.rangejoin import (
+        interval_join,
+    )
+    from echo_chambers_detection_spark.operators.scd2 import (
+        scd2_from_changelog,
+    )
+
+    hist = scd2_from_changelog(
+        _membership_changelog(spark, sf_dir),
+        key_col="user_did",
+        value_col="community",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        "user_did",
+        "community",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+    )
+    probes = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_did"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+    )
+    joined = interval_join(
+        probes,
+        hist,
+        probe_ts="ts_ms",
+        start_col="valid_from_ms",
+        end_col="valid_to_ms",
+        key="user_did",
+    )
+    return (
+        joined.groupBy("user_did", "community", "valid_from_ms")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("sum_value"),
+        )
+        .orderBy("user_did", "valid_from_ms")
+    )
+
+
+@register(
     "scd2_current_membership",
     f"""
 WITH {_ORACLE_CHANGELOG_CTE}
@@ -3738,6 +3809,7 @@ _REGISTRY_ORDER = [
     "corpus_manifest",
     "source_mixture_rates",
     "event_user_cardinalities",
+    "events_in_membership_intervals",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
     "rfc4122_point_ids",
@@ -3778,7 +3850,6 @@ _REGISTRY_ORDER = [
     "coengagement_edges",
     "ann_topk",
     "pricing_summary",
-    "revenue_by_nation",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "near_dup_keep_list",
@@ -3786,6 +3857,7 @@ _REGISTRY_ORDER = [
     "global_echo_metrics",
     # ---- window boundary: entries below are position 51+ -------------
     # -- stamped green in round 4; back in the window next round -------
+    "revenue_by_nation",
     "doc_fingerprints",
     "scd2_membership_history",
     "language_id_pred",

@@ -38,6 +38,7 @@ def test_registry_window_covers_unverified_queries():
         "token_pack_chunks", "quality_head_per_lang",
         "benchmark_contamination", "corpus_manifest",
         "source_mixture_rates", "event_user_cardinalities",
+        "events_in_membership_intervals",
         # code changed in round 5 — restamp after the change
         "ann_pq_topk", "ann_pq_probe_topk", "ann_ivf_topk",
         "ann_ivf_probe_topk", "knn_graph_ann_topk", "hdbscan_clusters",
