@@ -71,7 +71,17 @@ def repartition_for_payloads(
     added sampling error (sample is a post-scan filter — ADVICE r4),
     so there is no cheaper honest fallback and callers at 100 TB
     should pass `row_count` or read from a stats-bearing source."""
-    del sample_fraction  # kept for signature compat; see docstring
+    if sample_fraction != 0.001:  # kept for signature compat only
+        import warnings
+
+        warnings.warn(
+            "repartition_for_payloads(sample_fraction=...) is ignored "
+            "since r5 (sampling was the same scan with added error); "
+            "pass row_count instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    del sample_fraction  # see docstring
     rows = row_count
     if rows is None:
         try:  # parquet sources carry row-count stats through the plan

@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_RESERVED = ("_b", "_end", "_maxts")
+
+
 def interval_join(
     probes: DataFrame,
     intervals: DataFrame,
@@ -40,6 +43,7 @@ def interval_join(
     end_col: str,
     key: str | None = None,
     bucket_ms: int = 86_400_000,
+    cap_ts: int | None = None,
 ) -> DataFrame:
     """Inner-join probe rows onto the intervals containing them:
     `start <= ts < end` (half-open, the SCD-2 validity convention),
@@ -49,13 +53,31 @@ def interval_join(
     projects). NULL `end` means open-ended (capped, see module doc);
     empty intervals (`end <= start`) match nothing by definition and
     are dropped before bucketing (they would otherwise make
-    F.sequence step backwards)."""
-    maxp = probes.agg((F.max(probe_ts) + F.lit(1)).alias("_maxts"))
-    iv = (
-        intervals.crossJoin(F.broadcast(maxp))
-        .withColumn("_end", F.coalesce(F.col(end_col), F.col("_maxts")))
-        .where(F.col("_end") > F.col(start_col))
-    )
+    F.sequence step backwards).
+
+    `cap_ts`: exclusive upper bound for open-ended intervals. When
+    omitted it is derived as max(probe ts) + 1, which EXECUTES THE
+    PROBES PLAN TWICE (once for the aggregate, once for the join) —
+    callers with an expensive probe plan should pass a known bound
+    (any value > the last probe timestamp is lossless) or cache the
+    probes frame first (ADVICE r5)."""
+    for side, frame in (("probes", probes), ("intervals", intervals)):
+        clash = [c for c in frame.columns if c in _RESERVED]
+        if clash:
+            raise ValueError(
+                f"interval_join reserves column names {_RESERVED}; "
+                f"{side} input already has {clash} — rename them first"
+            )
+    if cap_ts is not None:
+        iv = intervals.withColumn(
+            "_end", F.coalesce(F.col(end_col), F.lit(int(cap_ts)))
+        )
+    else:
+        maxp = probes.agg((F.max(probe_ts) + F.lit(1)).alias("_maxts"))
+        iv = intervals.crossJoin(F.broadcast(maxp)).withColumn(
+            "_end", F.coalesce(F.col(end_col), F.col("_maxts"))
+        )
+    iv = iv.where(F.col("_end") > F.col(start_col))
     ivb = iv.withColumn(
         "_b",
         F.explode(

@@ -119,3 +119,17 @@ def test_repartition_honors_caller_row_count(blob_df):
         row_count=3,
     )
     assert out.rdd.getNumPartitions() == 2
+
+
+def test_repartition_warns_on_ignored_sample_fraction(blob_df):
+    # sample_fraction is ignored since r5; callers tuning it must hear
+    # about the behavior change (ADVICE r5)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        repartition_for_payloads(
+            blob_df, avg_payload_bytes=2000, row_count=3,
+            sample_fraction=0.5,
+        )
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)

@@ -60,6 +60,47 @@ def test_interval_join_bucket_width_invariance(spark):
         assert got == want, bucket
 
 
+def test_interval_join_reserved_names_raise(spark):
+    import pytest
+
+    bad = spark.createDataFrame([("u1", 5, 1)], "k string, ts long, _b long")
+    with pytest.raises(ValueError, match="_b"):
+        interval_join(
+            bad, _intervals(spark),
+            probe_ts="ts", start_col="s", end_col="e", key="k",
+        )
+    bad_iv = spark.createDataFrame(
+        [("u1", 0, 10, 3)], "k string, s long, e long, _end long"
+    )
+    with pytest.raises(ValueError, match="_end"):
+        interval_join(
+            _probes(spark), bad_iv,
+            probe_ts="ts", start_col="s", end_col="e", key="k",
+        )
+
+
+def test_interval_join_cap_ts_matches_derived(spark):
+    """A caller-supplied cap > max probe ts is lossless (ADVICE r5:
+    avoids executing the probes plan twice)."""
+    want = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in interval_join(
+            _probes(spark), _intervals(spark),
+            probe_ts="ts", start_col="s", end_col="e", key="k",
+            bucket_ms=7,
+        ).collect()
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in interval_join(
+            _probes(spark), _intervals(spark),
+            probe_ts="ts", start_col="s", end_col="e", key="k",
+            bucket_ms=7, cap_ts=1_000,
+        ).collect()
+    )
+    assert got == want
+
+
 def test_interval_join_keyless(spark):
     probes = spark.createDataFrame([(5,), (15,), (25,)], "ts long")
     iv = spark.createDataFrame(
