@@ -1364,6 +1364,152 @@ def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Planted-partition recovery oracles (VERDICT r5 #2): the community
+# algorithms' outputs on the co-engagement graph are not SQL-expressible
+# (rows-only stamps), but on a deterministic strongly-separated planted
+# fixture the recovered partition has a CLOSED FORM — community id =
+# min member node id of each planted block — that DuckDB generates with
+# range(). These give the driver hash-hard signal on G4/G5/G6/G7/G8 +
+# connected components. Fixture construction: operators/planted.py.
+# The fixtures are sf-independent (generated, not read), so the oracle
+# holds at every scale the driver runs.
+# ---------------------------------------------------------------------------
+
+_PLANTED_BLOCK_SQL = """
+SELECT lpad(CAST(b * {bs} AS VARCHAR), 6, '0') AS community,
+       CAST({bs} AS BIGINT) AS size
+FROM range(0, {nb}) t(b)
+"""
+
+_PLANTED_NODE_SQL = """
+SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node,
+       lpad(CAST((i // {bs}) * {bs} AS VARCHAR), 6, '0') AS {label}
+FROM range(0, {n}) t(i)
+"""
+
+
+def _planted_cliques(spark: SparkSession) -> DataFrame:
+    """12 complete blocks K_25 + path bridges: no internal structure for
+    a modularity local optimum to split, so Louvain-family recovery is
+    exact (ring-chord blocks deterministically leave splinters — the
+    defect Leiden's refinement repairs; see leiden_planted_recovery)."""
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    return planted_partition_edges(
+        spark, 12, 25, 12, bridges=True, offsets="linear"
+    )
+
+
+def _planted_rings(spark: SparkSession, bridges: bool) -> DataFrame:
+    """10 quadratic-chord blocks of 60 (10-regular, low diameter)."""
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    return planted_partition_edges(spark, 10, 60, 5, bridges=bridges)
+
+
+@register(
+    "louvain_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=12, bs=25),
+    doc="Louvain exact planted-partition recovery: 12 bridged K_25 "
+    "cliques -> the recovered communities are precisely the blocks, "
+    "community id = min member node (SURVEY.md G7; hash-hard oracle "
+    "for the algorithm the reference runs as gds.louvain.stream)",
+)
+def q_louvain_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import louvain
+
+    assign = louvain(_planted_cliques(spark), max_levels=2, max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "modularity_opt_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=12, bs=25),
+    doc="Single-level modularity optimization recovers the same 12 "
+    "cliques exactly (SURVEY.md G8 oracle)",
+)
+def q_modularity_opt_planted_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        modularity_optimization,
+    )
+
+    assign = modularity_optimization(_planted_cliques(spark), max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "leiden_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=10, bs=60),
+    doc="Leiden exact recovery on the HARDER ring-chord fixture that "
+    "plain Louvain deterministically splits (split purity 0.912 there) "
+    "— direct evidence the refinement phase does its job "
+    "(SURVEY.md G6 oracle)",
+)
+def q_leiden_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import leiden
+
+    assign = leiden(_planted_rings(spark, bridges=True), max_levels=2, max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "lpa_planted_recovery",
+    _PLANTED_NODE_SQL.format(n=600, bs=60, label="community"),
+    doc="Label propagation converges to per-block consensus = min node "
+    "id on 10 disjoint ring-chord blocks; per-node output (SURVEY.md "
+    "G5 oracle). LPA has no driver-local mirror, so this runs the "
+    "distributed loop itself.",
+)
+def q_lpa_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_planted_rings(spark, bridges=False))
+
+
+@register(
+    "kcore_planted_cores",
+    """
+SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node,
+       CAST(10 AS BIGINT) AS core_value
+FROM range(0, 600) t(i)
+""",
+    doc="k-core on a 10-regular planted graph: every node's core number "
+    "is exactly 10 (SURVEY.md G4 oracle)",
+)
+def q_kcore_planted_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import kcore
+
+    return kcore(_planted_rings(spark, bridges=False).select("u1", "u2"))
+
+
+@register(
+    "connected_components_planted",
+    _PLANTED_NODE_SQL.format(n=600, bs=60, label="component"),
+    doc="Connected components on 10 disjoint blocks: component id = min "
+    "member node id, per-node output (hash-hard oracle for the CC "
+    "primitive under Leiden refinement / dedup keep-lists)",
+)
+def q_connected_components_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    return connected_components(
+        _planted_rings(spark, bridges=False).select("u1", "u2")
+    )
+
+
 @register(
     "density_clusters",
     None,
@@ -3801,6 +3947,12 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGISTRY_ORDER = [
     # -- new this round (never stamped) ------------------------------
+    "louvain_planted_recovery",
+    "modularity_opt_planted_recovery",
+    "leiden_planted_recovery",
+    "lpa_planted_recovery",
+    "kcore_planted_cores",
+    "connected_components_planted",
     "simhash64_md5_near_pairs",
     "train_val_test_split",
     "token_pack_chunks",

@@ -454,12 +454,40 @@ def similarity_self_join_gemm(
 # ---------------------------------------------------------------------------
 
 
+def _training_subset(norm: DataFrame, cap: int) -> tuple[DataFrame, bool]:
+    """Bounded Lloyd training set (VERDICT r5 #4). Quantizer training
+    on the FULL dataset costs 2·iters+1 full scans plus a per-round
+    n·d-row exchange — at 100 TB you train on a sample and assign once
+    (standard practice: Faiss warns below ~39·k training points and is
+    happy at ~256·k). The subset is a DETERMINISTIC hash gate on the id
+    (pure function of the row, invariant to partitioning — a .sample()
+    would change membership whenever the upstream leaf repartitions),
+    sized to land ~cap rows. Returns (train frame, was_sampled); the
+    train frame is checkpointed when sampled (it is scanned 2·iters
+    times) and the caller releases it after the Lloyd loop."""
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    n = norm.count()
+    if cap <= 0 or n <= cap:
+        return norm, False
+    gate = 1_000_000
+    keep = max(1, int(round(cap / n * gate)))
+    train = _materialize(
+        norm.where(
+            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(gate))
+            < keep
+        )
+    )
+    return train, True
+
+
 def ivf_index(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 3,
     id_col: str = "post_cid",
     vec_col: str = "vector",
+    train_cap: int | None = None,
 ):
     """Deterministic IVF coarse quantizer.
 
@@ -470,6 +498,13 @@ def ivf_index(
     JVM-side exploded (cluster, dim) mean. Driver state is the k x d
     centroid matrix itself (a few KB) — loop-control scale, like the
     round counters in the graph loops, never row data.
+
+    Training runs on a hash-gated subset of ~`train_cap` vectors
+    (default 256·k; pass 0 to force full-data training) and the final
+    assignment pass covers the full set — see `_training_subset`.
+    Exhaustive-probe searches (nprobe = k) are training-invariant by
+    construction; pruned-probe recall floors are pinned in
+    tests/test_ivf.py either way.
 
     Returns (assignments DataFrame (id, cluster int), centroids ndarray).
     """
@@ -492,15 +527,19 @@ def ivf_index(
         )
     )
 
+    train, sampled = _training_subset(
+        norm, 256 * k if train_cap is None else train_cap
+    )
+
     seed_rows = (
-        norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
+        train.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
         .orderBy("_h")
         .limit(k)
         .collect()
     )
     cent = np.stack([np.asarray(r["_vec"], dtype="float64") for r in seed_rows])
 
-    def assign_with(c: np.ndarray) -> DataFrame:
+    def assign_with(c: np.ndarray, over: DataFrame) -> DataFrame:
         b = spark.sparkContext.broadcast(c)
 
         def fn(batches):
@@ -512,13 +551,13 @@ def ivf_index(
                 cl = np.argmax(X @ C.T, axis=1).astype("int32")
                 yield pd.DataFrame({"_id": pdf["_id"], "cluster": cl})
 
-        id_type = dict(norm.dtypes)["_id"]
-        return norm.mapInPandas(fn, schema=f"_id {id_type}, cluster int")
+        id_type = dict(over.dtypes)["_id"]
+        return over.mapInPandas(fn, schema=f"_id {id_type}, cluster int")
 
     for _ in range(iters):
-        assigned = assign_with(cent)
+        assigned = assign_with(cent, train)
         means = (
-            assigned.join(norm, "_id")
+            assigned.join(train, "_id")
             .select("cluster", F.posexplode("_vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.avg("x").alias("mx"))
@@ -535,7 +574,13 @@ def ivf_index(
                 new[c] = v / n
         cent = new
 
-    out = assign_with(cent).withColumnRenamed("_id", id_col)
+    if sampled:  # the Lloyd loop was the last reader of the subset
+        from echo_chambers_detection_spark.operators.graph import (
+            _release_checkpoint,
+        )
+
+        _release_checkpoint(train)
+    out = assign_with(cent, norm).withColumnRenamed("_id", id_col)
     out._ckpt_rdd_ids = getattr(norm, "_ckpt_rdd_ids", [])
     return out, cent
 
@@ -570,6 +615,7 @@ def ivf_index_build(
     iters: int = 3,
     id_col: str = "post_cid",
     vec_col: str = "vector",
+    train_cap: int | None = None,
 ) -> None:
     """Build the IVF index ONCE and persist it (VERDICT r3 #2): centroids
     (n_cells × d — a few KB) and assignments (id, cluster) land as
@@ -582,7 +628,8 @@ def ivf_index_build(
     import os
 
     assignments, cent = ivf_index(
-        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
     )
     spark = embeddings.sparkSession
     cent_rows = [
@@ -668,6 +715,7 @@ def pq_train(
     iters: int = 3,
     id_col: str = "post_cid",
     vec_col: str = "vector",
+    train_cap: int | None = None,
 ):
     """Product quantization: split the (L2-normalized) vector into `m`
     contiguous subspaces and run an independent deterministic k-means
@@ -678,6 +726,12 @@ def pq_train(
     ~64× step). One Arrow-batched assignment pass per Lloyd round
     covers ALL subspaces; the centroid update is a JVM-side exploded
     mean, collected at m·k·(d/m) = k·d values — KB-scale driver state.
+
+    Training runs on a hash-gated ~`train_cap`-vector subset (default
+    256·k, 0 = full data; see `_training_subset` — every subspace
+    trains from the same rows) and only the final code-assignment pass
+    reads the full set. Exhaustive-candidate searches (refine=None)
+    rerank with exact cosine and are training-invariant.
 
     Returns (codebooks ndarray [m, k, d//m], codes DataFrame
     (id, codes array<int>)). d must be divisible by m.
@@ -701,8 +755,12 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
+    train, sampled = _training_subset(
+        norm, 256 * k if train_cap is None else train_cap
+    )
+
     seed_rows = (
-        norm.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
+        train.select("_id", "_vec", F.md5(F.col("_id").cast("string")).alias("_h"))
         .orderBy("_h")
         .limit(k)
         .collect()
@@ -712,7 +770,7 @@ def pq_train(
         [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
     )  # (m, k, dsub)
 
-    def assign_with(B: np.ndarray) -> DataFrame:
+    def assign_with(B: np.ndarray, over: DataFrame) -> DataFrame:
         b = spark.sparkContext.broadcast(B)
 
         def fn(batches):
@@ -734,15 +792,15 @@ def pq_train(
                     {"_id": pdf["_id"], "codes": list(codes)}
                 )
 
-        id_type = dict(norm.dtypes)["_id"]
-        return norm.mapInPandas(
+        id_type = dict(over.dtypes)["_id"]
+        return over.mapInPandas(
             fn, schema=f"_id {id_type}, codes array<int>"
         )
 
     for _ in range(iters):
-        assigned = assign_with(books)
+        assigned = assign_with(books, train)
         means = (
-            assigned.join(norm, "_id")
+            assigned.join(train, "_id")
             .select(
                 F.posexplode("_vec").alias("dim", "x"), "codes"
             )
@@ -766,7 +824,13 @@ def pq_train(
             new[s, c] = [dims[i] for i in sorted(dims)]
         books = new
 
-    codes = assign_with(books).withColumnRenamed("_id", id_col)
+    if sampled:
+        from echo_chambers_detection_spark.operators.graph import (
+            _release_checkpoint,
+        )
+
+        _release_checkpoint(train)
+    codes = assign_with(books, norm).withColumnRenamed("_id", id_col)
     codes._ckpt_rdd_ids = getattr(norm, "_ckpt_rdd_ids", [])
     return books, codes
 
@@ -782,6 +846,7 @@ def pq_topk(
     id_col: str = "post_cid",
     vec_col: str = "vector",
     query_col: str = "qvec",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k with exact rerank: train/compress (or reuse a
     trained codebook via `pq_train` directly), score every code row
@@ -794,7 +859,7 @@ def pq_topk(
     """
     books, codes = pq_train(
         embeddings, m=m, k=n_centroids, iters=iters,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, train_cap=train_cap,
     )
     return _pq_adc_rerank(
         embeddings, books, codes, query,
@@ -887,6 +952,7 @@ def pq_index_build(
     iters: int = 3,
     id_col: str = "post_cid",
     vec_col: str = "vector",
+    train_cap: int | None = None,
 ) -> None:
     """Persist a PQ index: codebooks ((sub, cell, centroid) — m·k rows,
     KB-scale) and the code table ((id, codes)) as parquet under `path`.
@@ -896,7 +962,8 @@ def pq_index_build(
     import os
 
     books, codes = pq_train(
-        embeddings, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        embeddings, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
     )
     spark = embeddings.sparkSession
     rows = [
@@ -964,6 +1031,7 @@ def ivf_topk(
     id_col: str = "post_cid",
     vec_col: str = "vector",
     query_col: str = "qvec",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF-pruned cosine top-k: exact search restricted to the nprobe
     cells whose centroids are nearest the query. nprobe == n_cells is
@@ -978,7 +1046,8 @@ def ivf_topk(
     import numpy as np
 
     assignments, cent = ivf_index(
-        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
     )
     qv = np.asarray(
         query.select(query_col).first()[query_col], dtype="float64"

@@ -38,6 +38,47 @@ def test_ivf_index_deterministic_and_total(emb):
     assert len(a1) == emb.count()  # every vector lands in exactly one cell
 
 
+def test_training_subset_bounded_and_deterministic(emb):
+    """Sample-based quantizer training (VERDICT r5 #4): the hash-gated
+    subset is ~cap-sized, a pure function of the ids (repartitioning
+    must not change membership), and a cap >= n is the identity."""
+    from echo_chambers_detection_spark.operators.ann import (
+        _training_subset,
+        l2_normalize,
+    )
+
+    norm = emb.select(
+        F.col("post_cid").alias("_id"), l2_normalize("vector").alias("_vec")
+    )
+    n = norm.count()
+    full, sampled = _training_subset(norm, n + 10)
+    assert not sampled and full is norm
+    cap = max(10, n // 4)
+    sub, sampled = _training_subset(norm, cap)
+    assert sampled
+    ids1 = {r["_id"] for r in sub.select("_id").collect()}
+    assert 0 < len(ids1) <= 2 * cap
+    sub2, _ = _training_subset(norm.repartition(7), cap)
+    assert {r["_id"] for r in sub2.select("_id").collect()} == ids1
+
+
+def test_ivf_sampled_training_exhaustive_probe_still_exact(emb, query):
+    """Exhaustive probe is training-invariant: even a tiny training
+    sample must return the exact top-k when every cell is probed."""
+    exact = [
+        (r["post_cid"], r["score"])
+        for r in cosine_topk(emb, query, k=10).collect()
+    ]
+    got = [
+        (r["post_cid"], r["score"])
+        for r in ivf_topk(
+            emb, query, k_results=10, n_cells=8, nprobe=8, iters=2,
+            train_cap=50,
+        ).collect()
+    ]
+    assert got == exact
+
+
 def test_ivf_exhaustive_probe_equals_exact(emb, query):
     exact = [(r["post_cid"], r["score"]) for r in cosine_topk(emb, query, k=10).collect()]
     ivf = [
