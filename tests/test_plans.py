@@ -121,6 +121,32 @@ def test_bitmap_coengagement_guards_user_count(spark):
     }
 
 
+def test_max_post_degree_guard_logs_drop_count(spark, caplog):
+    """The celebrity-post guard must not truncate silently (VERDICT r5
+    #6): with log_dropped=True the dropped-post count lands at INFO,
+    and the guarded output contains no pair from the dropped post."""
+    import logging
+
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges,
+    )
+
+    rows = [("u%d" % u, "mega") for u in range(6)] + [
+        ("u0", "small"),
+        ("u1", "small"),
+    ]
+    eng = spark.createDataFrame(rows, "user_did string, post_uri string")
+    with caplog.at_level(
+        logging.INFO,
+        logger="echo_chambers_detection_spark.operators.coengagement",
+    ):
+        got = coengagement_edges(
+            eng, max_post_degree=3, log_dropped=True
+        ).collect()
+    assert [(r["u1"], r["u2"], r["weight"]) for r in got] == [("u0", "u1", 1)]
+    assert any("dropped 1 post" in rec.getMessage() for rec in caplog.records)
+
+
 def test_semi_and_anti_joins_planned(spark):
     semi = _q(spark, "active_customers")
     anti = _q(spark, "customers_without_orders")
