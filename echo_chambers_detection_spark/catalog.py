@@ -1555,6 +1555,73 @@ def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "density_clusters_lsh_exhaustive",
+    f"""
+WITH RECURSIVE {_ORACLE_EMB_EXPLODED},
+scores AS (
+    SELECT a.post_cid AS v1, b.post_cid AS v2,
+           ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    GROUP BY 1, 2
+),
+pairs AS (SELECT v1, v2 FROM scores WHERE score >= 0.4),
+nbrs AS (
+    SELECT v1 AS na, v2 AS nb FROM pairs
+    UNION ALL SELECT v2, v1 FROM pairs
+),
+deg AS (SELECT na AS node, COUNT(*) AS n FROM nbrs GROUP BY 1),
+core AS (SELECT node FROM deg WHERE n >= 3),
+core_edges AS (
+    SELECT na AS src, nb AS dst FROM nbrs
+    JOIN core c1 ON c1.node = na JOIN core c2 ON c2.node = nb
+),
+closure AS (
+    SELECT node, node AS comp FROM core
+    UNION
+    SELECT e.dst AS node, c.comp
+    FROM closure c JOIN core_edges e ON e.src = c.node
+    WHERE c.comp < e.dst
+),
+core_clusters AS (SELECT node, MIN(comp) AS cluster FROM closure GROUP BY node),
+border AS (
+    SELECT n.na AS node, MIN(cc.cluster) AS cluster
+    FROM nbrs n JOIN core_clusters cc ON cc.node = n.nb
+    WHERE n.na NOT IN (SELECT node FROM core)
+    GROUP BY 1
+),
+labeled AS (
+    SELECT DISTINCT node, cluster FROM (
+        SELECT node, cluster FROM core_clusters
+        UNION ALL SELECT node, cluster FROM border
+    )
+)
+SELECT e.post_cid AS node, COALESCE(l.cluster, '-1') AS cluster
+FROM (SELECT DISTINCT post_cid FROM ex) e
+LEFT JOIN labeled l ON l.node = e.post_cid
+""",
+    doc="DBSCAN through the LSH-banded machinery in its EXHAUSTIVE "
+    "configuration (band_bits=0 — one zero-bit band, all pairs are "
+    "candidates; the refine=None analogue that promoted the PQ queries, "
+    "VERDICT r5 #9): output provably equals the exact density chain "
+    "over the embeddings table, so the full core/border/noise semantics "
+    "get a SQL hash oracle (n-squared cosine + recursive-CTE "
+    "components). The pruned operating point stays density_clusters_lsh "
+    "(rows-only, recall-tested).",
+)
+def q_density_clusters_lsh_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import density_cluster
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("post_cid").alias("node"), "vector"
+    )
+    return density_cluster(
+        emb, min_sim=0.4, min_pts=3, use_lsh=True, lsh_band_bits=0, dim=32
+    )
+
+
+@register(
     "hdbscan_clusters",
     None,
     doc="True HDBSCAN* over FastRP node embeddings — the reference's "
@@ -3953,6 +4020,7 @@ _REGISTRY_ORDER = [
     "lpa_planted_recovery",
     "kcore_planted_cores",
     "connected_components_planted",
+    "density_clusters_lsh_exhaustive",
     "simhash64_md5_near_pairs",
     "train_val_test_split",
     "token_pack_chunks",

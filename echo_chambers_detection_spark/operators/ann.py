@@ -300,32 +300,47 @@ def lsh_near_dup_pairs(
     dominated wall time. Bucket skew is the classic LSH trade: a hot
     bucket of size s costs O(s²) — widen band_bits when buckets run hot.
     Cross-band duplicate pairs carry bit-identical scores, so the final
-    distinct() collapses them."""
+    distinct() collapses them.
+
+    band_bits=0 is the EXHAUSTIVE verification configuration (the
+    analogue of PQ's refine=None and IVF's nprobe=n_cells): one zero-bit
+    band, so every row lands in a single bucket and the banded machinery
+    provably yields ALL pairs — output equals the exact GEMM self-join,
+    which makes any query built on it SQL-oracle-checkable. One task
+    scores the whole set, so this is for verification scale only."""
     import pandas as pd
 
-    n_bands = num_planes // band_bits
-    mask = (1 << band_bits) - 1
-    # materialize: the signature frame feeds every band expansion below —
-    # without this the per-plane projection folds run once per reference
-    sigs = hyperplane_signatures(
-        embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=True)
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bval")
+    if band_bits == 0:
+        bands = embeddings.select(
+            F.col(id_col),
+            F.lit(0).alias("band"),
+            F.lit(0).cast("long").alias("bval"),
+        )
+    else:
+        n_bands = num_planes // band_bits
+        mask = (1 << band_bits) - 1
+        # materialize: the signature frame feeds every band expansion
+        # below — without this the per-plane projection folds run once
+        # per reference
+        sigs = hyperplane_signatures(
+            embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        bands = sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "bk.band", "bk.bval")
     withvec = bands.join(
         embeddings.select(F.col(id_col), F.col(vec_col).alias("_vec")), id_col
     )
