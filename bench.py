@@ -183,6 +183,59 @@ def _graph_scale_probes(spark, timings: dict) -> None:
     )
 
 
+def _condense_scale_probe(spark, timings: dict) -> None:
+    """Two-level condense at ~1M forest edges (VERDICT r5 #3): a
+    caterpillar spanning forest — 100k hubs x 9 pendant leaves (fringe
+    weights globally distinct and tiny) on a distinct-weight backbone
+    chain — built from JVM expressions. contract_runt_fringes absorbs
+    8 leaves per hub (the size cap leaves one), then condense_two_level
+    cuts at θ so the driver sees a CONSTANT ~100k-row budget instead of
+    the ~200k contracted (1M raw) rows. Ground truth is closed-form:
+    every hub group is its own EoM winner, so each node's label must be
+    its hub's id — asserted distributedly, zero driver rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        condense_two_level,
+        contract_runt_fringes,
+    )
+
+    H = 100_000
+    hub = F.format_string("h%06d", F.col("id") % H)
+    leaves = spark.range(0, 9 * H, 1, 64).select(
+        hub.alias("u1"),
+        F.format_string(
+            "h%06dx%d", F.col("id") % H, F.floor(F.col("id") / H)
+        ).alias("u2"),
+        (F.lit(0.001) + F.col("id") * 1e-9).alias("w"),
+    )
+    chain = spark.range(0, H - 1, 1, 16).select(
+        F.format_string("h%06d", F.col("id")).alias("u1"),
+        F.format_string("h%06d", F.col("id") + 1).alias("u2"),
+        (F.lit(1.0) + F.col("id") * 1e-4).alias("w"),
+    )
+    forest = leaves.unionAll(chain)
+    t0 = time.perf_counter()
+    c_e, c_n, mm = contract_runt_fringes(forest, min_cluster_size=10)
+    lab_sn = condense_two_level(c_e, c_n, min_cluster_size=10)
+    assert lab_sn is not None, "two-level condense found no feasible θ"
+    labels = mm.join(lab_sn, "snode").select("member", "_lab")
+    bad = labels.where(
+        F.col("_lab") != F.substring("member", 1, 7)
+    ).count()
+    n_labeled = labels.count()
+    timings["bench_condense_two_level_1m"] = round(
+        time.perf_counter() - t0, 3
+    )
+    if bad or n_labeled != 10 * H:
+        raise AssertionError(
+            f"two-level condense wrong: {bad} mislabeled of {n_labeled} "
+            f"(want {10 * H})"
+        )
+
+
 def _skew_scale_probes(spark, timings: dict) -> None:
     """Celebrity-skew co-engagement row (VERDICT r5 #6): synthetic
     engagements where one post has 10^4x the median degree (40k
@@ -334,6 +387,8 @@ def main() -> None:
     _graph_scale_probes(spark, timings)
     release_persisted()
     _skew_scale_probes(spark, timings)
+    release_persisted()
+    _condense_scale_probe(spark, timings)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -4013,7 +4013,8 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they return to the window in round 6.
 
 _REGISTRY_ORDER = [
-    # -- new this round (never stamped) ------------------------------
+    # -- new in round 6 (never stamped): planted recovery oracles +
+    #    the exhaustive-LSH density promotion ---------------------------
     "louvain_planted_recovery",
     "modularity_opt_planted_recovery",
     "leiden_planted_recovery",
@@ -4021,62 +4022,16 @@ _REGISTRY_ORDER = [
     "kcore_planted_cores",
     "connected_components_planted",
     "density_clusters_lsh_exhaustive",
-    "simhash64_md5_near_pairs",
-    "train_val_test_split",
-    "token_pack_chunks",
-    "quality_head_per_lang",
-    "benchmark_contamination",
-    "corpus_manifest",
-    "source_mixture_rates",
-    "event_user_cardinalities",
+    # -- code changed in round 6, oracle-backed — restamp after change
+    #    (rangejoin cap_ts, IVF/PQ sampled training, coengagement
+    #    log_dropped, embed backend, lsh band_bits=0) -------------------
     "events_in_membership_intervals",
-    "analysis_run_metrics",
-    "analysis_run_hdbscan",
-    "rfc4122_point_ids",
-    "rfc4122_layout_ids",
-    # -- code changed this round (PQ oracle config, IVF/PQ build
-    #    lifecycle, HDBSCAN fringe contraction) — restamp after change --
-    "ann_pq_topk",
-    "ann_pq_probe_topk",
     "ann_ivf_topk",
-    "ann_ivf_probe_topk",
-    "knn_graph_ann_topk",
-    "hdbscan_clusters",
-    # -- r3-stamped, oldest in the rotation — restamp now --------------
-    "label_propagation_communities",
-    "modularity_optimization_communities",
-    "kcore_user_graph",
-    "louvain_user_communities",
-    "leiden_communities",
-    "density_clusters",
-    "fastrp_embeddings",
-    "exact_dedup_groups",
-    "event_value_percentiles",
-    "event_type_user_cube",
-    "embedded_documents",
-    "ann_lsh_topk",
-    "embedding_lsh_near_dup",
-    "kafka_producer_messages",
-    "order_stats_rollup",
-    "engaged_user_set_ops",
-    "user_profiles_cleaned",
-    "membership_asof_join",
-    "simhash_signatures",
-    "user_first_seen",
-    "user_running_totals",
-    "text_quality_scores",
-    "simhash_near_pairs",
-    # -- r4-stamped pad: flagship/heavy families kept fresh ------------
+    "ann_pq_topk",
     "coengagement_edges",
-    "ann_topk",
-    "pricing_summary",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "near_dup_keep_list",
-    "community_metrics_table",
-    "global_echo_metrics",
-    # ---- window boundary: entries below are position 51+ -------------
-    # -- stamped green in round 4; back in the window next round -------
+    "embedded_documents",
+    "embedding_lsh_near_dup",
+    # -- the 37 queries not stamped in round 5 (r4 stamps, oldest) -----
     "revenue_by_nation",
     "doc_fingerprints",
     "scd2_membership_history",
@@ -4114,6 +4069,54 @@ _REGISTRY_ORDER = [
     "community_catalog_save",
     "community_membership_save",
     "session_windows_by_type",
+    # ---- window boundary: entries below are position 51+ -------------
+    # -- code-touched in r6 but r5-stamped and locally re-verified on
+    #    every pytest run (tests/test_catalog_oracle.py) ---------------
+    "ann_ivf_probe_topk",
+    "ann_pq_probe_topk",
+    "knn_graph_ann_topk",
+    "ann_lsh_topk",
+    "kafka_producer_messages",
+    "hdbscan_clusters",
+    # -- stamped green in round 5; back in the window next round -------
+    "simhash64_md5_near_pairs",
+    "train_val_test_split",
+    "token_pack_chunks",
+    "quality_head_per_lang",
+    "benchmark_contamination",
+    "corpus_manifest",
+    "source_mixture_rates",
+    "event_user_cardinalities",
+    "analysis_run_metrics",
+    "analysis_run_hdbscan",
+    "rfc4122_point_ids",
+    "rfc4122_layout_ids",
+    "label_propagation_communities",
+    "modularity_optimization_communities",
+    "kcore_user_graph",
+    "louvain_user_communities",
+    "leiden_communities",
+    "density_clusters",
+    "fastrp_embeddings",
+    "exact_dedup_groups",
+    "event_value_percentiles",
+    "event_type_user_cube",
+    "order_stats_rollup",
+    "engaged_user_set_ops",
+    "user_profiles_cleaned",
+    "membership_asof_join",
+    "simhash_signatures",
+    "user_first_seen",
+    "user_running_totals",
+    "text_quality_scores",
+    "simhash_near_pairs",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "near_dup_keep_list",
+    "community_metrics_table",
+    "global_echo_metrics",
+    "ann_topk",
 ]
 
 

@@ -315,20 +315,27 @@ def kcore(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Min-label propagation to fixpoint: component id = min node id in the
-    component. O(diameter) rounds; each round one join + one groupBy.
-    Returns (node, component).
+    """Min-label propagation with POINTER JUMPING to fixpoint: component
+    id = min node id in the component. Each round takes the min over
+    (own label, neighbor labels) and then shortcuts through the label
+    graph — L(v) <- L(L(v)), the Shiloach-Vishkin hooking+shortcutting
+    step — so the labelled distance to the component minimum roughly
+    DOUBLES per round: O(log diameter) rounds instead of O(diameter)
+    (a 100k-node path converges in ~17 rounds, not 100k; round-6, the
+    SCALE.md known-limit this removes). Cost per round: one groupBy +
+    two joins. Returns (node, component).
+
+    Correctness of the fixpoint: labels only decrease and always hold a
+    node id of the same component; the minimum c keeps L(c) = c; at a
+    fixpoint every edge has equal labels (else the neighbor-min would
+    fire), so the per-component constant label must be c itself.
 
     Raises RuntimeError if the fixpoint is not reached within max_iter —
     a partially-propagated labelling silently splits components, which
     corrupts every downstream contract (Borůvka contraction re-picks
     edges across the split, dedup keep-lists keep both halves), so
-    non-convergence must be loud. min-propagation needs O(diameter)
-    rounds; raise max_iter for path-like graphs.
-
-    (For graphs with huge diameters, the two-phase large-star/small-star
-    algorithm [Kiveris et al., COCOA'14] halves round counts; co-engagement
-    graphs are short-diameter so min-propagation is the simpler win.)
+    non-convergence must be loud. With the doubling step the default
+    budget covers any graph a cluster can hold.
     """
     sym = _materialize_wide(_symmetrize(edges, weighted=False).select("src", "dst"))
     if _local_path_ok(edges, sym.count()):
@@ -351,18 +358,33 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        hooked = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", "component")
+            ).alias("_c1"),
+            F.col("component").alias("_c0"),
+        )
+        # shortcut: follow the label one more hop (labels are node ids,
+        # so every _c1 value exists as a node row). The join probes on
+        # _c1 — hot toward convergence (many nodes share a label); the
+        # mapping side is hinted broadcast when small, and AQE
+        # skew-splits otherwise.
+        jump = hooked.select(
+            F.col("node").alias("_c1"), F.col("_c1").alias("_c2")
+        )
         # carry the changed flag inside the materialized frame: the
         # convergence check becomes a cheap agg on the checkpointed leaf
         # instead of a second distributed join job per round
         new_labels = _materialize(
-            labels.join(nbr_min, "node", "left").select(
+            hooked.join(hint(jump), "_c1", "left").select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
+                    F.col("_c1"), F.coalesce("_c2", "_c1")
                 ).alias("component"),
                 (
-                    F.coalesce("nbr_component", "component")
-                    < F.col("component")
+                    F.least(F.col("_c1"), F.coalesce("_c2", "_c1"))
+                    < F.col("_c0")
                 ).alias("_chg"),
             )
         )

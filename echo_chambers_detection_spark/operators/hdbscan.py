@@ -995,6 +995,668 @@ def contract_runt_fringes(
     return e, nodes, member_map
 
 
+# ---------------------------------------------------------------------------
+# Two-level condense (VERDICT r5 #3) — breaking the ~n/min_cluster_size
+# driver bound.
+#
+# contract_runt_fringes compresses fringes by ~min_cluster_size x, but the
+# driver still collects the whole contracted forest: ~4x10^7 rows at 10^9
+# points with mcs=25. The fix exploits the single-linkage structure
+# directly: cut the forest at a weight threshold θ. Every edge with
+# w < θ merges BEFORE any edge with w >= θ (λ = 1/w, and the cut
+# partitions weights strictly), so each connected component of the
+# sub-θ subgraph is an intact dendrogram subtree. The condense walk
+# then decomposes exactly:
+#
+# - the driver condenses only the TOP tree — component leaves plus the
+#   >= θ edges (driver rows = O(#top edges), chosen ~quantile so it is
+#   a CONSTANT budget, independent of n);
+# - each component >= mcs condenses independently, executor-side
+#   (applyInPandas per component). The cluster that is live when the
+#   walk enters a component C needs only two numbers from C: A = Σ
+#   mass x λ over C's events attributed to it and M = size(C) — its
+#   stability contribution is A - M·λ_birth, linear in the (driver-
+#   known) birth λ. Its EoM children live entirely inside C, summarized
+#   by one more number (term_best). Everything else about C — internal
+#   clusters, their stabilities, selection, labels — is independent of
+#   λ_birth and of the rest of the forest, computed where the data is.
+#
+# Parity caveat: factoring Σ m(λ-λ_b) into Σ mλ - λ_b Σ m changes float
+# association; labels match the classic condense except on exact
+# stability ties (measure-zero for generic weights; pinned by tests on
+# random forests). Requires mcs >= 2 (with supernode sizes < mcs the
+# walk then provably never persists a leaf, so the max-λ convention
+# never crosses the cut).
+# ---------------------------------------------------------------------------
+
+
+def _component_condense(node_ids, edges, mcs, sizes, min_ids):
+    """Condense ONE sub-θ component entered as a continuing cluster.
+
+    node_ids: supernode ids (all with size < mcs); edges: the
+    component's internal (u1, u2, w) rows — a tree. Returns
+    (A, term_best, labels):
+      A         — Σ mass·λ over events the ENTRY cluster sees in here
+                  (its stability contribution is A - size(C)·λ_birth);
+      term_best — Σ best[] over the entry cluster's children (all of
+                  which are born inside C), 0.0 if it dies in here;
+      labels    — {node: label} under the no-ancestor-selected verdict
+                  (driver overrides wholesale when an ancestor wins).
+    """
+    n = len(node_ids)
+    idx = {s: i for i, s in enumerate(node_ids)}
+    wt = [sizes.get(s, 1) for s in node_ids]
+    mid = [min_ids.get(s, s) for s in node_ids]
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    dendro_of = list(range(n))
+    children: list[tuple[int, int]] = []
+    merge_w: list[float] = []
+    next_id = n
+    for u1, u2, w in sorted(edges, key=lambda t: (t[2], str(t[0]), str(t[1]))):
+        a, b = find(idx[str(u1)]), find(idx[str(u2)])
+        if a == b:
+            continue
+        children.append((dendro_of[a], dendro_of[b]))
+        merge_w.append(max(float(w), _MIN_W))
+        parent[b] = a
+        dendro_of[a] = next_id
+        next_id += 1
+    roots = {dendro_of[find(i)] for i in range(n)}
+    if len(roots) != 1:
+        raise AssertionError(
+            f"component is not connected: {len(roots)} roots"
+        )
+    root = roots.pop()
+
+    sz: dict[int, int] = {}
+    stack, order = [root], []
+    while stack:
+        x = stack.pop()
+        order.append(x)
+        if x >= n:
+            l, r = children[x - n]
+            stack.append(l)
+            stack.append(r)
+    for x in reversed(order):
+        sz[x] = (
+            sz[children[x - n][0]] + sz[children[x - n][1]]
+            if x >= n
+            else wt[x]
+        )
+
+    def leaves_of(d: int) -> list[int]:
+        out, st = [], [d]
+        while st:
+            x = st.pop()
+            if x < n:
+                out.append(x)
+            else:
+                l, r = children[x - n]
+                st.append(l)
+                st.append(r)
+        return out
+
+    # cluster 0 is the ENTRY cluster: stability tracked as A (no birth);
+    # clusters 1.. are internal, standard arithmetic
+    c_parent = [-1]
+    c_birth = [0.0]
+    c_stability = [0.0]  # [0] unused — A carries the entry cluster
+    c_children: list[list[int]] = [[]]
+    A = 0.0
+    point_cluster: dict[int, int] = {}
+
+    def new_cluster(parent_cid: int, birth: float) -> int:
+        cid = len(c_parent)
+        c_parent.append(parent_cid)
+        c_birth.append(birth)
+        c_stability.append(0.0)
+        c_children.append([])
+        c_children[parent_cid].append(cid)
+        return cid
+
+    work = [(root, 0)]
+    while work:
+        d, cid = work.pop()
+        while True:
+            if d < n:
+                # unreachable for mcs >= 2 with leaf weights < mcs (the
+                # walk only descends into >= mcs sides); guard anyway
+                raise AssertionError("two-level condense requires mcs >= 2")
+            l, r = children[d - n]
+            lam = 1.0 / merge_w[d - n]
+            sl, sr = sz[l], sz[r]
+            if sl >= mcs and sr >= mcs:
+                if cid == 0:
+                    A += lam * (sl + sr)
+                else:
+                    c_stability[cid] += (lam - c_birth[cid]) * (sl + sr)
+                lc = new_cluster(cid, lam)
+                rc = new_cluster(cid, lam)
+                work.append((r, rc))
+                d, cid = l, lc
+                continue
+            big, small = (l, r) if sl >= sr else (r, l)
+            if sz[small] >= mcs:
+                big, small = small, big
+            for p in leaves_of(small):
+                point_cluster[p] = cid
+                if cid == 0:
+                    A += lam * wt[p]
+                else:
+                    c_stability[cid] += (lam - c_birth[cid]) * wt[p]
+            if sz[big] < mcs:
+                for p in leaves_of(big):
+                    point_cluster[p] = cid
+                    if cid == 0:
+                        A += lam * wt[p]
+                    else:
+                        c_stability[cid] += (lam - c_birth[cid]) * wt[p]
+                d = -1
+                break
+            d = big
+
+    # ---- internal EoM selection (entry cluster excluded) ----
+    selected = [False] * len(c_parent)
+    best = [0.0] * len(c_parent)
+    for cid in reversed(range(1, len(c_parent))):
+        child_sum = sum(best[ch] for ch in c_children[cid])
+        if c_stability[cid] > child_sum:
+            selected[cid] = True
+            best[cid] = c_stability[cid]
+        else:
+            best[cid] = child_sum
+    term_best = sum(best[ch] for ch in c_children[0])
+    for cid in range(1, len(c_parent)):
+        if selected[cid]:
+            st = list(c_children[cid])
+            while st:
+                x = st.pop()
+                selected[x] = False
+                st.extend(c_children[x])
+
+    sel_of: dict[int, int] = {}
+
+    def selected_ancestor(cid: int) -> int:
+        c = cid
+        while c > 0:  # never the entry cluster
+            if c in sel_of:
+                return sel_of[c]
+            if selected[c]:
+                sel_of[cid] = c
+                return c
+            c = c_parent[c]
+        sel_of[cid] = -1
+        return -1
+
+    member_min: dict[int, str] = {}
+    assign: dict[int, int] = {}
+    for p, cid in point_cluster.items():
+        sc = selected_ancestor(cid)
+        assign[p] = sc
+        if sc >= 0:
+            s = mid[p]
+            if sc not in member_min or s < member_min[sc]:
+                member_min[sc] = s
+    labels = {
+        node_ids[p]: (member_min[sc] if sc >= 0 else "-1")
+        for p, sc in assign.items()
+    }
+    return A, term_best, labels
+
+
+def _condense_top(
+    comp_sizes: dict[str, int],
+    comp_min_ids: dict[str, str],
+    comp_entry: dict[str, tuple[float, float]],
+    top_edges: list[tuple[str, str, float, str, str]],
+    mcs: int,
+):
+    """Driver-side condense of the TOP tree: leaves are components
+    (weighted by size), edges are the >= θ forest edges as
+    (u1, u2, w, comp_u1, comp_u2) — original supernode ids keep the
+    global (w, u1, u2) sort order, component ids drive the union-find.
+    comp_entry holds (A, term_best) for every component >= mcs.
+
+    Returns {comp: ('RUNT', label) | ('OVERRIDE', label) | ('INTERNAL',)}.
+    """
+    comp_ids = sorted(comp_sizes)
+    n = len(comp_ids)
+    idx = {s: i for i, s in enumerate(comp_ids)}
+    wt = [comp_sizes[s] for s in comp_ids]
+    mid = [comp_min_ids[s] for s in comp_ids]
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    dendro_of = list(range(n))
+    children: list[tuple[int, int]] = []
+    merge_w: list[float] = []
+    next_id = n
+    for u1, u2, w, cu, cv in sorted(
+        top_edges, key=lambda t: (t[2], str(t[0]), str(t[1]))
+    ):
+        a, b = find(idx[cu]), find(idx[cv])
+        if a == b:  # forest-of-components: never happens; guard
+            continue
+        children.append((dendro_of[a], dendro_of[b]))
+        merge_w.append(max(float(w), _MIN_W))
+        parent[b] = a
+        dendro_of[a] = next_id
+        next_id += 1
+    roots = sorted({dendro_of[find(i)] for i in range(n)})
+    while len(roots) > 1:
+        a, b = roots[0], roots[1]
+        children.append((a, b))
+        merge_w.append(float("inf"))
+        roots = [next_id] + roots[2:]
+        next_id += 1
+    root = roots[0]
+
+    sz: dict[int, int] = {}
+    stack, order = [root], []
+    while stack:
+        x = stack.pop()
+        order.append(x)
+        if x >= n:
+            l, r = children[x - n]
+            stack.append(l)
+            stack.append(r)
+    for x in reversed(order):
+        sz[x] = (
+            sz[children[x - n][0]] + sz[children[x - n][1]]
+            if x >= n
+            else wt[x]
+        )
+
+    def leaves_of(d: int) -> list[int]:
+        out, st = [], [d]
+        while st:
+            x = st.pop()
+            if x < n:
+                out.append(x)
+            else:
+                l, r = children[x - n]
+                st.append(l)
+                st.append(r)
+        return out
+
+    c_parent: list[int] = []
+    c_birth: list[float] = []
+    c_stability: list[float] = []
+    c_children: list[list[int]] = []
+    comp_term_best: dict[int, float] = {}
+    entered: dict[int, int] = {}  # leaf -> cid it was entered from
+    point_cluster: dict[int, tuple[int, float]] = {}
+
+    def new_cluster(parent_cid: int, birth: float) -> int:
+        cid = len(c_parent)
+        c_parent.append(parent_cid)
+        c_birth.append(birth)
+        c_stability.append(0.0)
+        c_children.append([])
+        if parent_cid >= 0:
+            c_children[parent_cid].append(cid)
+        return cid
+
+    root_cid = new_cluster(-1, 0.0)
+    work = [(root, root_cid)]
+    while work:
+        d, cid = work.pop()
+        while True:
+            if d < n:
+                # descend into a component leaf (>= mcs by the walk's
+                # invariants): continue the cluster inside it
+                A, term_best = comp_entry[comp_ids[d]]
+                c_stability[cid] += A - wt[d] * c_birth[cid]
+                comp_term_best[cid] = (
+                    comp_term_best.get(cid, 0.0) + term_best
+                )
+                entered[d] = cid
+                d = -1
+                break
+            l, r = children[d - n]
+            w = merge_w[d - n]
+            lam = 0.0 if w == float("inf") else 1.0 / w
+            sl, sr = sz[l], sz[r]
+            if sl >= mcs and sr >= mcs:
+                c_stability[cid] += (lam - c_birth[cid]) * (sl + sr)
+                lc = new_cluster(cid, lam)
+                rc = new_cluster(cid, lam)
+                work.append((r, rc))
+                d, cid = l, lc
+                continue
+            big, small = (l, r) if sl >= sr else (r, l)
+            if sz[small] >= mcs:
+                big, small = small, big
+            for p in leaves_of(small):
+                point_cluster[p] = (cid, lam)
+                c_stability[cid] += (lam - c_birth[cid]) * wt[p]
+            if sz[big] < mcs:
+                for p in leaves_of(big):
+                    point_cluster[p] = (cid, lam)
+                    c_stability[cid] += (lam - c_birth[cid]) * wt[p]
+                d = -1
+                break
+            d = big
+
+    total_w = sum(wt)
+    c_size = [0] * len(c_parent)
+    for p, (cid, _) in point_cluster.items():
+        c = cid
+        while c >= 0:
+            c_size[c] += wt[p]
+            c = c_parent[c]
+    for d, cid in entered.items():
+        c = cid
+        while c >= 0:
+            c_size[c] += wt[d]
+            c = c_parent[c]
+
+    selectable = [
+        cid != root_cid and c_size[cid] < total_w
+        for cid in range(len(c_parent))
+    ]
+    selected = [False] * len(c_parent)
+    best = [0.0] * len(c_parent)
+    for cid in reversed(range(len(c_parent))):
+        child_sum = sum(best[ch] for ch in c_children[cid]) + (
+            comp_term_best.get(cid, 0.0)
+        )
+        if selectable[cid] and c_stability[cid] > child_sum:
+            selected[cid] = True
+            best[cid] = c_stability[cid]
+        else:
+            best[cid] = child_sum
+    for cid in range(len(c_parent)):
+        if selected[cid]:
+            st = list(c_children[cid])
+            while st:
+                x = st.pop()
+                selected[x] = False
+                st.extend(c_children[x])
+
+    sel_of: dict[int, int] = {}
+
+    def selected_ancestor(cid: int) -> int:
+        c = cid
+        while c >= 0:
+            if c in sel_of:
+                return sel_of[c]
+            if selected[c]:
+                sel_of[cid] = c
+                return c
+            c = c_parent[c]
+        sel_of[cid] = -1
+        return -1
+
+    member_min: dict[int, str] = {}
+    runt_sc: dict[int, int] = {}
+    for p, (cid, _) in point_cluster.items():
+        sc = selected_ancestor(cid)
+        runt_sc[p] = sc
+        if sc >= 0 and (sc not in member_min or mid[p] < member_min[sc]):
+            member_min[sc] = mid[p]
+    entered_sc: dict[int, int] = {}
+    for d, cid in entered.items():
+        sc = selected_ancestor(cid)
+        entered_sc[d] = sc
+        if sc >= 0 and (sc not in member_min or mid[d] < member_min[sc]):
+            member_min[sc] = mid[d]
+
+    verdicts: dict[str, tuple] = {}
+    for p, sc in runt_sc.items():
+        verdicts[comp_ids[p]] = (
+            "RUNT",
+            member_min[sc] if sc >= 0 else "-1",
+        )
+    for d, sc in entered_sc.items():
+        verdicts[comp_ids[d]] = (
+            ("OVERRIDE", member_min[sc]) if sc >= 0 else ("INTERNAL",)
+        )
+    return verdicts
+
+
+# Driver-row budget for the two-level condense: θ is chosen so the top
+# tree (external edges + component summaries) fits in about this many
+# collected rows REGARDLESS of n — that is the sublinearity claim, and
+# bench_condense_two_level_1m measures it.
+TWO_LEVEL_DRIVER_ROWS = 100_000
+# Below this contracted-forest size the classic single-collect condense
+# is cheaper than a θ-cut + per-component pass (same crossover pattern
+# as CONTRACT_MIN_FOREST_EDGES).
+TWO_LEVEL_MIN_EDGES = 500_000
+# A single pandas group condenses one component; cap its edge count so
+# one executor task never sees an unbounded slab.
+TWO_LEVEL_MAX_COMPONENT_EDGES = 4_000_000
+
+
+def condense_two_level(
+    c_edges: DataFrame,
+    c_nodes: DataFrame,
+    min_cluster_size: int,
+    driver_rows: int = TWO_LEVEL_DRIVER_ROWS,
+):
+    """Distributed two-level condense over a contracted forest (module
+    comment above). Returns a (snode, _lab) DataFrame, or None when no
+    feasible θ exists (degenerate weight distributions — caller falls
+    back to the classic driver condense).
+
+    Driver state: ~driver_rows top-edge rows + one summary row per
+    component — a constant budget, not O(n)."""
+    import pandas as pd
+
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _release_checkpoint,
+        connected_components,
+    )
+
+    if min_cluster_size < 2:
+        return None
+    spark = c_edges.sparkSession
+    e = _materialize(c_edges.select("u1", "u2", F.col("w").cast("double")))
+    ecount = e.count()
+    if ecount == 0:
+        _release_checkpoint(e)
+        return None
+
+    attrs = _materialize(c_nodes.select("node", "size", "min_id"))
+
+    # θ: keep the top ~driver_rows/2 heaviest edges; verify component
+    # sizes, lowering θ (more top edges, smaller components) on failure
+    frac_ext = min(0.5, (driver_rows // 2) / ecount)
+    comps = None
+    for _attempt in range(3):
+        theta = e.stat.approxQuantile("w", [1.0 - frac_ext], 0.001)[0]
+        internal = e.where(F.col("w") < theta)
+        n_ext = ecount - internal.count()
+        if n_ext > driver_rows:
+            break  # quantile degenerate (mass at one weight) — give up
+        comps_try = connected_components(internal.select("u1", "u2"))
+        comp_edges = _materialize(
+            internal.join(
+                comps_try.withColumnRenamed("node", "u1"), "u1"
+            ).withColumnRenamed("component", "comp")
+        )
+        biggest = (
+            comp_edges.groupBy("comp").count().agg(F.max("count")).first()[0]
+        ) or 0
+        if biggest <= TWO_LEVEL_MAX_COMPONENT_EDGES:
+            comps = comps_try
+            break
+        _release_checkpoint(comp_edges)
+        frac_ext = min(0.5, frac_ext * 4)
+    if comps is None:
+        _release_checkpoint(e, attrs)
+        return None
+
+    # node -> comp, singletons (no internal edge) are their own comp
+    node_comp = _materialize(
+        attrs.select("node")
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("comp")
+        )
+    )
+    comp_summary = (
+        node_comp.join(attrs, "node")
+        .groupBy("comp")
+        .agg(F.sum("size").alias("csize"), F.min("min_id").alias("cmin"))
+        .collect()
+    )
+    comp_sizes = {r["comp"]: int(r["csize"]) for r in comp_summary}
+    comp_min_ids = {r["comp"]: r["cmin"] for r in comp_summary}
+
+    # per-component condense of every enterable (>= mcs) component:
+    # group = the component's internal edges with both endpoints' attrs
+    enterable = {c for c, s in comp_sizes.items() if s >= min_cluster_size}
+    ent_df = spark.createDataFrame(
+        [(c,) for c in sorted(enterable)] or [("",)], "comp string"
+    )
+    grp = (
+        comp_edges.join(F.broadcast(ent_df), "comp", "leftsemi")
+        .join(
+            attrs.select(
+                F.col("node").alias("u1"),
+                F.col("size").alias("s1"),
+                F.col("min_id").alias("m1"),
+            ),
+            "u1",
+        )
+        .join(
+            attrs.select(
+                F.col("node").alias("u2"),
+                F.col("size").alias("s2"),
+                F.col("min_id").alias("m2"),
+            ),
+            "u2",
+        )
+    )
+    mcs = min_cluster_size
+
+    def run_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = pdf["comp"].iloc[0]
+        sizes: dict[str, int] = {}
+        min_ids: dict[str, str] = {}
+        for u, s, m in zip(pdf["u1"], pdf["s1"], pdf["m1"]):
+            sizes[u] = int(s)
+            min_ids[u] = m
+        for u, s, m in zip(pdf["u2"], pdf["s2"], pdf["m2"]):
+            sizes[u] = int(s)
+            min_ids[u] = m
+        edges = list(zip(pdf["u1"], pdf["u2"], pdf["w"]))
+        A, term_best, labels = _component_condense(
+            sorted(sizes), edges, mcs, sizes, min_ids
+        )
+        out_comp = [comp] * (1 + len(labels))
+        out_kind = ["s"] + ["n"] * len(labels)
+        out_node = [""] + list(labels)
+        out_lab = [""] + [labels[k] for k in labels]
+        out_a = [A] + [0.0] * len(labels)
+        out_tb = [term_best] + [0.0] * len(labels)
+        return pd.DataFrame(
+            {
+                "comp": out_comp,
+                "kind": out_kind,
+                "node": out_node,
+                "lab": out_lab,
+                "a": out_a,
+                "tb": out_tb,
+            }
+        )
+
+    comp_out = _materialize(
+        grp.groupBy("comp").applyInPandas(
+            run_component,
+            schema="comp string, kind string, node string, lab string, "
+            "a double, tb double",
+        )
+    )
+    comp_entry = {
+        r["comp"]: (float(r["a"]), float(r["tb"]))
+        for r in comp_out.where(F.col("kind") == "s").collect()
+    }
+    if set(comp_entry) != enterable:
+        # a component >= mcs with no internal edges cannot exist (its
+        # supernodes are < mcs each and singletons have no edges), but
+        # fail loudly rather than mislabel
+        raise AssertionError("two-level condense lost a component summary")
+
+    top = (
+        e.where(F.col("w") >= theta)
+        .join(
+            node_comp.select(
+                F.col("node").alias("u1"), F.col("comp").alias("cu")
+            ),
+            "u1",
+        )
+        .join(
+            node_comp.select(
+                F.col("node").alias("u2"), F.col("comp").alias("cv")
+            ),
+            "u2",
+        )
+        .collect()
+    )
+    verdicts = _condense_top(
+        comp_sizes,
+        comp_min_ids,
+        comp_entry,
+        [(r["u1"], r["u2"], float(r["w"]), r["cu"], r["cv"]) for r in top],
+        mcs,
+    )
+
+    # assemble (snode, _lab): whole-component labels via one small join,
+    # INTERNAL components from the distributed per-node rows
+    whole = [
+        (c, v[1]) for c, v in verdicts.items() if v[0] in ("RUNT", "OVERRIDE")
+    ]
+    internal_comps = [
+        (c,) for c, v in verdicts.items() if v[0] == "INTERNAL"
+    ]
+    parts = []
+    if whole:
+        whole_df = spark.createDataFrame(whole, "comp string, _lab string")
+        parts.append(
+            node_comp.join(F.broadcast(whole_df), "comp").select(
+                F.col("node").alias("snode"), "_lab"
+            )
+        )
+    if internal_comps:
+        int_df = spark.createDataFrame(internal_comps, "comp string")
+        parts.append(
+            comp_out.where(F.col("kind") == "n")
+            .join(F.broadcast(int_df), "comp", "leftsemi")
+            .select(F.col("node").alias("snode"), F.col("lab").alias("_lab"))
+        )
+    _release_checkpoint(e, attrs, comp_edges)
+    if not parts:
+        return spark.createDataFrame([], "snode string, _lab string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # node_comp/comp_out leaves back the result; transfer block ownership
+    out._ckpt_rdd_ids = getattr(node_comp, "_ckpt_rdd_ids", []) + getattr(
+        comp_out, "_ckpt_rdd_ids", []
+    )
+    node_comp._ckpt_rdd_ids = []
+    comp_out._ckpt_rdd_ids = []
+    return out
+
+
 # Measured crossover for hdbscan_cluster's knn_mode="auto" (local[32],
 # d=64 clustered vectors, k=10, √n cells, nprobe=4 — COVERAGE.md round-4
 # table): exact wins at 20k (10.3s vs 15.5s — the quantizer build
@@ -1021,6 +1683,7 @@ def hdbscan_cluster(
     nprobe: int = 4,
     id_col: str = "node",
     vec_col: str = "vector",
+    condense_mode: str = "auto",
 ) -> DataFrame:
     """Full pipeline: k-NN graph -> core distances -> mutual
     reachability -> spanning forest -> condensed-tree stability
@@ -1038,7 +1701,15 @@ def hdbscan_cluster(
     Node ids are cast to string up front: the forest/condense layers key
     by string (string order drives the min-member labels, matching every
     other graph operator), so a numeric id column comes back stringified
-    rather than crashing in the driver-side tail."""
+    rather than crashing in the driver-side tail.
+
+    condense_mode picks the condense tail above the contraction gate:
+    "driver" (classic single collect of the contracted forest),
+    "two_level" (θ-cut + per-component executor condense, driver sees a
+    constant ~TWO_LEVEL_DRIVER_ROWS budget — VERDICT r5 #3), or "auto"
+    (two_level once the contracted forest exceeds TWO_LEVEL_MIN_EDGES,
+    else driver; two_level quietly falls back to driver when no
+    feasible θ exists)."""
     from echo_chambers_detection_spark.operators.graph import (
         _materialize,
         _release_checkpoint,
@@ -1091,10 +1762,36 @@ def hdbscan_cluster(
     # the contraction rounds are pure overhead (+3 s measured at sf0.1),
     # so the gate — like every crossover here — takes the direct path
     # small and the bounded path at scale.
+    if condense_mode not in ("auto", "driver", "two_level"):
+        raise ValueError(
+            f"condense_mode must be auto|driver|two_level, got "
+            f"{condense_mode!r}"
+        )
     if forest.count() >= CONTRACT_MIN_FOREST_EDGES:
         c_edges, c_nodes, member_map = contract_runt_fringes(
             forest, min_cluster_size
         )
+        lab_sn_df = None
+        if condense_mode == "two_level" or (
+            condense_mode == "auto"
+            and c_edges.count() >= TWO_LEVEL_MIN_EDGES
+        ):
+            lab_sn_df = condense_two_level(
+                c_edges, c_nodes, min_cluster_size
+            )
+        if lab_sn_df is not None:
+            _release_checkpoint(forest, knn, c_edges, c_nodes)
+            lab_df = member_map.join(lab_sn_df, "snode").select(
+                F.col("member").alias(id_col), "_lab"
+            )
+            return (
+                embeddings.select(id_col)
+                .join(lab_df, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("_lab", F.lit("-1")).alias("cluster"),
+                )
+            )
         f_rows = [
             (r["u1"], r["u2"], float(r["w"])) for r in c_edges.collect()
         ]

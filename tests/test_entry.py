@@ -30,32 +30,36 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r5 = {
-        # new this round — never stamped
-        "simhash64_md5_near_pairs", "analysis_run_metrics",
-        "analysis_run_hdbscan", "rfc4122_point_ids",
-        "rfc4122_layout_ids", "train_val_test_split",
-        "token_pack_chunks", "quality_head_per_lang",
-        "benchmark_contamination", "corpus_manifest",
-        "source_mixture_rates", "event_user_cardinalities",
-        "events_in_membership_intervals",
-        # code changed in round 5 — restamp after the change
-        "ann_pq_topk", "ann_pq_probe_topk", "ann_ivf_topk",
-        "ann_ivf_probe_topk", "knn_graph_ann_topk", "hdbscan_clusters",
-        # r3 stamps, oldest in the rotation (VERDICT r4 #3)
-        "label_propagation_communities",
-        "modularity_optimization_communities", "kcore_user_graph",
-        "louvain_user_communities", "leiden_communities",
-        "density_clusters", "fastrp_embeddings", "exact_dedup_groups",
-        "event_value_percentiles", "event_type_user_cube",
-        "embedded_documents", "ann_lsh_topk", "embedding_lsh_near_dup",
-        "kafka_producer_messages", "order_stats_rollup",
-        "engaged_user_set_ops", "user_profiles_cleaned",
-        "membership_asof_join", "simhash_signatures", "user_first_seen",
-        "user_running_totals", "text_quality_scores",
-        "simhash_near_pairs",
+    must_stamp_r6 = {
+        # new in round 6 — never stamped
+        "louvain_planted_recovery", "modularity_opt_planted_recovery",
+        "leiden_planted_recovery", "lpa_planted_recovery",
+        "kcore_planted_cores", "connected_components_planted",
+        "density_clusters_lsh_exhaustive",
+        # code changed in round 6, oracle-backed — restamp after change
+        "events_in_membership_intervals", "ann_ivf_topk", "ann_pq_topk",
+        "coengagement_edges", "embedded_documents",
+        "embedding_lsh_near_dup",
+        # not stamped in round 5 (r4 stamps, oldest in the rotation)
+        "revenue_by_nation", "doc_fingerprints",
+        "scd2_membership_history", "language_id_pred",
+        "embedding_near_dup", "tumbling_event_counts",
+        "engagement_union", "sliding_event_counts",
+        "simhash64_near_pairs", "language_id_trigram_pred",
+        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
+        "c4_quality_flags", "winnowing_fingerprints",
+        "multimodal_blob_stats", "membership_with_labels", "top_orders",
+        "customers_without_orders", "active_customers",
+        "top3_orders_per_customer", "event_type_stats", "ann_extremes",
+        "text_token_stats", "knn_graph_topk", "doc_repetition_scores",
+        "density_clusters_lsh", "coengagement_top_pairs",
+        "embedding_similarity_join", "user_mean_embeddings",
+        "conductance_sentinel", "connected_components_strong",
+        "scd2_current_membership", "scd2_membership_as_of",
+        "community_catalog_save", "community_membership_save",
+        "session_windows_by_type",
     }
-    missing = must_stamp_r5 - set(window)
+    missing = must_stamp_r6 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
 
 

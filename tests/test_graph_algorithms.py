@@ -254,6 +254,28 @@ def test_materialize_fallback_path(spark, monkeypatch):
     assert len(runtime) == 1  # warned, and only once
 
 
+def test_connected_components_log_diameter_rounds(spark):
+    """Pointer jumping (round 6): a 400-node path converges within ~12
+    distributed rounds — pure min-propagation would need 400, so this
+    pins the L(L(v)) shortcut actually shortening chains."""
+    import echo_chambers_detection_spark.operators.graph as G
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(399)],
+        "u1 string, u2 string",
+    )
+    old = G.LOCAL_GRAPH_EDGE_LIMIT
+    G.LOCAL_GRAPH_EDGE_LIMIT = 0
+    try:
+        out = connected_components(edges, max_iter=12)
+        assert {r["component"] for r in out.collect()} == {"n000"}
+    finally:
+        G.LOCAL_GRAPH_EDGE_LIMIT = old
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """ADVICE r3: a round budget too small for the graph's diameter must
     raise, not silently return split components (a split corrupts the
