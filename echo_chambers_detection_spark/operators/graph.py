@@ -424,7 +424,7 @@ def label_propagation(
     implementation is not. Stops at fixpoint or max_iter.
     Returns (node, community).
     """
-    sym = _materialize(_symmetrize(edges, weighted=weighted))
+    sym = _materialize_wide(_symmetrize(edges, weighted=weighted))
     labels = _materialize(_nodes_of_sym(sym).withColumn("community", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
@@ -437,30 +437,39 @@ def label_propagation(
         w = Window.partitionBy("node").orderBy(
             F.desc("score"), F.asc("community")
         )
-        new_labels = (
+        top = (
             counts.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("node", "community")
+            .select("node", F.col("community").alias("_new"))
         )
-        # nodes with no neighbors keep their previous label (none exist in
-        # an edge list, but keep the operator total)
+        # nodes with no neighbors keep their previous label (none exist
+        # in an edge list, but keep the operator total). The changed
+        # flag rides the materialized frame so convergence is one agg
+        # on the checkpointed leaf, not a second join job per round —
+        # and the dead generation is released in-loop (round-6 hygiene
+        # pass: LPA was the one loop still pinning every generation).
         new_labels = _materialize(
-            labels.withColumnRenamed("community", "_prev")
-            .join(new_labels, "node", "left")
-            .select(
+            labels.join(top, "node", "left").select(
                 "node",
-                F.coalesce("community", F.col("_prev")).alias("community"),
+                F.coalesce("_new", F.col("community")).alias("community"),
+                (
+                    F.coalesce("_new", F.col("community"))
+                    != F.col("community")
+                ).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(hint(labels.alias("o")), "node")
-            .where(F.col("n.community") != F.col("o.community"))
-            .count()
+        changed = int(
+            new_labels.agg(F.sum(F.col("_chg").cast("long")).alias("c"))
+            .first()["c"]
+            or 0
         )
-        labels = new_labels
+        _release_checkpoint(labels)
+        labels = new_labels.select("node", "community")
+        labels._ckpt_rdd_ids = getattr(new_labels, "_ckpt_rdd_ids", [])
+        new_labels._ckpt_rdd_ids = []
         if changed == 0:
             break
+    _release_checkpoint(sym)
     return labels
 
 
