@@ -1511,6 +1511,110 @@ def q_connected_components_planted(
 
 
 @register(
+    "hdbscan_planted_recovery",
+    _PLANTED_NODE_SQL.format(n=250, bs=50, label="cluster"),
+    doc="HDBSCAN* exact planted recovery (VERDICT r6 #1 — the last "
+    "algorithm family with no hash-hard oracle): 5 unit-circle arc "
+    "blocks of 50 points (operators/planted.py::planted_arc_"
+    "embeddings) run the FULL pipeline — exact k-NN graph, core "
+    "distances, mutual reachability, Boruvka forest, condensed-tree "
+    "EoM selection — and the labels have a closed form: the k-NN "
+    "graph provably has zero cross-block edges, each block's forest "
+    "tree sheds only sub-mcs runts, so every point is labeled its "
+    "block's min member id. Mirrors the reference's gds.hdbscan."
+    "stream (project/metrics/community_detection.py:49-54).",
+)
+def q_hdbscan_planted_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        hdbscan_cluster,
+    )
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_arc_embeddings,
+    )
+
+    emb = planted_arc_embeddings(spark, 5, 50)
+    return hdbscan_cluster(emb, min_pts=5, min_cluster_size=10)
+
+
+@register(
+    "fastrp_step_recovery",
+    """
+WITH nodes AS (
+    SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node FROM range(0, 3) t(i)
+),
+dims AS (SELECT UNNEST(generate_series(0, 15)) AS dim),
+init AS (
+    SELECT node, dim,
+           CASE (strpos('0123456789abcdef',
+                        substr(md5(node || ':' || CAST(dim AS VARCHAR)
+                                   || ':2'), 1, 1)) - 1) % 6
+                WHEN 0 THEN sqrt(3.0)
+                WHEN 1 THEN -sqrt(3.0)
+                ELSE 0.0 END AS val
+    FROM nodes, dims
+),
+edges AS (
+    SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS src,
+           lpad(CAST(i + 1 AS VARCHAR), 6, '0') AS dst, 1.0 AS w
+    FROM range(0, 2) t(i)
+    UNION ALL
+    SELECT lpad(CAST(i + 1 AS VARCHAR), 6, '0'),
+           lpad(CAST(i AS VARCHAR), 6, '0'), 1.0
+    FROM range(0, 2) t(i)
+),
+trans AS (
+    SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+),
+prop AS (
+    SELECT t.src AS node, i.dim, SUM(t.p * i.val) AS val
+    FROM trans t JOIN init i ON i.node = t.dst GROUP BY 1, 2
+),
+normed AS (
+    SELECT node, dim,
+           CASE WHEN sqrt(SUM(val * val) OVER (PARTITION BY node)) > 0
+                THEN val / sqrt(SUM(val * val) OVER (PARTITION BY node))
+                ELSE val END AS val
+    FROM prop
+)
+SELECT n.node, d.dim, round(COALESCE(x.val, 0.0), 6) AS val
+FROM nodes n CROSS JOIN dims d
+LEFT JOIN normed x ON x.node = n.node AND x.dim = d.dim
+""",
+    doc="One round of the FastRP recurrence made ORACLE-EXACT (VERDICT "
+    "r6 #8, converting G2 from rows-only to hash-green): on a 3-node "
+    "path with the md5-derived init hash (graph.py::fastrp_md5_mod6 — "
+    "the engine-portable-hash trick of simhash64_md5_near_pairs), "
+    "init -> degree-normalized propagation -> per-node L2 normalize "
+    "is plain SQL DuckDB replays verbatim; values rounded to 1e-6, "
+    "far above float-summation-order jitter. Production fastrp keeps "
+    "the native xxhash64 init; this pins the recurrence itself. "
+    "Mirrors gds.fastRP.stream (project/metrics/community_detection"
+    ".py:66-71).",
+)
+def q_fastrp_step_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        fastrp,
+        fastrp_md5_mod6,
+    )
+
+    edges = spark.range(2).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("u1"),
+        F.lpad((F.col("id") + 1).cast("string"), 6, "0").alias("u2"),
+        F.lit(1.0).alias("weight"),
+    )
+    return fastrp(
+        edges,
+        dim=16,
+        iteration_weights=(0.0, 1.0),
+        seed=2,
+        assemble=False,
+        hash_mod6=fastrp_md5_mod6,
+    ).select("node", "dim", F.round("val", 6).alias("val"))
+
+
+@register(
     "density_clusters",
     None,
     doc="The reference's full analytical chain re-expressed: co-engagement "
@@ -4013,6 +4117,9 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they return to the window in round 6.
 
 _REGISTRY_ORDER = [
+    # -- new in round 7 (never stamped) --------------------------------
+    "hdbscan_planted_recovery",
+    "fastrp_step_recovery",
     # -- new in round 6 (never stamped): planted recovery oracles +
     #    the exhaustive-LSH density promotion ---------------------------
     "louvain_planted_recovery",

@@ -1186,12 +1186,28 @@ def leiden(
 # ---------------------------------------------------------------------------
 
 
+def fastrp_md5_mod6(node, dim, seed: int):
+    """Drop-in init hash for `fastrp(hash_mod6=...)`: the first hex
+    digit of md5('node:dim:seed') mod 6. Slower than the default
+    xxhash64 (one md5 + string conv per cell) but computable VERBATIM
+    in DuckDB — `fastrp_step_recovery` uses it to hash-check one round
+    of the recurrence against a plain-SQL oracle (VERDICT r6 #8), the
+    same engine-portable-hash trick as simhash64_md5_near_pairs."""
+    s = F.concat_ws(
+        ":", node.cast("string"), dim.cast("string"), F.lit(str(seed))
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 1), 16, 10).cast("int"), F.lit(6)
+    )
+
+
 def fastrp(
     edges: DataFrame,
     dim: int = 64,
     iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
     seed: int = 42,
     assemble: bool = True,
+    hash_mod6=None,
 ) -> DataFrame:
     """FastRP (Chen et al., CIKM'19) on DataFrames.
 
@@ -1221,9 +1237,12 @@ def fastrp(
     dims = spark.range(dim).select(F.col("id").cast("int").alias("dim"))
 
     sqrt3 = 3.0 ** 0.5
-    h = F.pmod(
-        F.xxhash64(F.col("node"), F.col("dim"), F.lit(seed)), F.lit(6)
-    )
+    if hash_mod6 is None:
+        h = F.pmod(
+            F.xxhash64(F.col("node"), F.col("dim"), F.lit(seed)), F.lit(6)
+        )
+    else:
+        h = hash_mod6(F.col("node"), F.col("dim"), seed)
     init = (
         nodes.crossJoin(dims)
         .select(

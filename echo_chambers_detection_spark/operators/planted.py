@@ -155,3 +155,54 @@ def planted_recovery_stats(
     )
     merge = int(merge_row["merge"]) / n
     return split, merge
+
+
+def planted_arc_embeddings(
+    spark: SparkSession,
+    n_blocks: int,
+    block_size: int,
+    delta: float = 0.01,
+    gap: float = 0.11,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(node, vector) — unit-circle arc blocks with CLOSED-FORM HDBSCAN*
+    labels (VERDICT r6 #1: the planted-recovery oracle for G3, the one
+    algorithm family that had no hash-hard driver signal).
+
+    Point i (block b = i // block_size, position r = i % block_size)
+    sits at angle b*Θ + r*delta on the unit circle, Θ = (block_size-1)*
+    delta + gap — blocks are tight arcs separated by `gap` radians.
+    Cosine distance is monotone in angle difference while the total
+    span stays under π (asserted), so with k*delta < gap the k-NN graph
+    has ZERO cross-block edges: the mutual-reachability spanning forest
+    is exactly one tree per block. Within a block the chain only ever
+    sheds sub-min_cluster_size runts (interior merge heights tie at
+    1-cos(2*delta); the endpoint edges are strictly heavier), so no
+    genuine split occurs, each component root is its own selected
+    cluster (allow_single_cluster=False is satisfied by n_blocks >= 2),
+    and every point's label is its block's min member id — the same
+    lpad((i // bs) * bs) closed form as the graph planted fixtures,
+    which DuckDB generates with range().
+
+    Margins are huge relative to knn_graph's 1e-6 dist rounding
+    (adjacent-vs-skip distance gap ~1.5e-4 at delta=0.01; in-block vs
+    cross-block ~1e-3), so float jitter cannot reorder neighbors.
+    """
+    bs = block_size
+    theta = (bs - 1) * delta + gap
+    span = (n_blocks - 1) * theta + (bs - 1) * delta
+    if span >= 3.14159:
+        raise ValueError(
+            f"arc span {span:.3f} rad must stay below pi for cosine "
+            "distance to be monotone in angle"
+        )
+    n = n_blocks * bs
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    angle = (
+        F.floor(F.col("id") / bs) * theta
+        + F.pmod(F.col("id"), F.lit(bs)) * delta
+    )
+    return rng.select(
+        F.lpad(F.col("id").cast("string"), PAD, "0").alias("node"),
+        F.array(F.cos(angle), F.sin(angle)).alias("vector"),
+    )

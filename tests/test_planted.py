@@ -100,3 +100,38 @@ def test_distributed_louvain_recovers_cliques(spark, monkeypatch):
         for r in assign.groupBy("community").count().collect()
     }
     assert sizes == {("%06d" % (b * 25), 25) for b in range(6)}
+
+
+def test_arc_embeddings_knn_has_no_cross_block_edges(spark):
+    """The load-bearing claim of hdbscan_planted_recovery: with
+    k*delta < gap the exact k-NN graph never leaves a block, so the
+    spanning forest is one tree per block and the HDBSCAN* labels have
+    the closed form the oracle generates."""
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.hdbscan import knn_graph
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_arc_embeddings,
+    )
+
+    emb = planted_arc_embeddings(spark, 5, 50)
+    knn = knn_graph(emb, k=10)
+    cross = knn.where(
+        F.floor(F.col("src").cast("long") / 50)
+        != F.floor(F.col("dst").cast("long") / 50)
+    ).count()
+    assert cross == 0
+    # every point has a full k in-block neighbors (core dists finite)
+    assert knn.groupBy("src").count().agg(F.min("count")).first()[0] == 10
+
+
+def test_arc_embeddings_span_guard():
+    """Fixture parameters that wrap past pi must be refused."""
+    import pytest
+
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_arc_embeddings,
+    )
+
+    with pytest.raises(ValueError, match="below pi"):
+        planted_arc_embeddings(None, 20, 100, delta=0.01, gap=0.3)
