@@ -355,21 +355,25 @@ def main() -> None:
             while _fh.read(1 << 22):
                 pass
 
-    # host-drift probes: warm shapes, same machine-state as the timed
-    # pass start; ratio > 1 means this host is slower than the machine
-    # the canonicals were pinned on
-    drift_raw: dict[str, float] = {}
-    for _dq in _DRIFT_PROBES:
-        t0 = time.perf_counter()
-        QUERY_REGISTRY[_dq].spark(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        drift_raw[_dq] = round(time.perf_counter() - t0, 3)
-        release_persisted()
-    ratios = sorted(
-        drift_raw[q] / _DRIFT_PROBES[q] for q in _DRIFT_PROBES
-    )
-    drift = round(ratios[len(ratios) // 2], 3)
+    # host-drift probes: warm shapes; ratio > 1 means this host is
+    # slower than the machine the canonicals were pinned on. Run BEFORE
+    # AND AFTER the timed pass (VERDICT r6 #2): a pre/post gap is
+    # in-run session degradation, a shifted pre≈post pair is genuine
+    # host drift — r6's probes contradicted the raw catalog deltas and
+    # the single sample couldn't say which kind of skew it was.
+    def _run_drift_probes() -> tuple[dict, float]:
+        raw: dict[str, float] = {}
+        for _dq in _DRIFT_PROBES:
+            t0 = time.perf_counter()
+            QUERY_REGISTRY[_dq].spark(spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            raw[_dq] = round(time.perf_counter() - t0, 3)
+            release_persisted()
+        ratios = sorted(raw[q] / _DRIFT_PROBES[q] for q in _DRIFT_PROBES)
+        return raw, round(ratios[len(ratios) // 2], 3)
+
+    drift_raw, drift = _run_drift_probes()
 
     t_total = time.perf_counter()
     for name, spec in QUERY_REGISTRY.items():
@@ -380,6 +384,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         release_persisted()
     total = round(time.perf_counter() - t_total, 3)
+
+    # post-pass probe repeat: same queries, same warm state reasoning —
+    # compare to drift_raw to separate session degradation from host
+    # speed (see the pre-pass comment)
+    drift_post_raw, drift_post = _run_drift_probes()
 
     # synthetic at-scale rows (bench_-prefixed, outside the total)
     _at_scale_probes(spark, timings)
@@ -401,6 +410,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "drift": drift,
                 "drift_probes": drift_raw,
+                "drift_post": drift_post,
+                "drift_post_probes": drift_post_raw,
             }
         )
     )

