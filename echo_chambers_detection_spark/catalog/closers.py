@@ -1,0 +1,289 @@
+"""Coverage closers for SURVEY.md section 2: run-scoped reads, Kafka shapes, misc.
+
+Split from the single-file catalog (round 7, VERDICT r6 #7); bodies
+are verbatim from that file — see its git history for provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from echo_chambers_detection_spark.sources.domain import (
+    engagements_from_events,
+    users_from_events,
+)
+
+from echo_chambers_detection_spark.catalog._core import (
+    _dec_sum,
+    _t,
+    register,
+)
+from echo_chambers_detection_spark.catalog.flagship import (
+    _ORACLE_ENGAGEMENTS_CTE,
+)
+
+# ===========================================================================
+# Coverage closers for SURVEY.md §2: S17/J2/P10 run-scoped read, Kafka
+# producer message shape (S2/F1), Catalyst-freebie rollup, set operations.
+# ===========================================================================
+
+
+@register(
+    "membership_with_labels",
+    """
+WITH community AS (
+    SELECT md5('r1:' || CAST(label AS VARCHAR)) AS id, 'r1' AS run_id, label
+    FROM embeddings WHERE label != -1 GROUP BY label
+),
+membership AS (
+    SELECT md5('r1:' || CAST(label AS VARCHAR)) AS community_id,
+           CAST(vec_id AS VARCHAR) AS node_id
+    FROM embeddings WHERE label != -1
+)
+SELECT m.node_id, c.label, c.id AS community_id
+FROM membership m JOIN community c ON c.id = m.community_id
+WHERE c.run_id = 'r1'
+""",
+    doc="Run-scoped membership read: membership JOIN community ON id WHERE "
+    "run_id (reference get_communities_from_postgres, "
+    "project/db/postgres.py:50-58; SURVEY.md S17/J2/P10)",
+)
+def q_membership_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.scd2 import save_communities
+
+    labels = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("node_id"), "label"
+    )
+    community, membership = save_communities(labels, "r1")
+    return (
+        membership.join(
+            community.select(F.col("id"), "run_id", "label"),
+            membership.community_id == F.col("id"),
+        )
+        .where(F.col("run_id") == "r1")
+        .select("node_id", "label", F.col("id").alias("community_id"))
+    )
+
+
+@register(
+    "kafka_producer_messages",
+    """
+SELECT to_json(struct_pack(
+           user_did := CAST(user_id AS VARCHAR),
+           uri := json_extract_string(props, '$.k'),
+           type := 'LIKED')) AS value
+FROM events
+WHERE event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+""",
+    doc="Kafka producer payload shape: to_json(struct(...)) — the engine "
+    "side of `send_to_kafka` (reference "
+    "project/kafka/producer_main.py:34-36,171-176; SURVEY.md S2/F1)",
+)
+def q_kafka_producer_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "click")
+        & F.get_json_object("props", "$.k").isNotNull()
+    ).select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("user_did"),
+                F.get_json_object("props", "$.k").alias("uri"),
+                F.lit("LIKED").alias("type"),
+            )
+        ).alias("value")
+    )
+
+
+@register(
+    "order_stats_rollup",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    doc="ROLLUP grouping sets — a Catalyst freebie the reference has no "
+    "equivalent for (SURVEY.md §2.4 note)",
+)
+def q_order_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "event_value_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles per group (SURVEY.md §2.4 "
+    "superset): Spark `percentile` and DuckDB `quantile_cont` share "
+    "linear-interpolation semantics, so even the quantile surface is "
+    "hash-verified. The approximate path at scale is the same query "
+    "with percentile_approx (t-digest, bounded memory) — swap, don't "
+    "re-shape.",
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "event_type_user_cube",
+    """
+SELECT event_type,
+       CAST(user_id % 10 AS INTEGER) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 10 AS INTEGER))
+""",
+    doc="CUBE grouping sets over (event_type, user bucket) — all four "
+    "grouping combinations in one pass (SURVEY.md §2.4 superset next to "
+    "order_stats_rollup's ROLLUP)",
+)
+def q_event_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "engaged_user_set_ops",
+    f"""
+WITH {_ORACLE_ENGAGEMENTS_CTE},
+clickers AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS did FROM events
+    WHERE event_type = 'click'
+),
+buyers AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS did FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT did, 'both' AS membership FROM (SELECT did FROM clickers INTERSECT SELECT did FROM buyers)
+UNION ALL
+SELECT did, 'click_only' AS membership FROM (SELECT did FROM clickers EXCEPT SELECT did FROM buyers)
+""",
+    doc="INTERSECT / EXCEPT set operations (SURVEY.md U2/U3 + the free "
+    "intersect the reference never uses)",
+)
+def q_engaged_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clickers = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("did"))
+        .distinct()
+    )
+    buyers = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("did"))
+        .distinct()
+    )
+    both = clickers.intersect(buyers).withColumn("membership", F.lit("both"))
+    click_only = clickers.exceptAll(buyers).withColumn(
+        "membership", F.lit("click_only")
+    )
+    return both.unionByName(click_only)
+
+
+@register(
+    "embedded_documents",
+    r"""
+WITH dtoks AS (
+    SELECT CAST(doc_id AS VARCHAR) AS post_cid,
+           list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+tok AS (SELECT post_cid, UNNEST(t) AS tk FROM dtoks),
+nib AS (
+    SELECT post_cid,
+           strpos('0123456789abcdef', substr(md5(tk), 16, 1)) - 1 AS n0,
+           strpos('0123456789abcdef', substr(md5(tk), 15, 1)) - 1 AS n1,
+           strpos('0123456789abcdef', substr(md5(tk), 14, 1)) - 1 AS n2
+    FROM tok
+),
+contrib AS (
+    SELECT post_cid,
+           n0 + 16 * (n1 % 2) AS dim,
+           CASE WHEN n2 % 2 = 0 THEN 1.0 ELSE -1.0 END AS v
+    FROM nib
+),
+sums AS (SELECT post_cid, dim, SUM(v) AS v FROM contrib GROUP BY 1, 2),
+dense AS (
+    SELECT d.post_cid, dd.dim, COALESCE(s.v, 0.0) AS v
+    FROM (SELECT post_cid FROM dtoks) d
+    CROSS JOIN (SELECT UNNEST(range(32)) AS dim) dd
+    LEFT JOIN sums s ON s.post_cid = d.post_cid AND s.dim = dd.dim
+),
+nrm AS (
+    SELECT post_cid, dim, v,
+           SQRT(SUM(v * v) OVER (PARTITION BY post_cid)) AS norm
+    FROM dense
+)
+SELECT post_cid, CAST(dim AS BIGINT) AS dim,
+       ROUND(CAST(CAST(CASE WHEN norm > 0 THEN v / norm ELSE v END AS FLOAT)
+                  AS DOUBLE), 6) AS val
+FROM nrm
+""",
+    doc="Arrow-batched embedding inference over documents (reference "
+    "SentenceTransformer.encode in the Qdrant consumer, SURVEY.md F12/G9; "
+    "deterministic fake encoder, real model body documented). The fake "
+    "encoder is md5 bag-of-tokens math, so the oracle reproduces it "
+    "bit-for-bit — including the float32 quantization of the stored "
+    "vector (CAST AS FLOAT before the final round). Exploded to "
+    "(post_cid, dim, val) so value-hash comparison is well-defined; "
+    "embed_texts itself is the array<float> API.",
+)
+def q_embedded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.embed import embed_texts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("post_cid"), "text"
+    )
+    emb = embed_texts(docs)
+    return emb.select(
+        "post_cid", F.posexplode("vector").alias("dim", "val")
+    ).select(
+        "post_cid",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
+@register(
+    "user_profiles_cleaned",
+    """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS did,
+       COALESCE(NULLIF(TRIM('user-' || CAST(user_id AS VARCHAR)), ''), 'unknown') AS handle,
+       COALESCE(NULLIF(TRIM('User ' || CAST(user_id AS VARCHAR)), ''), 'unknown') AS display_name
+FROM events
+""",
+    doc="Profile upsert projection with unknown-coalescing "
+    "(reference clean(), project/neo4j/consumer_user.py:39-41; SURVEY.md P1/S6)",
+)
+def q_user_profiles_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users_from_events(_t(spark, sf_dir, "events"))
+
+

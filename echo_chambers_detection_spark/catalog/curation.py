@@ -1,0 +1,1442 @@
+"""Training-data pipeline ops (SURVEY.md M6): dedup, text analysis, curation chain.
+
+Split from the single-file catalog (round 7, VERDICT r6 #7); bodies
+are verbatim from that file — see its git history for provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from echo_chambers_detection_spark.catalog._core import (
+    _t,
+    register,
+)
+from echo_chambers_detection_spark.catalog.vector import (
+    _ORACLE_EMB_EXPLODED,
+    _emb,
+)
+
+# ===========================================================================
+# Training-data pipeline ops (SURVEY.md M6 / BASELINE.json north star):
+# text analysis, dedup family, multimodal plumbing over `documents`.
+# ===========================================================================
+
+_ORACLE_TOKS_CTE = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in generate_series(1, len(t) - 2)]) AS s
+        FROM toks
+    )
+)
+"""
+
+
+@register(
+    "text_token_stats",
+    f"""
+WITH {_ORACLE_TOKS_CTE}
+SELECT doc_id,
+       len(t) AS n_tokens,
+       ROUND(CASE WHEN len(t) > 0
+             THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             END, 6) AS avg_token_len
+FROM toks
+""",
+    doc="Whitespace/punct tokenizer + token stats (M6 text analysis)",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    t = tokenize("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(t) > 0,
+                F.aggregate(
+                    F.transform(t, lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.size(t),
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "bpe_token_stats",
+    r"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_bpe_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       ROUND(CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+                  ELSE NULL END, 6) AS avg_token_len
+FROM toks
+""",
+    doc="BPE-ish token counting (M6): GPT-2-style pre-token split "
+    "(leading-space-attached letter/digit/punct runs, the regex subset "
+    "Java and RE2 share) — the token count a training-data pipeline "
+    "budgets against, next to the whitespace word count of "
+    "text_token_stats. Identical pattern in the DuckDB oracle.",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import bpe_tokens
+
+    t = bpe_tokens("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(
+            F.when(
+                F.size(t) > 0,
+                F.aggregate(
+                    F.transform(t, lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.size(t),
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_scrub_stats",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), 'https?://[^ ]+')) AS n_urls,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       length(regexp_replace(
+           regexp_replace(lower(text), 'https?://[^ ]+', ' ', 'g'),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g')) AS clean_len
+FROM documents
+""",
+    doc="URL/e-mail scrub pass (M6 curation): per-doc counts of scrubbed "
+    "spans + post-scrub length, the standard PII/noise removal step "
+    "before dedup/quality filtering. Spark regexp_replace is global by "
+    "default; the oracle passes the 'g' flag — same patterns, same "
+    "result. Mechanics on docs that actually contain URLs/e-mails are "
+    "unit-tested (tests/test_text_functions.py); the synthetic corpus "
+    "is clean, which the hash check also verifies.",
+)
+def q_text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        scrub_urls_and_emails,
+    )
+
+    low = F.lower(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(URL_PATTERN), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.length(scrub_urls_and_emails("text")).alias("clean_len"),
+    )
+
+
+@register(
+    "c4_quality_flags",
+    r"""
+WITH lines AS (
+    SELECT doc_id,
+           lower(text) AS lt,
+           list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS ls
+    FROM documents
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       ROUND(CASE WHEN len(ls) > 0
+             THEN len(list_filter(ls, x -> right(rtrim(x), 1) IN ('.', '!', '?')))
+                  * 1.0 / len(ls)
+             ELSE NULL END, 6) AS frac_terminal_punct_lines,
+       ROUND(CASE WHEN len(ls) > 0
+             THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+             ELSE NULL END, 6) AS frac_duplicate_lines,
+       CAST(contains(lt, 'lorem ipsum') AS BOOLEAN) AS has_lorem_ipsum,
+       CAST(contains(lt, '{') AS BOOLEAN) AS has_curly_brace
+FROM lines
+""",
+    doc="C4-style line-level quality flags (M6 curation; Raffel et al. "
+    "2020 §2.2 rules): terminal-punctuation line fraction, duplicate-"
+    "line fraction, lorem-ipsum and curly-brace markers — the classic "
+    "web-corpus drop rules, per doc so a filter pass is one predicate. "
+    "Single-line synthetic docs hash-verify the degenerate case; the "
+    "multi-line mechanics are oracle-checked on a crafted corpus in "
+    "tests/test_text_functions.py.",
+)
+def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lt = F.lower(F.col("text"))
+    ls = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != ""
+    )
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", lt.alias("lt"), ls.alias("ls")
+    )
+    n = F.size("ls")
+    term = F.size(
+        F.filter(
+            F.col("ls"),
+            lambda x: F.right(F.rtrim(x), F.lit(1)).isin(".", "!", "?"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_lines"),
+        F.round(
+            F.when(n > 0, term.cast("double") / n), 6
+        ).alias("frac_terminal_punct_lines"),
+        F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct("ls")).cast("double") / n,
+            ),
+            6,
+        ).alias("frac_duplicate_lines"),
+        F.col("lt").contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col("lt").contains("{").alias("has_curly_brace"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    r"""
+WITH g AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+),
+hs AS (
+    SELECT doc_id,
+           CASE WHEN length(t) >= 8
+                THEN [md5(substr(t, i, 8))
+                      for i in generate_series(1, length(t) - 7)]
+                ELSE [] END AS h
+    FROM g
+),
+wins AS (
+    SELECT doc_id, h,
+           CASE WHEN len(h) >= 4
+                THEN [list_min(h[j : j + 3])
+                      for j in generate_series(1, len(h) - 3)]
+                ELSE [] END AS w
+    FROM hs
+)
+SELECT doc_id,
+       len(h) AS n_grams,
+       len(list_distinct(w)) AS n_fingerprints,
+       list_min(w) AS min_fingerprint
+FROM wins
+""",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "2003 — the rolling-hash fingerprinting of the M6 inventory): "
+    "hash every 8-char k-gram, keep the minimum of each 4-hash "
+    "window; the distinct window-minima are the fingerprint set that "
+    "guarantees detection of any shared run >= k+w-1 chars. All "
+    "native array expressions over the SAME md5 both engines share; "
+    "short docs yield empty sets via the explicit guards (the "
+    "sequence(1,0)-descends rule from ADVICE r3 applies here too).",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.lower(F.col("text"))
+    h = F.when(
+        F.length(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 7),
+            lambda i: F.md5(F.substring(t, i, F.lit(8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _t(spark, sf_dir, "documents").select("doc_id", h.alias("h"))
+    w = F.when(
+        F.size("h") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - 3),
+            lambda j: F.array_min(F.slice("h", j, 4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        F.size(F.array_distinct(w)).alias("n_fingerprints"),
+        F.array_min(w).alias("min_fingerprint"),
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+uni AS (
+    SELECT doc_id, x AS w, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS x FROM toks)
+    GROUP BY 1, 2
+),
+us AS (
+    SELECT doc_id, MAX(c) AS mx, SUM(c) AS n, COUNT(*) AS dn
+    FROM uni GROUP BY 1
+),
+big AS (
+    SELECT doc_id, b, COUNT(*) AS c
+    FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS b
+        FROM toks
+    )
+    GROUP BY 1, 2
+),
+bs AS (SELECT doc_id, MAX(c) AS mxb, SUM(c) AS nb FROM big GROUP BY 1)
+SELECT tk.doc_id,
+       len(tk.t) AS n_tokens,
+       ROUND(us.dn * 1.0 / us.n, 6) AS distinct_token_frac,
+       ROUND(us.mx * 1.0 / us.n, 6) AS top_unigram_frac,
+       ROUND(bs.mxb * 1.0 / bs.nb, 6) AS top_bigram_frac
+FROM toks tk
+LEFT JOIN us ON us.doc_id = tk.doc_id
+LEFT JOIN bs ON bs.doc_id = tk.doc_id
+""",
+    doc="Repetition-based quality filters for training-data curation "
+    "(the Gopher/MassiveText rules, word-token formulation): distinct-"
+    "token fraction, most-common-unigram fraction, most-common-bigram "
+    "fraction. All native Catalyst explode+agg — the standard pre-"
+    "training filter pass runs as one distributed query per corpus.",
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    t = tokenize("text")
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("t")
+    )
+    uni = (
+        base.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum("count").alias("n"),
+            F.count("*").alias("dn"),
+        )
+    )
+    bi = (
+        base.select("doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mxb"), F.sum("count").alias("nb"))
+    )
+    return (
+        base.join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.round(F.col("dn").cast("double") / F.col("n"), 6).alias(
+                "distinct_token_frac"
+            ),
+            F.round(F.col("mx").cast("double") / F.col("n"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(F.col("mxb").cast("double") / F.col("nb"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+# Shared oracle fragments for the quality/split conventions (round-5
+# review: one definition each, so a threshold/salt/term change cannot
+# silently diverge the queries that compose them).
+_ORACLE_QUALITY_TERMS = """LEAST(len(tk.t) / 20.0, 1.0) AS length_term,
+           CASE WHEN len(tk.t) > 0
+                THEN len(list_filter(tk.t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','on','for','with'], x)))
+                     * 1.0 / len(tk.t)
+                ELSE 0.0 END AS sw_ratio,
+           CASE WHEN length(d.text) > 0
+                THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(d.text)
+                ELSE 0.0 END AS punct"""
+
+_ORACLE_QUALITY_EXPR = (
+    "ROUND(length_term * (0.5 + 0.5 * LEAST(sw_ratio * 5, 1.0))"
+    " * (1 - punct), 6)"
+)
+
+
+def _oracle_split_pct(hx: str) -> str:
+    """DuckDB twin of `_split_pct`: value of the first 3 hex digits of
+    the md5 column `hx`, mod 100."""
+    d = "strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1"
+    return (
+        "((" + d.format(hx=hx, i=1) + ") * 256\n"
+        "            + (" + d.format(hx=hx, i=2) + ") * 16\n"
+        "            + (" + d.format(hx=hx, i=3) + ")) % 100"
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+feat AS (
+    SELECT d.doc_id, tk.t,
+           {_ORACLE_QUALITY_TERMS}
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+)
+SELECT doc_id,
+       {_ORACLE_QUALITY_EXPR}
+       AS quality
+FROM feat
+""",
+    doc="Heuristic quality score: length saturation x stopword "
+    "plausibility x punctuation sanity (M6 text analysis)",
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+def _split_pct(id_col: str = "doc_id"):
+    """The salted-hash split percentile (first 3 hex digits of
+    md5('split:'||id) mod 100) — ONE definition shared by
+    train_val_test_split and corpus_manifest (round-5 review: a salt or
+    threshold change must not diverge the two). The oracle twin is
+    _ORACLE_SPLIT_PCT."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+
+
+
+@register(
+    "train_val_test_split",
+    f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+pct AS (
+    SELECT doc_id, lang,
+           {_oracle_split_pct("hx")}
+               AS pct
+    FROM h
+)
+SELECT doc_id, lang, pct,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM pct ORDER BY doc_id
+""",
+    doc="Deterministic salted-hash train/val/test split (80/10/10) — "
+    "the assignment every training pipeline needs to be REPRODUCIBLE "
+    "and join-free at 100 TB: split is a pure function of the row key "
+    "(first 3 hex digits of md5('split:'||id) mod 100), so any two "
+    "jobs agree without coordination and adding data never reshuffles "
+    "old assignments. Hash buckets are uniform per-row, so per-lang "
+    "strata inherit the 80/10/10 proportions (the ±1% mod-4096 bias "
+    "is deterministic and identical in both engines).",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = _split_pct()
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            pct.alias("pct"),
+            F.when(pct < 80, F.lit("train"))
+            .when(pct < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_pack_chunks",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+nt AS (
+    -- ((x % 8) + 8) % 8 mirrors Spark's pmod for negative keys; plain
+    -- SQL % is signed and would shard negative ids differently
+    SELECT doc_id, len(t) AS n_tokens,
+           ((doc_id % 8) + 8) % 8 AS shard
+    FROM toks WHERE len(t) > 0
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+    FROM nt
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS last_chunk,
+       CAST(FLOOR((cum - 1) / 2048.0)
+            - FLOOR((cum - n_tokens) / 2048.0) + 1 AS BIGINT) AS n_chunks
+FROM c ORDER BY doc_id
+""",
+    doc="LLM-pretraining sequence packing (concat-and-chunk, the "
+    "GPT-2/Pile convention: documents concatenate in key order and "
+    "split at a fixed 2048-token budget, docs spanning boundaries): "
+    "per doc its first/last chunk index and span count, from ONE "
+    "window cumsum. Sharded (doc_id mod 8) so the running sum is "
+    "per-shard — the 100 TB shape, where packing runs inside each "
+    "data shard in parallel and a global sort never exists.",
+)
+def q_token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    budget = 2048
+    nt = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+            F.pmod("doc_id", F.lit(8)).alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    first = F.floor((cum - F.col("n_tokens")) / budget)
+    last = F.floor((cum - 1) / budget)
+    return nt.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_head_per_lang",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+feat AS (
+    SELECT d.doc_id, d.lang,
+           {_ORACLE_QUALITY_TERMS}
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+),
+scored AS (
+    SELECT doc_id, lang,
+           {_ORACLE_QUALITY_EXPR}
+               AS quality
+    FROM feat
+),
+ranked AS (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+               AS rank
+    FROM scored
+)
+SELECT lang, doc_id, quality, rank FROM ranked
+WHERE rank <= 25 ORDER BY lang, rank
+""",
+    doc="Quality-stratified curation head: top-25 documents per "
+    "language bucket by the heuristic quality score (deterministic "
+    "(quality desc, doc_id) tie order on the ROUNDED score so both "
+    "engines rank identically) — the 'keep the best N per stratum' "
+    "selection step of a curation pipeline, one partitioned window, "
+    "no global sort.",
+)
+def q_quality_head_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import quality_score
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+        .select("lang", "doc_id", "quality", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+sh5 AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                       || t[i+3] || ' ' || t[i+4]
+                       for i in generate_series(1, len(t) - 4)]) AS s
+        FROM toks
+    )
+),
+bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+nonb AS (SELECT doc_id FROM documents WHERE doc_id % 97 != 0),
+shared AS (
+    SELECT f.doc_id, COUNT(DISTINCT f.s) AS n
+    FROM sh5 f JOIN bench b ON b.s = f.s
+    WHERE f.doc_id % 97 != 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n, 0) AS n_shared,
+       COALESCE(s.n, 0) > 0 AS contaminated
+FROM nonb d LEFT JOIN shared s USING (doc_id)
+ORDER BY d.doc_id
+""",
+    doc="Benchmark-contamination scan (the GPT-3-style n-gram overlap "
+    "decontamination step, word 5-grams here at the synthetic doc "
+    "length): the held-out set is doc_id % 97 == 0; every training "
+    "candidate reports how many distinct 5-grams it shares with ANY "
+    "benchmark document. The benchmark shingle set is the SMALL side "
+    "by construction (a benchmark suite, not the corpus), so the scan "
+    "is a broadcast semi-join against the 100 TB training side — no "
+    "shuffle of the corpus shingles.",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh5 = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize("text"), 5)).alias("s"),
+    ).distinct()
+    is_bench = F.pmod("doc_id", F.lit(97)) == 0
+    bench_sh = sh5.where(is_bench).select("s").distinct()
+    shared = (
+        sh5.where(~is_bench)
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_manifest",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+survivors AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+feat AS (
+    SELECT d.doc_id, d.lang, len(tk.t) AS n_tokens,
+           {_ORACLE_QUALITY_TERMS}
+    FROM documents d
+    JOIN survivors s USING (doc_id)
+    JOIN toks tk ON tk.doc_id = d.doc_id
+),
+kept AS (
+    SELECT doc_id, lang, n_tokens
+    FROM feat
+    WHERE {_ORACLE_QUALITY_EXPR}
+          >= 0.5
+),
+assigned AS (
+    SELECT lang, n_tokens,
+           CASE WHEN pct < 80 THEN 'train'
+                WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT lang, n_tokens,
+               {_oracle_split_pct("hx")} AS pct
+        FROM (SELECT lang, n_tokens,
+                     md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM kept)
+    )
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="The corpus-BUILD chain end-to-end, as one query: exact dedup "
+    "(min-doc_id survivor per md5(text) group) -> quality gate "
+    "(heuristic score >= 0.5, the same expression text_quality_scores "
+    "hashes) -> salted-hash split assignment -> the per-(split, lang) "
+    "manifest a training run consumes (doc + token budgets). Every "
+    "stage reuses an already-oracle-checked operator; this chain "
+    "hash-checks their COMPOSITION — the curation analogue of "
+    "analysis_run_metrics. Each stage is a shuffle on its natural key "
+    "(md5 group, then one final (split, lang) agg); nothing global.",
+)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        quality_score,
+        tokenize,
+    )
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the SAME survivor policy the oracle-green exact_dedup_groups
+    # query encodes (round-5 review: no inline re-implementation)
+    survivors = exact_dedup_groups(docs).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    kept = (
+        docs.join(survivors, "doc_id", "leftsemi")
+        .where(F.round(quality_score("text"), 6) >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    pct = _split_pct()
+    assigned = kept.select(
+        "lang",
+        "n_tokens",
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "source_mixture_rates",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+per_doc AS (
+    SELECT d.source, len(tk.t) AS n_tokens
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+),
+per_source AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY 1
+),
+shares AS (
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / SUM(n_tokens) OVER () AS actual_share,
+           1.0 / COUNT(*) OVER () AS target_share
+    FROM per_source
+),
+rates AS (
+    SELECT *, target_share / actual_share AS raw_rate FROM shares
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(actual_share, 6) AS actual_share,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(raw_rate / MAX(raw_rate) OVER (), 6) AS sample_rate
+FROM rates ORDER BY source
+""",
+    doc="Data-mixture planning over the `source` column: per-source "
+    "token shares vs a uniform target, normalized to sample-down-only "
+    "rates (the largest deficit keeps rate 1.0, everything else "
+    "down-samples proportionally — how pretraining mixtures rebalance "
+    "without upsampling). One aggregation + two unpartitioned window "
+    "functions over the per-source table (rows = |sources|, tiny by "
+    "construction at any corpus scale).",
+)
+def q_source_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source", F.size(tokenize("text")).cast("long").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    actual = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    raw = target / actual
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(raw / F.max(raw).over(w), 6).alias("sample_rate"),
+    ).orderBy("source")
+
+
+@register(
+    "event_user_cardinalities",
+    None,
+    doc="Cardinality SKETCHES next to truth: per event_type the exact "
+    "distinct-user count, the HyperLogLog++ estimate "
+    "(approx_count_distinct, rsd=0.02 — the one-pass mergeable sketch "
+    "a 100 TB scan uses when exact distinct means a full shuffle), "
+    "and the signed relative error. Deterministic (HLL++ is hash-"
+    "based and order-insensitive) but engine-specific, so rows-only; "
+    "tests/test_entry.py pins the error bound |err| <= 3*rsd per "
+    "group. At scale the exact column is the one you DROP — it is "
+    "here so the sketch's honesty is visible in the result itself.",
+)
+def q_event_user_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "n_approx",
+            F.round(
+                (F.col("n_approx") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _lang_tables():
+    from echo_chambers_detection_spark.functions.text import (
+        LANG_ORDER,
+        STOPWORDS,
+        TRIGRAM_ORDER,
+        TRIGRAM_PROFILES,
+    )
+
+    return LANG_ORDER, STOPWORDS, TRIGRAM_ORDER, TRIGRAM_PROFILES
+
+
+def _lang_case_sql(order) -> str:
+    """The SAME deterministic chain functions/text._lang_case_chain
+    builds: language L wins iff its score >= every later language's."""
+    parts = []
+    for idx, lang in enumerate(order[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{o}" for o in order[idx + 1 :])
+        parts.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{order[-1]}' END"
+
+
+def _sw_hits_sql() -> str:
+    order, stopwords, _, _ = _lang_tables()
+    cols = []
+    for lang in order:
+        lst = "[" + ",".join(f"'{w}'" for w in stopwords[lang]) + "]"
+        cols.append(
+            f"len(list_filter(tk.t, x -> list_contains({lst}, x))) AS h_{lang}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _trigram_hits_sql() -> str:
+    _, _, order, profiles = _lang_tables()
+    cols = []
+    for lang in order:
+        terms = " + ".join(
+            f"CAST((length(tt) - length(replace(tt, '{s}', ''))) / {len(s)} AS INT)"
+            for s in profiles[lang]
+        )
+        cols.append(f"({terms}) AS h_{lang}")
+    return ",\n           ".join(cols)
+
+
+@register(
+    "language_id_pred",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+hits AS (
+    SELECT d.doc_id, d.lang AS lang_actual,
+           {_sw_hits_sql()}
+    FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+)
+SELECT doc_id, lang_actual,
+       {_lang_case_sql(_lang_tables()[0])} AS lang_pred
+FROM hits
+""",
+    doc="Stopword-hit language ID heuristic over 10 languages with the "
+    "deterministic tie-break chain (M6 text analysis); hits SQL and "
+    "CASE chain are GENERATED from the same language tables the Spark "
+    "expression uses, so the two engines cannot drift",
+)
+def q_language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        LANG_ORDER,
+        STOPWORDS,
+        _lang_case_chain,
+        tokenize,
+    )
+
+    # two-step select, mirroring the oracle's hits CTE: each language's
+    # hit count is computed ONCE as a named column, then the CASE chain
+    # references the columns — inlining the chain directly re-evaluates
+    # every score up to |langs| times per row (CollapseProject keeps
+    # multi-use non-cheap aliases in their own projection)
+    t = tokenize("text")
+
+    def _in(sw_arr):
+        return lambda x: F.array_contains(sw_arr, x)
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols.append(F.size(F.filter(t, _in(sw))).alias(f"_h_{lang}"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
+    )
+    pred = _lang_case_chain(
+        {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}, LANG_ORDER
+    )
+    return base.select("doc_id", "lang_actual", pred.alias("lang_pred"))
+
+
+@register(
+    "language_id_trigram_pred",
+    f"""
+WITH base AS (
+    SELECT doc_id, lang AS lang_actual,
+           ' ' || lower(text) || ' ' AS tt
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang_actual,
+           {_trigram_hits_sql()}
+    FROM base
+)
+SELECT doc_id, lang_actual,
+       {_lang_case_sql(_lang_tables()[2])} AS lang_pred
+FROM hits
+""",
+    doc="Character-profile language ID over 11 languages incl. zh "
+    "(VERDICT r3 #8): per-language score = occurrence counts of "
+    "profile substrings in the raw lowercased text — classifies "
+    "scripts the word tokenizer cannot segment; pure codegen string "
+    "ops, generated identically into the DuckDB oracle",
+)
+def q_language_id_trigram_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import (
+        TRIGRAM_ORDER,
+        TRIGRAM_PROFILES,
+        _lang_case_chain,
+    )
+
+    # same two-step shape as q_language_id_pred: 66 substring counters
+    # once each, then the chain over the named columns
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hit_cols = []
+    for lang in TRIGRAM_ORDER:
+        score = F.lit(0)
+        for sub in TRIGRAM_PROFILES[lang]:
+            occ = (
+                F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))
+            ) / F.lit(len(sub))
+            score = score + occ.cast("int")
+        hit_cols.append(score.alias(f"_h_{lang}"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
+    )
+    pred = _lang_case_chain(
+        {lang: F.col(f"_h_{lang}") for lang in TRIGRAM_ORDER}, TRIGRAM_ORDER
+    )
+    return base.select("doc_id", "lang_actual", pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in generate_series(1, len(t) - 2)],
+           s -> md5(s))) AS fingerprint
+FROM toks
+""",
+    doc="Single-permutation minhash document fingerprint (M6 "
+    "fingerprinting; md5-string min so the oracle is byte-identical)",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import minhash_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", minhash_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
+    "rfc4122_point_ids",
+    None,
+    doc="EXACT uuid5(NAMESPACE_URL, id) point ids — the reference's "
+    "make_id for every vector-store point "
+    "(project/qdrant/consumer_post.py:56-60; SURVEY.md F2, VERDICT r4 "
+    "#8: the md5 substitution is closed). Pure JVM expressions "
+    "(sha1 + nibble twiddles + dashing), no UDF. DuckDB has no sha1, "
+    "so this is a rows-only driver check; bit-parity vs CPython's "
+    "uuid.uuid5 is pinned in tests/test_cleaning.py and the identical "
+    "layout transform is hash-checked by rfc4122_layout_ids.",
+)
+def q_rfc4122_point_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.cleaning import uuid5_url
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", uuid5_url("doc_id").alias("point_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "rfc4122_layout_ids",
+    """
+SELECT doc_id,
+       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+       '3' || substr(h, 14, 3) || '-' ||
+       substr('89ab',
+              ((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) % 4) + 1,
+              1) || substr(h, 18, 3) || '-' ||
+       substr(h, 21, 12) AS point_id
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+ORDER BY doc_id
+""",
+    doc="The RFC-4122 layout transform itself under a hash-green "
+    "oracle: version/variant nibble overwrite + 8-4-4-4-12 dashing "
+    "over md5(doc_id) — DuckDB rebuilds it character-for-character. "
+    "The namespace-prefixed digests (uuid5_url/uuid3_url) use the "
+    "SAME _rfc4122_from_hex tail; only the digest input differs "
+    "(DuckDB md5 is VARCHAR-only and the namespace bytes are not "
+    "valid UTF-8, hence the name-only digest here).",
+)
+def q_rfc4122_layout_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.cleaning import (
+        _rfc4122_from_hex,
+    )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            _rfc4122_from_hex(
+                F.md5(F.col("doc_id").cast("string")), 3
+            ).alias("point_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "exact_dedup_groups",
+    """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS survivor_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup by content hash, deterministic min-id survivor "
+    "(M6 dedup: the O(n) baseline)",
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+perms AS (SELECT UNNEST(generate_series(0, 15)) AS perm),
+sig AS (
+    SELECT doc_id, perm, MIN(md5(perm || ':' || s)) AS minhash
+    FROM sh, perms GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, perm // 4 AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+    FROM sig GROUP BY doc_id, perm // 4
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+    doc="MinHash(16)+LSH(4 bands x 4 rows) near-dup candidates — the "
+    "bucket-join path that replaces all-pairs at 100 TB (M6 dedup)",
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingles, num_perm=16)
+    return lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band=4))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(c * 1.0 / (s1.sz + s2.sz - c), 6) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
+""",
+    doc="Exact 3-gram Jaccard >= 0.5 via shared-shingle join — ground "
+    "truth for the LSH operating point (M6 dedup; finds the fixture's "
+    "planted near-duplicates)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(shingles, threshold=0.5).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "near_dup_keep_list",
+    f"""
+WITH RECURSIVE {_ORACLE_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d1, d2 FROM shared
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
+),
+edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+closure AS (
+    -- transitive closure by min-label flood; the duplicate graph is tiny
+    -- (only docs with a >=0.5-Jaccard partner), so recursion is cheap
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.dst AS node, c.comp
+    FROM closure c JOIN edges e ON e.src = c.node
+    WHERE c.comp < e.dst
+),
+comps AS (SELECT node, MIN(comp) AS keeper FROM closure GROUP BY node)
+SELECT node AS doc_id, keeper FROM comps WHERE node != keeper
+""",
+    doc="End-to-end near-dup removal verdict (the M6 pipeline composed): "
+    "exact-Jaccard-verified pairs -> connected components -> keep the "
+    "min doc per duplicate cluster; output is (dropped doc, its keeper). "
+    "Spark side reuses jaccard_pairs + the min-label "
+    "connected_components loop; DuckDB cross-checks with a WITH "
+    "RECURSIVE transitive closure.",
+)
+def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(shingles, threshold=0.5).select(
+        F.col("d1").alias("u1"), F.col("d2").alias("u2")
+    )
+    comps = connected_components(pairs)
+    return comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+    )
+
+
+@register(
+    "simhash_signatures",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+tokex AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN substr(md5(token), j + 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END AS vote
+    FROM tokex, (SELECT UNNEST(generate_series(0, 15)) AS j)
+),
+sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY 1
+""",
+    doc="16-bit SimHash signatures from md5 nibble votes (M6 dedup; "
+    "production width 64 via native hash, same plan shape)",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash64_near_pairs",
+    None,
+    doc="PRODUCTION-width SimHash near-dup chain (VERDICT r3 #5): "
+    "64-bit signatures from native xxhash64 token votes — all 64 "
+    "bit-sums in ONE aggregation pass — then pigeonhole banding "
+    "(max_hamming+1 bands, one equi-join per band) and exact "
+    "bit_count verify. xxhash64 has no DuckDB twin, so this is a "
+    "rows-only driver check; the machinery itself is pinned by the "
+    "md5-vote parity test against the oracle-exact 16-bit path "
+    "(tests/test_dedup.py) and a brute-force banding oracle.",
+)
+def q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs_banded,
+    )
+
+    sigs = simhash64(_t(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
+        "d1", "d2"
+    )
+
+
+@register(
+    "simhash64_md5_near_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+tokex AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(token), (j // 4) + 1, 1)) - 1)
+                     >> (j % 4) & 1 = 1
+                THEN 1 ELSE -1 END AS vote
+    FROM tokex, (SELECT UNNEST(generate_series(0, 63)) AS j)
+),
+sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s <= 0 THEN 0
+                         WHEN j = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT)
+               AS simhash
+    FROM sums GROUP BY 1
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+ORDER BY d1, d2
+""",
+    doc="The 64-bit near-dup chain made ORACLE-EXACT (VERDICT r4 #4): "
+    "identical simhash64 SWAR machinery and pigeonhole banding as "
+    "simhash64_near_pairs, but with the md5-derived 64-bit vote hash "
+    "(dedup.py::md5_vote64) both engines can compute — DuckDB "
+    "rebuilds the full-width signatures per-bit and brute-forces the "
+    "hamming<=3 pairs (banding finds EXACTLY those pairs by "
+    "pigeonhole + exact verify, so brute force IS the semantic "
+    "contract). Production keeps xxhash64 votes (native, one hash vs "
+    "16 convs per token); this query pins the width-64 plan itself "
+    "to a green hash.",
+)
+def q_simhash64_md5_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        md5_vote64,
+        simhash64,
+        simhash_candidate_pairs_banded,
+    )
+
+    sigs = simhash64(_t(spark, sf_dir, "documents"), vote_hash=md5_vote64)
+    return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
+        "d1", "d2"
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+tokex AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN substr(md5(token), j + 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END AS vote
+    FROM tokex, (SELECT UNNEST(generate_series(0, 15)) AS j)
+),
+sums AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY 1
+),
+halves AS (
+    SELECT doc_id, simhash, simhash >> 8 AS hi, simhash % 256 AS lo FROM sig
+),
+cand AS (
+    SELECT a.doc_id d1, b.doc_id d2, a.simhash s1, b.simhash s2
+    FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id d1, b.doc_id d2, a.simhash s1, b.simhash s2
+    FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, bit_count(CAST(xor(s1, s2) AS BIGINT)) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(s1, s2) AS BIGINT)) <= 1
+""",
+    doc="SimHash near-dup pairs via half-signature banding (pigeonhole: "
+    "hamming<=1 implies an exact half match) + exact hamming verify",
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        simhash16,
+        simhash_candidate_pairs,
+    )
+
+    sigs = simhash16(_t(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs(sigs, max_hamming=1)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+scores AS (
+    SELECT a.post_cid AS v1, b.post_cid AS v2,
+           ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    GROUP BY 1, 2
+)
+SELECT v1, v2, score FROM scores WHERE score >= 0.4
+""",
+    doc="Embedding-cosine near-dup pairs (semantic dedup variant, M6; "
+    "exact, via blocked-GEMM tiles — embedding_lsh_near_dup is the "
+    "non-exact scale path)",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import (
+        similarity_self_join_gemm,
+    )
+
+    return similarity_self_join_gemm(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "multimodal_blob_stats",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'text/plain' AS media_type
+FROM documents
+""",
+    doc="Opaque-binary column plumbing: payload bytes + typed metadata "
+    "(M6 multimodal; decode stubs live in operators/multimodal.py)",
+)
+def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.multimodal import (
+        with_blob_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), "text"
+    )
+    return with_blob_metadata(docs).select(
+        "doc_id", "n_bytes", "content_md5", "media_type"
+    )
+
+

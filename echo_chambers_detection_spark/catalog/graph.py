@@ -1,0 +1,670 @@
+"""Graph algorithms (SURVEY.md M3: G2-G8) and planted-recovery oracles.
+
+Split from the single-file catalog (round 7, VERDICT r6 #7); bodies
+are verbatim from that file — see its git history for provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from echo_chambers_detection_spark.sources.domain import (
+    engagements_from_events,
+    users_from_events,
+)
+
+from echo_chambers_detection_spark.catalog._core import (
+    _t,
+    register,
+)
+from echo_chambers_detection_spark.catalog.flagship import (
+    _ORACLE_ENGAGEMENTS_CTE,
+)
+from echo_chambers_detection_spark.catalog.vector import (
+    _ORACLE_EMB_EXPLODED,
+    _emb,
+)
+
+# ===========================================================================
+# Graph algorithms (SURVEY.md M3: G2, G4-G8) — iterative, not SQL-
+# expressible (except connected components, which gets a recursive-CTE
+# oracle); the driver records rows-only checks, invariants live in
+# tests/test_graph_algorithms.py.
+# ===========================================================================
+
+
+def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted user co-engagement graph — the reference's userGraph
+    projection (project/metrics/community_detection.py:22-38).
+
+    Built with the bitmap formulation (items here are the bounded props.k
+    vocabulary — auto-probed, falling back to the general self-join if
+    unbounded): identical output to `coengagement_edges`, ~13x faster at
+    sf0.1. The flagship `coengagement_edges` query keeps the general
+    self-join, which is the right default for open-ended post ids."""
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges_bitmap,
+    )
+
+    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    return coengagement_edges_bitmap(eng, num_slots=None)
+
+
+def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges_bitmap,
+    )
+
+    # Checkpoint the parsed engagement relation: the bitmap path reads it
+    # twice (max-key probe + mask build), and JSON extraction over the
+    # events scan is the expensive part of this query at any scale.
+    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    return coengagement_edges_bitmap(
+        eng, user_col="post_uri", post_col="user_did", num_slots=None
+    )
+
+
+@register(
+    "kcore_user_graph",
+    None,
+    doc="k-core decomposition of the weighted user co-engagement graph "
+    "(reference gds.kcore.stream; SURVEY.md G4). Invariants in tests.",
+)
+def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import kcore
+
+    return kcore(_user_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "louvain_user_communities",
+    None,
+    doc="Louvain over the weighted user co-engagement graph (reference "
+    "gds.louvain.stream; SURVEY.md G7). Deterministic min-node community ids.",
+)
+def q_louvain_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import louvain
+
+    return louvain(_user_graph(spark, sf_dir), max_levels=2, max_rounds=4)
+
+
+@register(
+    "label_propagation_communities",
+    None,
+    doc="Synchronous label propagation, unweighted like the reference's "
+    "gds.labelPropagation.stream (SURVEY.md G5)",
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import label_propagation
+
+    return label_propagation(_post_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "leiden_communities",
+    None,
+    doc="Leiden-flavored Louvain + connectivity refinement (reference "
+    "gds.leiden.stream; SURVEY.md G6, documented substitution)",
+)
+def q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import leiden
+
+    return leiden(_post_graph(spark, sf_dir), max_levels=2, max_rounds=4)
+
+
+@register(
+    "modularity_optimization_communities",
+    None,
+    doc="Single-level modularity-gain local moves (reference "
+    "gds.modularityOptimization.stream; SURVEY.md G8)",
+)
+def q_modularity_optimization_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        modularity_optimization,
+    )
+
+    return modularity_optimization(_post_graph(spark, sf_dir), max_rounds=4)
+
+
+@register(
+    "fastrp_embeddings",
+    None,
+    doc="Deterministic FastRP node embeddings at the REFERENCE parameters "
+    "— dim=128, weighted edges, GDS-default iteration weights "
+    "(reference gds.fastRP.mutate dim=128, "
+    "project/metrics/community_detection.py:40-45; SURVEY.md G2). "
+    "Exposed in exploded (node, dim, val) form so order-insensitive "
+    "harnesses can hash it; fastrp(assemble=True) is the array API.",
+)
+def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import fastrp
+
+    exploded = fastrp(_post_graph(spark, sf_dir), dim=128, assemble=False)
+    return exploded.select(
+        "node",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-partition recovery oracles (VERDICT r5 #2): the community
+# algorithms' outputs on the co-engagement graph are not SQL-expressible
+# (rows-only stamps), but on a deterministic strongly-separated planted
+# fixture the recovered partition has a CLOSED FORM — community id =
+# min member node id of each planted block — that DuckDB generates with
+# range(). These give the driver hash-hard signal on G4/G5/G6/G7/G8 +
+# connected components. Fixture construction: operators/planted.py.
+# The fixtures are sf-independent (generated, not read), so the oracle
+# holds at every scale the driver runs.
+# ---------------------------------------------------------------------------
+
+_PLANTED_BLOCK_SQL = """
+SELECT lpad(CAST(b * {bs} AS VARCHAR), 6, '0') AS community,
+       CAST({bs} AS BIGINT) AS size
+FROM range(0, {nb}) t(b)
+"""
+
+_PLANTED_NODE_SQL = """
+SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node,
+       lpad(CAST((i // {bs}) * {bs} AS VARCHAR), 6, '0') AS {label}
+FROM range(0, {n}) t(i)
+"""
+
+
+def _planted_cliques(spark: SparkSession) -> DataFrame:
+    """12 complete blocks K_25 + path bridges: no internal structure for
+    a modularity local optimum to split, so Louvain-family recovery is
+    exact (ring-chord blocks deterministically leave splinters — the
+    defect Leiden's refinement repairs; see leiden_planted_recovery)."""
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    return planted_partition_edges(
+        spark, 12, 25, 12, bridges=True, offsets="linear"
+    )
+
+
+def _planted_rings(spark: SparkSession, bridges: bool) -> DataFrame:
+    """10 quadratic-chord blocks of 60 (10-regular, low diameter)."""
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    return planted_partition_edges(spark, 10, 60, 5, bridges=bridges)
+
+
+@register(
+    "louvain_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=12, bs=25),
+    doc="Louvain exact planted-partition recovery: 12 bridged K_25 "
+    "cliques -> the recovered communities are precisely the blocks, "
+    "community id = min member node (SURVEY.md G7; hash-hard oracle "
+    "for the algorithm the reference runs as gds.louvain.stream)",
+)
+def q_louvain_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import louvain
+
+    assign = louvain(_planted_cliques(spark), max_levels=2, max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "modularity_opt_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=12, bs=25),
+    doc="Single-level modularity optimization recovers the same 12 "
+    "cliques exactly (SURVEY.md G8 oracle)",
+)
+def q_modularity_opt_planted_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        modularity_optimization,
+    )
+
+    assign = modularity_optimization(_planted_cliques(spark), max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "leiden_planted_recovery",
+    _PLANTED_BLOCK_SQL.format(nb=10, bs=60),
+    doc="Leiden exact recovery on the HARDER ring-chord fixture that "
+    "plain Louvain deterministically splits (split purity 0.912 there) "
+    "— direct evidence the refinement phase does its job "
+    "(SURVEY.md G6 oracle)",
+)
+def q_leiden_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import leiden
+
+    assign = leiden(_planted_rings(spark, bridges=True), max_levels=2, max_rounds=8)
+    return assign.groupBy("community").agg(F.count("*").alias("size"))
+
+
+@register(
+    "lpa_planted_recovery",
+    _PLANTED_NODE_SQL.format(n=600, bs=60, label="community"),
+    doc="Label propagation converges to per-block consensus = min node "
+    "id on 10 disjoint ring-chord blocks; per-node output (SURVEY.md "
+    "G5 oracle). LPA has no driver-local mirror, so this runs the "
+    "distributed loop itself.",
+)
+def q_lpa_planted_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_planted_rings(spark, bridges=False))
+
+
+@register(
+    "kcore_planted_cores",
+    """
+SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node,
+       CAST(10 AS BIGINT) AS core_value
+FROM range(0, 600) t(i)
+""",
+    doc="k-core on a 10-regular planted graph: every node's core number "
+    "is exactly 10 (SURVEY.md G4 oracle)",
+)
+def q_kcore_planted_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import kcore
+
+    return kcore(_planted_rings(spark, bridges=False).select("u1", "u2"))
+
+
+@register(
+    "connected_components_planted",
+    _PLANTED_NODE_SQL.format(n=600, bs=60, label="component"),
+    doc="Connected components on 10 disjoint blocks: component id = min "
+    "member node id, per-node output (hash-hard oracle for the CC "
+    "primitive under Leiden refinement / dedup keep-lists)",
+)
+def q_connected_components_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    return connected_components(
+        _planted_rings(spark, bridges=False).select("u1", "u2")
+    )
+
+
+@register(
+    "hdbscan_planted_recovery",
+    _PLANTED_NODE_SQL.format(n=250, bs=50, label="cluster"),
+    doc="HDBSCAN* exact planted recovery (VERDICT r6 #1 — the last "
+    "algorithm family with no hash-hard oracle): 5 unit-circle arc "
+    "blocks of 50 points (operators/planted.py::planted_arc_"
+    "embeddings) run the FULL pipeline — exact k-NN graph, core "
+    "distances, mutual reachability, Boruvka forest, condensed-tree "
+    "EoM selection — and the labels have a closed form: the k-NN "
+    "graph provably has zero cross-block edges, each block's forest "
+    "tree sheds only sub-mcs runts, so every point is labeled its "
+    "block's min member id. Mirrors the reference's gds.hdbscan."
+    "stream (project/metrics/community_detection.py:49-54).",
+)
+def q_hdbscan_planted_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        hdbscan_cluster,
+    )
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_arc_embeddings,
+    )
+
+    emb = planted_arc_embeddings(spark, 5, 50)
+    return hdbscan_cluster(emb, min_pts=5, min_cluster_size=10)
+
+
+@register(
+    "fastrp_step_recovery",
+    """
+WITH nodes AS (
+    SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node FROM range(0, 3) t(i)
+),
+dims AS (SELECT UNNEST(generate_series(0, 15)) AS dim),
+init AS (
+    SELECT node, dim,
+           CASE (strpos('0123456789abcdef',
+                        substr(md5(node || ':' || CAST(dim AS VARCHAR)
+                                   || ':2'), 1, 1)) - 1) % 6
+                WHEN 0 THEN sqrt(3.0)
+                WHEN 1 THEN -sqrt(3.0)
+                ELSE 0.0 END AS val
+    FROM nodes, dims
+),
+edges AS (
+    SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS src,
+           lpad(CAST(i + 1 AS VARCHAR), 6, '0') AS dst, 1.0 AS w
+    FROM range(0, 2) t(i)
+    UNION ALL
+    SELECT lpad(CAST(i + 1 AS VARCHAR), 6, '0'),
+           lpad(CAST(i AS VARCHAR), 6, '0'), 1.0
+    FROM range(0, 2) t(i)
+),
+trans AS (
+    SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+),
+prop AS (
+    SELECT t.src AS node, i.dim, SUM(t.p * i.val) AS val
+    FROM trans t JOIN init i ON i.node = t.dst GROUP BY 1, 2
+),
+normed AS (
+    SELECT node, dim,
+           CASE WHEN sqrt(SUM(val * val) OVER (PARTITION BY node)) > 0
+                THEN val / sqrt(SUM(val * val) OVER (PARTITION BY node))
+                ELSE val END AS val
+    FROM prop
+)
+SELECT n.node, d.dim, round(COALESCE(x.val, 0.0), 6) AS val
+FROM nodes n CROSS JOIN dims d
+LEFT JOIN normed x ON x.node = n.node AND x.dim = d.dim
+""",
+    doc="One round of the FastRP recurrence made ORACLE-EXACT (VERDICT "
+    "r6 #8, converting G2 from rows-only to hash-green): on a 3-node "
+    "path with the md5-derived init hash (graph.py::fastrp_md5_mod6 — "
+    "the engine-portable-hash trick of simhash64_md5_near_pairs), "
+    "init -> degree-normalized propagation -> per-node L2 normalize "
+    "is plain SQL DuckDB replays verbatim; values rounded to 1e-6, "
+    "far above float-summation-order jitter. Production fastrp keeps "
+    "the native xxhash64 init; this pins the recurrence itself. "
+    "Mirrors gds.fastRP.stream (project/metrics/community_detection"
+    ".py:66-71).",
+)
+def q_fastrp_step_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        fastrp,
+        fastrp_md5_mod6,
+    )
+
+    edges = spark.range(2).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("u1"),
+        F.lpad((F.col("id") + 1).cast("string"), 6, "0").alias("u2"),
+        F.lit(1.0).alias("weight"),
+    )
+    return fastrp(
+        edges,
+        dim=16,
+        iteration_weights=(0.0, 1.0),
+        seed=2,
+        assemble=False,
+        hash_mod6=fastrp_md5_mod6,
+    ).select("node", "dim", F.round("val", 6).alias("val"))
+
+
+@register(
+    "density_clusters",
+    None,
+    doc="The reference's full analytical chain re-expressed: co-engagement "
+    "projection -> FastRP embeddings -> density clustering with -1 noise "
+    "(reference HDBSCAN on FastRP, SURVEY.md G3 substitution)",
+)
+def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        density_cluster,
+        fastrp,
+    )
+
+    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
+        "embedding", "vector"
+    )
+    return density_cluster(emb, min_sim=0.6, min_pts=2)
+
+
+@register(
+    "density_clusters_lsh",
+    None,
+    doc="The SCALE path of density_clusters (VERDICT r2 #4): the same "
+    "FastRP -> density chain with use_lsh=True, so the neighbor graph "
+    "comes from banded hyperplane-LSH candidate generation + "
+    "exact-cosine rerank instead of the exact blocked-GEMM self-join. "
+    "Recall vs the exact path at this operating point is asserted in "
+    "tests/test_fastrp_density.py and recorded in COVERAGE.md.",
+)
+def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        density_cluster,
+        fastrp,
+    )
+
+    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
+        "embedding", "vector"
+    )
+    return density_cluster(
+        emb, min_sim=0.6, min_pts=2, use_lsh=True,
+        lsh_num_planes=16, lsh_band_bits=4, dim=32,
+    )
+
+
+@register(
+    "density_clusters_lsh_exhaustive",
+    f"""
+WITH RECURSIVE {_ORACLE_EMB_EXPLODED},
+scores AS (
+    SELECT a.post_cid AS v1, b.post_cid AS v2,
+           ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    GROUP BY 1, 2
+),
+pairs AS (SELECT v1, v2 FROM scores WHERE score >= 0.4),
+nbrs AS (
+    SELECT v1 AS na, v2 AS nb FROM pairs
+    UNION ALL SELECT v2, v1 FROM pairs
+),
+deg AS (SELECT na AS node, COUNT(*) AS n FROM nbrs GROUP BY 1),
+core AS (SELECT node FROM deg WHERE n >= 3),
+core_edges AS (
+    SELECT na AS src, nb AS dst FROM nbrs
+    JOIN core c1 ON c1.node = na JOIN core c2 ON c2.node = nb
+),
+closure AS (
+    SELECT node, node AS comp FROM core
+    UNION
+    SELECT e.dst AS node, c.comp
+    FROM closure c JOIN core_edges e ON e.src = c.node
+    WHERE c.comp < e.dst
+),
+core_clusters AS (SELECT node, MIN(comp) AS cluster FROM closure GROUP BY node),
+border AS (
+    SELECT n.na AS node, MIN(cc.cluster) AS cluster
+    FROM nbrs n JOIN core_clusters cc ON cc.node = n.nb
+    WHERE n.na NOT IN (SELECT node FROM core)
+    GROUP BY 1
+),
+labeled AS (
+    SELECT DISTINCT node, cluster FROM (
+        SELECT node, cluster FROM core_clusters
+        UNION ALL SELECT node, cluster FROM border
+    )
+)
+SELECT e.post_cid AS node, COALESCE(l.cluster, '-1') AS cluster
+FROM (SELECT DISTINCT post_cid FROM ex) e
+LEFT JOIN labeled l ON l.node = e.post_cid
+""",
+    doc="DBSCAN through the LSH-banded machinery in its EXHAUSTIVE "
+    "configuration (band_bits=0 — one zero-bit band, all pairs are "
+    "candidates; the refine=None analogue that promoted the PQ queries, "
+    "VERDICT r5 #9): output provably equals the exact density chain "
+    "over the embeddings table, so the full core/border/noise semantics "
+    "get a SQL hash oracle (n-squared cosine + recursive-CTE "
+    "components). The pruned operating point stays density_clusters_lsh "
+    "(rows-only, recall-tested).",
+)
+def q_density_clusters_lsh_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import density_cluster
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("post_cid").alias("node"), "vector"
+    )
+    return density_cluster(
+        emb, min_sim=0.4, min_pts=3, use_lsh=True, lsh_band_bits=0, dim=32
+    )
+
+
+@register(
+    "hdbscan_clusters",
+    None,
+    doc="True HDBSCAN* over FastRP node embeddings — the reference's "
+    "gds.hdbscan.stream(G, nodeProperty='embedding') "
+    "(project/metrics/community_detection.py:49-54; artifact "
+    "hdbscan_clusters.csv: labels + noise=-1). Real "
+    "hierarchy/stability semantics (mutual-reachability k-NN MST -> "
+    "condensed tree -> excess-of-mass selection), distributed via "
+    "GEMM-tiled k-NN + Boruvka spanning forest; only the <=n-1-edge "
+    "forest ever reaches the driver. On this synthetic near-complete "
+    "post graph the embeddings form ONE dense blob, so "
+    "allow_single_cluster=False semantics correctly label everything "
+    "noise — the discriminating fixtures live in tests/test_hdbscan.py "
+    "(blobs end-to-end, hand-computed condense cases, MST parity).",
+)
+def q_hdbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        hdbscan_cluster,
+    )
+
+    # dim=128 matches the reference's FastRP parameters exactly
+    # (embeddingDimension=128 — BASELINE.md; gds.fastRP.mutate at
+    # project/metrics/community_detection.py:42-44) before HDBSCAN
+    emb = fastrp(_post_graph(spark, sf_dir), dim=128).withColumnRenamed(
+        "embedding", "vector"
+    )
+    return hdbscan_cluster(emb, min_pts=3, min_cluster_size=3, k=10)
+
+
+@register(
+    "knn_graph_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+norms AS (SELECT post_cid, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (
+    SELECT a.post_cid AS src, b.post_cid AS dst, SUM(a.x * b.x) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid != b.post_cid
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT d.src, d.dst,
+           1 - ROUND(d.dot / (na.nrm * nb.nrm), 6) AS dist
+    FROM dots d
+    JOIN norms na ON na.post_cid = d.src
+    JOIN norms nb ON nb.post_cid = d.dst
+),
+ranked AS (
+    SELECT src, dst, dist,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dists
+)
+SELECT src, dst, dist FROM ranked WHERE rn <= 5
+""",
+    doc="Exact k-NN graph (k=5, cosine distance) — the building block "
+    "under HDBSCAN* and the ANN family, exposed as its own "
+    "oracle-checked operator. GEMM tiles emit per-row tile-local top-k, "
+    "one window keeps the global top-k: O(n·B·k) shuffle rows, never "
+    "n² pairs past the tiles. Ties break (dist, dst) in both engines.",
+)
+def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.hdbscan import knn_graph
+
+    return knn_graph(
+        _emb(spark, sf_dir), k=5, num_blocks=4,
+        id_col="post_cid", vec_col="vector",
+    ).select(F.col("src"), F.col("dst"), F.col("dist"))
+
+
+@register(
+    "knn_graph_ann_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+norms AS (SELECT post_cid, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (
+    SELECT a.post_cid AS src, b.post_cid AS dst, SUM(a.x * b.x) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.post_cid != b.post_cid
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT d.src, d.dst,
+           1 - ROUND(d.dot / (na.nrm * nb.nrm), 6) AS dist
+    FROM dots d
+    JOIN norms na ON na.post_cid = d.src
+    JOIN norms nb ON nb.post_cid = d.dst
+),
+ranked AS (
+    SELECT src, dst, dist,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dists
+)
+SELECT src, dst, dist FROM ranked WHERE rn <= 5
+""",
+    doc="ANN-candidate k-NN graph in its EXHAUSTIVE configuration "
+    "(nprobe == n_cells): IVF cells route candidates, per-cell GEMM "
+    "reranks, and with every cell probed the result is bit-identical "
+    "to the exact path — so the approximate operator itself is "
+    "oracle-checked (same SQL as knn_graph_topk). The pruned "
+    "configuration (nprobe << n_cells, the 100 TB default inside "
+    "hdbscan_cluster's auto mode) has a measured >=0.95 recall test "
+    "in tests/test_hdbscan.py instead.",
+)
+def q_knn_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.hdbscan import knn_graph_ann
+
+    # iters=1: with every cell probed the result is quantizer-
+    # independent, so extra Lloyd rounds only buy bench time here
+    return knn_graph_ann(
+        _emb(spark, sf_dir), k=5, n_cells=4, nprobe=4, iters=1,
+        id_col="post_cid", vec_col="vector",
+    ).select(F.col("src"), F.col("dst"), F.col("dist"))
+
+
+@register(
+    "connected_components_strong",
+    f"""
+WITH RECURSIVE
+{_ORACLE_ENGAGEMENTS_CTE},
+pedges AS (
+    SELECT a.post_uri AS u1, b.post_uri AS u2, COUNT(*) AS weight
+    FROM e a JOIN e b ON a.user_did = b.user_did AND a.post_uri < b.post_uri
+    GROUP BY 1, 2
+),
+thr AS (SELECT 1.2 * AVG(weight) AS t FROM pedges),
+strong AS (SELECT u1, u2 FROM pedges, thr WHERE weight >= t),
+sym AS (
+    SELECT u1 AS s, u2 AS d FROM strong
+    UNION ALL SELECT u2 AS s, u1 AS d FROM strong
+),
+vertices AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, lab) AS (
+    SELECT node, node FROM vertices
+    UNION
+    SELECT s.d, r.lab FROM reach r JOIN sym s ON s.s = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+""",
+    doc="Connected components of the strong (above 1.2x mean weight) "
+    "co-engagement backbone; min-label propagation vs a recursive-CTE "
+    "transitive-closure oracle",
+)
+def q_connected_components_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    pg = _post_graph(spark, sf_dir)
+    thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
+    strong = pg.crossJoin(F.broadcast(thr)).where(
+        F.col("weight") >= F.col("t")
+    ).select("u1", "u2")
+    return connected_components(strong)
+
+

@@ -1,0 +1,144 @@
+"""LSH-bucketed ANN: the approximate scale path for similarity search.
+
+Split from the single-file catalog (round 7, VERDICT r6 #7); bodies
+are verbatim from that file — see its git history for provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from echo_chambers_detection_spark.catalog._core import (
+    _t,
+    register,
+)
+from echo_chambers_detection_spark.catalog.vector import (
+    _ORACLE_EMB_EXPLODED,
+    _emb,
+    _query_vec,
+)
+
+# ===========================================================================
+# LSH-bucketed ANN — the approximate scale path for similarity search
+# (SURVEY.md G10 note; BASELINE.json north star "similarity search").
+# The hyperplanes are md5-seeded and the projections integer-scaled, so
+# the DuckDB oracle reproduces the SAME approximation bit-for-bit — the
+# approximate path is hash-verified, not just spot-checked.
+# ===========================================================================
+
+_ORACLE_LSH_SIGS = """
+planes AS (
+    SELECT pp.p, dd.i,
+           CASE WHEN substr(md5(CAST(pp.p AS VARCHAR) || ':' ||
+                                CAST(dd.i AS VARCHAR)), 1, 1)
+                IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS c
+    FROM (SELECT UNNEST(range(16)) AS p) pp
+    CROSS JOIN (SELECT DISTINCT i FROM ex) dd
+),
+xiv AS (
+    SELECT post_cid, i, CAST(ROUND(x * 1000000) AS BIGINT) AS xi FROM ex
+),
+bits AS (
+    SELECT xv.post_cid, pl.p,
+           CASE WHEN SUM(pl.c * xv.xi) >= 0 THEN 1 ELSE 0 END AS b
+    FROM xiv xv JOIN planes pl ON pl.i = xv.i
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT post_cid,
+           CAST(SUM(b * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS sig
+    FROM bits GROUP BY 1
+)
+"""
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    return int(
+        _t(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .first()["d"]
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+{_ORACLE_LSH_SIGS.strip().rstrip()},
+qsig AS (SELECT sig FROM sigs WHERE post_cid = '0'),
+cand AS (
+    SELECT s.post_cid,
+           CAST(bit_count(xor(s.sig, q.sig)) AS INTEGER) AS hamming
+    FROM sigs s CROSS JOIN qsig q
+    WHERE bit_count(xor(s.sig, q.sig)) <= 6
+),
+q AS (SELECT x, i FROM ex WHERE post_cid = '0'),
+scores AS (
+    SELECT e.post_cid,
+           ROUND(SUM(e.x * q.x) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))), 6) AS score
+    FROM ex e JOIN q ON e.i = q.i
+    WHERE e.post_cid IN (SELECT post_cid FROM cand)
+    GROUP BY e.post_cid
+)
+SELECT s.post_cid, s.score, c.hamming
+FROM scores s JOIN cand c ON c.post_cid = s.post_cid
+ORDER BY s.score DESC, s.post_cid LIMIT 10
+""",
+    doc="Approximate cosine top-k: random-hyperplane signature hamming "
+    "prune + exact rerank of candidates only (SimHash for dense vectors, "
+    "Charikar STOC'02) — the 100 TB scale path next to exact ann_topk "
+    "(SURVEY.md G10). Deterministic planes make the approximation itself "
+    "oracle-verifiable.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import lsh_topk
+
+    return lsh_topk(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        dim=_emb_dim(spark, sf_dir),
+        k=10,
+        num_planes=16,
+        max_hamming=6,
+    )
+
+
+@register(
+    "embedding_lsh_near_dup",
+    f"""
+WITH {_ORACLE_EMB_EXPLODED},
+{_ORACLE_LSH_SIGS.strip().rstrip()},
+bands AS (
+    SELECT post_cid, bb.b, (sig >> (bb.b * 8)) & 255 AS bval
+    FROM sigs CROSS JOIN (SELECT UNNEST(range(2)) AS b) bb
+),
+cand AS (
+    SELECT DISTINCT a.post_cid AS v1, b2.post_cid AS v2
+    FROM bands a JOIN bands b2
+      ON a.b = b2.b AND a.bval = b2.bval AND a.post_cid < b2.post_cid
+)
+SELECT c.v1, c.v2,
+       ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS score
+FROM cand c
+JOIN ex a ON a.post_cid = c.v1
+JOIN ex b ON b.post_cid = c.v2 AND b.i = a.i
+GROUP BY 1, 2
+HAVING ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) >= 0.4
+""",
+    doc="Banded-LSH near-duplicate pairs over embeddings: bucket equi-join "
+    "on (band, value) replaces the O(n²) candidate step of "
+    "embedding_near_dup; exact cosine reranks candidates (M6 semantic "
+    "dedup scale path, next to the MinHash text path).",
+)
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.ann import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(
+        _emb(spark, sf_dir),
+        dim=_emb_dim(spark, sf_dir),
+        threshold=0.4,
+        num_planes=16,
+        band_bits=8,
+    )
+
+

@@ -1,0 +1,130 @@
+"""Event-time windows (SURVEY.md M5 / X4 superset).
+
+Split from the single-file catalog (round 7, VERDICT r6 #7); bodies
+are verbatim from that file — see its git history for provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from echo_chambers_detection_spark.catalog._core import (
+    _dec_sum,
+    _t,
+    register,
+)
+
+# ===========================================================================
+# Event-time windows (SURVEY.md M5 / X4 superset): tumbling, sliding,
+# session. Batch formulations here (oracle-checkable); streaming
+# equivalence is proven in tests/test_streaming.py.
+# ===========================================================================
+
+
+@register(
+    "tumbling_event_counts",
+    """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1h event-time windows (X4; reference has no event time "
+    "at all — capability superset over the events fixture)",
+)
+def q_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_event_counts",
+    """
+WITH phased AS (
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b, event_type
+    FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP), INTERVAL '30 minutes') AS b, event_type
+    FROM events
+)
+SELECT epoch_ms(b) AS window_start_ms, event_type, COUNT(*) AS n_events
+FROM phased GROUP BY 1, 2
+""",
+    doc="Sliding 1h/30m windows — each event lands in two phase-shifted "
+    "buckets, which is exactly Spark's window(slide) expansion",
+)
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "session_windows_by_type",
+    """
+WITH ordered AS (
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                     > INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sess AS (
+    SELECT event_type, ts,
+           SUM(new_sess) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM ordered
+)
+SELECT event_type,
+       epoch_ms(MIN(ts)) AS session_start_ms,
+       epoch_ms(MAX(ts) + INTERVAL '5 minutes') AS session_end_ms,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY event_type, sid
+""",
+    doc="Session windows with a 5-minute gap (Spark session_window vs the "
+    "classic gaps-and-islands SQL formulation)",
+)
+def q_session_windows_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+

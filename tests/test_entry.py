@@ -30,36 +30,31 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r6 = {
-        # new in round 6 — never stamped
-        "louvain_planted_recovery", "modularity_opt_planted_recovery",
-        "leiden_planted_recovery", "lpa_planted_recovery",
-        "kcore_planted_cores", "connected_components_planted",
-        "density_clusters_lsh_exhaustive",
-        # code changed in round 6, oracle-backed — restamp after change
-        "events_in_membership_intervals", "ann_ivf_topk", "ann_pq_topk",
-        "coengagement_edges", "embedded_documents",
-        "embedding_lsh_near_dup",
-        # not stamped in round 5 (r4 stamps, oldest in the rotation)
-        "revenue_by_nation", "doc_fingerprints",
-        "scd2_membership_history", "language_id_pred",
-        "embedding_near_dup", "tumbling_event_counts",
-        "engagement_union", "sliding_event_counts",
-        "simhash64_near_pairs", "language_id_trigram_pred",
-        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
-        "c4_quality_flags", "winnowing_fingerprints",
-        "multimodal_blob_stats", "membership_with_labels", "top_orders",
-        "customers_without_orders", "active_customers",
-        "top3_orders_per_customer", "event_type_stats", "ann_extremes",
-        "text_token_stats", "knn_graph_topk", "doc_repetition_scores",
-        "density_clusters_lsh", "coengagement_top_pairs",
-        "embedding_similarity_join", "user_mean_embeddings",
-        "conductance_sentinel", "connected_components_strong",
-        "scd2_current_membership", "scd2_membership_as_of",
-        "community_catalog_save", "community_membership_save",
-        "session_windows_by_type",
+    must_stamp_r7 = {
+        # round-7 window intent: the two new oracles, the 44 entries
+        # that sat outside the round-6 window, and the code-touched +
+        # flagship pads (see catalog/_ordering.py)
+        "analysis_run_hdbscan", "analysis_run_metrics", "ann_ivf_probe_topk",
+        "ann_lsh_topk", "ann_pq_probe_topk", "ann_topk",
+        "benchmark_contamination", "coengagement_edges",
+        "community_metrics_table", "corpus_manifest", "density_clusters",
+        "embedded_documents", "engaged_user_set_ops", "event_type_user_cube",
+        "event_user_cardinalities", "event_value_percentiles",
+        "exact_dedup_groups", "fastrp_embeddings", "fastrp_step_recovery",
+        "global_echo_metrics", "hdbscan_clusters", "hdbscan_planted_recovery",
+        "kafka_producer_messages", "kcore_user_graph", "knn_graph_ann_topk",
+        "label_propagation_communities", "leiden_communities",
+        "louvain_user_communities", "membership_asof_join",
+        "minhash_lsh_candidates", "modularity_optimization_communities",
+        "multimodal_blob_stats", "near_dup_keep_list", "ngram_jaccard_pairs",
+        "order_stats_rollup", "pricing_summary", "quality_head_per_lang",
+        "rfc4122_layout_ids", "rfc4122_point_ids", "scd2_membership_history",
+        "simhash64_md5_near_pairs", "simhash_near_pairs",
+        "simhash_signatures", "source_mixture_rates", "text_quality_scores",
+        "token_pack_chunks", "train_val_test_split", "user_first_seen",
+        "user_profiles_cleaned", "user_running_totals",
     }
-    missing = must_stamp_r6 - set(window)
+    missing = must_stamp_r7 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
 
 
@@ -94,3 +89,21 @@ def test_event_user_cardinalities_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["rel_error"]) <= 0.06, (r["event_type"], r["rel_error"])
+
+
+def test_catalog_package_surface_unchanged():
+    """The catalog split (round 7) must not move the public surface:
+    the package exports the registry machinery plus the helper names
+    tests and notebooks import, and the registry dict IS the _core
+    dict (family modules mutate the same object _ordering reorders)."""
+    import echo_chambers_detection_spark.catalog as cat
+    from echo_chambers_detection_spark.catalog import _core
+    from echo_chambers_detection_spark.catalog._ordering import (
+        _REGISTRY_ORDER,
+    )
+
+    assert cat.QUERY_REGISTRY is _core.QUERY_REGISTRY
+    assert list(cat.QUERY_REGISTRY) == _REGISTRY_ORDER
+    for name in ("QuerySpec", "register", "_t", "_dec_sum",
+                 "_emb", "_query_vec", "_post_graph"):
+        assert callable(getattr(cat, name)), name
