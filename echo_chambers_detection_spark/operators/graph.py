@@ -971,12 +971,30 @@ def _refine(
                 ).alias("ok"),
             )
         )
+        # rounds >= 1: only still-singleton movers can move (subs never
+        # shrink, so singleton-hood is monotone) — semi-join the edge
+        # frame down to their rows BEFORE the wide candidate join, so
+        # later rounds scan the shrinking frontier instead of re-joining
+        # all intra edges (round 7; the post-join is_mover/n_own filter
+        # below is unchanged and makes this a pure plan optimization)
+        intra_r = intra
+        if rnd > 0:
+            active = (
+                nstate.where(F.col("is_mover"))
+                .join(
+                    substate.where(F.col("n") == 1).select("sub"),
+                    "sub",
+                    "leftsemi",
+                )
+                .select(F.col("node").alias("src"))
+            )
+            intra_r = intra.join(hint(active), "src", "leftsemi")
         # singleton v -> adjacent sub S: w(v,S), gain w_vS − k_v·k_S/(2m).
         # One wide exchange (hash(src) from the repartition serves the
         # aggregation, the window, and the final groupBy); tgt-side
         # constants ride the aggregation like sigma in _local_moves.
         cand = (
-            intra.join(
+            intra_r.join(
                 hint(
                     nstate.select(
                         F.col("node").alias("src"),
@@ -1087,8 +1105,10 @@ def leiden(
     A final connected-components pass enforces the connectivity guarantee
     unconditionally (with bounded max_levels the loop may stop before the
     fixpoint where Traag et al.'s connectivity proof applies); it only
-    ever splits, never merges. Returns (node, community), ids = min
-    member node."""
+    ever splits, never merges, and since round 7 it runs over the FINAL
+    aggregation units rather than the level-0 graph — exact because
+    refined subs are connected by construction (see the tail comment).
+    Returns (node, community), ids = min member node."""
     sym = _materialize_wide(_symmetrize(edges))
     m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
     m = float(m_row["m"] or 0.0)
@@ -1117,12 +1137,29 @@ def leiden(
     small = _probe_small(mapping)
     hint = _state_hint(small)
     sub2comm = comm0.select(F.col("node").alias("sub"), "community")
+    unit_edges = None  # set on the moves==0 break; else the final sym
 
     for _level in range(max_levels):
         prev_sub2comm, prev_mapping = sub2comm, mapping
         comm, moves = _local_moves(
             sym, selfw, comm0, m, max_rounds, small_state=small
         )
+        if _level == max_levels - 1:
+            # LAST level: the refined partition is only ever consumed by
+            # the next level's aggregation, which will not happen, and
+            # the community output factors through `comm` identically
+            # with or without refining (each refined sub lies inside one
+            # community, so sub2comm∘mapping == comm either way, and the
+            # units stay connected for the CC check below) — skip the
+            # whole refinement pass (round 7; 20% of the 6M-edge row)
+            sub2comm = _materialize(
+                comm.select(F.col("node").alias("sub"), "community")
+            )
+            # mapping is NOT replaced on this path — keep its blocks
+            _release_checkpoint(comm)
+            if prev_sub2comm is not comm0:
+                _release_checkpoint(prev_sub2comm)
+            break
         refined = _refine(sym, selfw, comm, m, small_state=small, gamma=gamma)
         sub2comm = _materialize(
             refined.join(comm, "node")
@@ -1138,6 +1175,15 @@ def leiden(
         if prev_sub2comm is not comm0:  # level-0 seed shares comm0's blocks
             _release_checkpoint(prev_sub2comm)
         if moves == 0:
+            # the refined subs were never coarsened: build just the
+            # unit-level edge list the connectivity check below needs
+            fin_edges, _ = _coarsen(
+                sym,
+                selfw,
+                refined.select("node", F.col("sub").alias("community")),
+                small_state=small,
+            )
+            unit_edges = _materialize(fin_edges.select("src", "dst"))
             _release_checkpoint(refined)
             break
         new_edges, new_selfw = _coarsen(
@@ -1150,33 +1196,65 @@ def leiden(
         sym = _materialize_wide(_symmetrize(new_edges))
         selfw = _materialize(new_selfw)
         _release_checkpoint(refined)
-        if prev_sym is not sym0:  # sym0 feeds the final connectivity pass
+        if prev_sym is not sym0:
             _release_checkpoint(prev_sym)
         comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
         if sym.isEmpty():
             break
 
-    base = mapping.join(
-        hint(sub2comm.withColumnRenamed("sub", "agg")), "agg"
-    ).select("node", "community")
+    if unit_edges is None:
+        # normal exit: the latest coarsened graph IS the unit-level
+        # graph (its nodes are the final refined subs); zero-level exit
+        # degenerates to sym0 with all-singleton communities, where the
+        # intra frame below is empty and every unit keeps its own label
+        unit_edges = sym.select("src", "dst")
 
-    # connectivity safety net (split-only); read edges from the
-    # materialized level-0 sym leaf, not the caller's (possibly expensive,
-    # lazy) edge plan
-    lab_s = base.select(F.col("node").alias("u1"), F.col("community").alias("c1"))
-    lab_d = base.select(F.col("node").alias("u2"), F.col("community").alias("c2"))
-    intra = (
-        sym0.where(F.col("src") < F.col("dst"))
+    # connectivity safety net (split-only), at the FINAL AGGREGATED
+    # level (round 7 — was a full CC over the level-0 graph, ~20% of
+    # the 6M-edge bench row with its two full-width label joins).
+    # Every refined sub is connected by construction (_refine grows
+    # subs one positive-gain edge at a time), so a community is
+    # connected iff its induced subgraph over the final aggregation
+    # units is, and splitting there is EXACT: units partition the
+    # nodes, intra-community adjacency factors through units, and each
+    # split part's label is the min original member via the per-unit
+    # minima — identical labels to the node-level pass, thousands of
+    # times smaller at scale.
+    unit_min = mapping.groupBy("agg").agg(F.min("node").alias("umin"))
+    lab_u1 = sub2comm.select(
+        F.col("sub").alias("u1"), F.col("community").alias("c1")
+    )
+    lab_u2 = sub2comm.select(
+        F.col("sub").alias("u2"), F.col("community").alias("c2")
+    )
+    intra_u = (
+        unit_edges.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u1"), F.col("dst").alias("u2"))
-        .join(lab_s, "u1")
-        .join(lab_d, "u2")
+        .join(lab_u1, "u1")
+        .join(lab_u2, "u2")
         .where(F.col("c1") == F.col("c2"))
         .select("u1", "u2")
     )
-    comps = connected_components(intra)
-    return base.join(comps, "node", "left").select(
-        "node", F.coalesce("component", F.col("node")).alias("community")
+    comps_u = connected_components(intra_u)
+    comp_min = comps_u.join(
+        unit_min.withColumnRenamed("agg", "node"), "node"
+    ).groupBy("component").agg(F.min("umin").alias("cmin"))
+    unit_final = comps_u.join(comp_min, "component").select(
+        F.col("node").alias("agg"), "cmin"
     )
+    out = (
+        mapping.join(hint(unit_final), "agg", "left")
+        .join(hint(unit_min), "agg")
+        .select(
+            "node", F.coalesce("cmin", F.col("umin")).alias("community")
+        )
+    )
+    # comps_u is materialized inside connected_components, so every
+    # graph leaf is dead here; `out` reads only mapping + CC results
+    if sym is not sym0:
+        _release_checkpoint(sym)
+    _release_checkpoint(sym0)
+    return out
 
 
 # ---------------------------------------------------------------------------
