@@ -678,13 +678,16 @@ def condense_and_select(
 
     # ---- selection (excess of mass) ----
     total_w = sum(wt)
+    # size = points that ever belonged (fell out OR persisted);
+    # accumulated bottom-up in one pass (children have larger ids) —
+    # the old per-point ancestor walk was quadratic on chain-shaped
+    # cluster trees (round-7 caterpillar profile: ~70 s of pure driver
+    # Python at 50k-deep chains)
     c_size = [0] * len(c_parent)
-    # size = points that ever belonged (fell out OR persisted)
     for p, (cid, _) in point_cluster.items():
-        c = cid
-        while c >= 0:
-            c_size[c] += wt[p]
-            c = c_parent[c]
+        c_size[cid] += wt[p]
+    for cid in reversed(range(1, len(c_parent))):
+        c_size[c_parent[cid]] += c_size[cid]
 
     selectable = [
         cid != root_cid and c_size[cid] < total_w
@@ -1355,17 +1358,16 @@ def _condense_top(
             d = big
 
     total_w = sum(wt)
+    # bottom-up size accumulation (children have larger ids) — the
+    # per-leaf ancestor walk was quadratic on chain-shaped top trees
+    # (see condense_and_select)
     c_size = [0] * len(c_parent)
     for p, (cid, _) in point_cluster.items():
-        c = cid
-        while c >= 0:
-            c_size[c] += wt[p]
-            c = c_parent[c]
+        c_size[cid] += wt[p]
     for d, cid in entered.items():
-        c = cid
-        while c >= 0:
-            c_size[c] += wt[d]
-            c = c_parent[c]
+        c_size[cid] += wt[d]
+    for cid in reversed(range(1, len(c_parent))):
+        c_size[c_parent[cid]] += c_size[cid]
 
     selectable = [
         cid != root_cid and c_size[cid] < total_w
@@ -1443,6 +1445,14 @@ TWO_LEVEL_MIN_EDGES = 500_000
 # A single pandas group condenses one component; cap its edge count so
 # one executor task never sees an unbounded slab.
 TWO_LEVEL_MAX_COMPONENT_EDGES = 4_000_000
+# Preferred (soft) per-component ceiling: the hard cap protects executor
+# memory, but a single near-cap component serializes the per-component
+# condense into ONE Python task (round-7 caterpillar profile: a 150k-edge
+# component cost 72 s in one group). When a finer candidate θ gets the
+# biggest component under this bound, take it — the top collect grows by
+# at most the (constant) relaxed budget while the executor side becomes
+# embarrassingly parallel.
+TWO_LEVEL_SOFT_COMPONENT_EDGES = 100_000
 
 
 def condense_two_level(
@@ -1490,6 +1500,16 @@ def condense_two_level(
     # relaxed-but-constant 2× budget, and every fallback is logged with
     # the guard that fired.
     log = logging.getLogger(__name__)
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        log.info("condense_two_level stage %-14s %.1fs", name, now - _t0)
+        _t0 = now
+
     f0 = min(0.5, (driver_rows // 2) / ecount)
     fracs = [f0, min(0.5, 2.0 * f0), min(0.5, 4.0 * f0)]
     # rank error scaled to the budget: at >=1e8 edges the default 0.001
@@ -1517,6 +1537,7 @@ def condense_two_level(
         )
         _release_checkpoint(e, attrs)
         return None
+    _stage("theta_search")
     fine = max(viable)  # finest viable cut (smallest θ)
     coarse = min(viable)  # preferred cut (fewest collected top edges)
 
@@ -1600,6 +1621,13 @@ def condense_two_level(
                     "leftsemi",
                 ).collect()
             }
+        # per-level merged-component maxima and mappings (driver-
+        # trivial union-finds over the bounded mid-band); then pick the
+        # coarsest level under the SOFT ceiling, falling back to the
+        # coarsest under the hard cap
+        stats: dict[int, tuple[int, dict[str, str]]] = {
+            fine: (int(fine_max), {})
+        }
         for lvl in sorted(i for i in viable if i < fine):
             lvl_edges = [r for r in mid if r["w"] < thetas[lvl]]
             parent: dict[str, str] = {}
@@ -1617,15 +1645,25 @@ def condense_two_level(
             for r in lvl_edges:
                 root = _uf_find(parent, r["cu"])
                 tot[root] = tot.get(root, 0) + 1
-            if max(tot.values(), default=0) <= TWO_LEVEL_MAX_COMPONENT_EDGES:
-                chosen = lvl
-                mapping = {
+            stats[lvl] = (
+                max([int(fine_max)] + list(tot.values())),
+                {
                     c: _uf_find(parent, c)
                     for c in touched
                     if _uf_find(parent, c) != c
-                }
+                },
+            )
+        for cap in (
+            TWO_LEVEL_SOFT_COMPONENT_EDGES,
+            TWO_LEVEL_MAX_COMPONENT_EDGES,
+        ):
+            picks = [i for i in sorted(stats) if stats[i][0] <= cap]
+            if picks:
+                chosen = picks[0]
+                mapping = stats[chosen][1]
                 break
 
+    _stage("cc_and_cuts")
     theta = thetas[chosen]
     if chosen != fine and n_exts[chosen] > driver_rows:
         log.info(
@@ -1653,6 +1691,7 @@ def condense_two_level(
         )
         _release_checkpoint(node_comp_fine, comp_edges_fine)
     _release_checkpoint(fine_cnt)
+    _stage("node_comp")
     comp_summary = (
         node_comp.join(attrs, "node")
         .groupBy("comp")
@@ -1689,26 +1728,37 @@ def condense_two_level(
     )
     mcs = min_cluster_size
 
-    def run_component(pdf: pd.DataFrame) -> pd.DataFrame:
-        comp = pdf["comp"].iloc[0]
-        sizes: dict[str, int] = {}
-        min_ids: dict[str, str] = {}
-        for u, s, m in zip(pdf["u1"], pdf["s1"], pdf["m1"]):
-            sizes[u] = int(s)
-            min_ids[u] = m
-        for u, s, m in zip(pdf["u2"], pdf["s2"], pdf["m2"]):
-            sizes[u] = int(s)
-            min_ids[u] = m
-        edges = list(zip(pdf["u1"], pdf["u2"], pdf["w"]))
-        A, term_best, labels = _component_condense(
-            sorted(sizes), edges, mcs, sizes, min_ids
-        )
-        out_comp = [comp] * (1 + len(labels))
-        out_kind = ["s"] + ["n"] * len(labels)
-        out_node = [""] + list(labels)
-        out_lab = [""] + [labels[k] for k in labels]
-        out_a = [A] + [0.0] * len(labels)
-        out_tb = [term_best] + [0.0] * len(labels)
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Arrow group = one BUCKET of components (round 7): the
+        # per-group Spark/Arrow/worker overhead is ~1 ms, which at 100k
+        # tiny components serialized the whole pass (72 s measured on
+        # the caterpillar bench); a pandas groupby inside the bucket
+        # amortizes that to microseconds per component
+        out_comp: list = []
+        out_kind: list = []
+        out_node: list = []
+        out_lab: list = []
+        out_a: list = []
+        out_tb: list = []
+        for comp, cdf in pdf.groupby("comp", sort=False):
+            sizes: dict[str, int] = {}
+            min_ids: dict[str, str] = {}
+            for u, sz_, m in zip(cdf["u1"], cdf["s1"], cdf["m1"]):
+                sizes[u] = int(sz_)
+                min_ids[u] = m
+            for u, sz_, m in zip(cdf["u2"], cdf["s2"], cdf["m2"]):
+                sizes[u] = int(sz_)
+                min_ids[u] = m
+            edges = list(zip(cdf["u1"], cdf["u2"], cdf["w"]))
+            A, term_best, labels = _component_condense(
+                sorted(sizes), edges, mcs, sizes, min_ids
+            )
+            out_comp += [comp] * (1 + len(labels))
+            out_kind += ["s"] + ["n"] * len(labels)
+            out_node += [""] + list(labels)
+            out_lab += [""] + [labels[k] for k in labels]
+            out_a += [A] + [0.0] * len(labels)
+            out_tb += [term_best] + [0.0] * len(labels)
         return pd.DataFrame(
             {
                 "comp": out_comp,
@@ -1720,13 +1770,23 @@ def condense_two_level(
             }
         )
 
+    _stage("group_build")
+    # bucket count: ~50k edges per bucket for amortization, bounded so
+    # small inputs still spread across the cluster; one bucket's slab is
+    # at most (hard cap) + its share of the rest — same memory contract
+    n_buckets = int(min(4096, max(64, ecount // 50_000 + 1)))
     comp_out = _materialize(
-        grp.groupBy("comp").applyInPandas(
-            run_component,
+        grp.withColumn(
+            "_bkt", F.pmod(F.xxhash64("comp"), F.lit(n_buckets))
+        )
+        .groupBy("_bkt")
+        .applyInPandas(
+            run_bucket,
             schema="comp string, kind string, node string, lab string, "
             "a double, tb double",
         )
     )
+    _stage("component_condense")
     comp_entry = {
         r["comp"]: (float(r["a"]), float(r["tb"]))
         for r in comp_out.where(F.col("kind") == "s").collect()
@@ -1737,6 +1797,7 @@ def condense_two_level(
         # fail loudly rather than mislabel
         raise AssertionError("two-level condense lost a component summary")
 
+    _stage("entry_collect")
     top = (
         e.where(F.col("w") >= theta)
         .join(
@@ -1753,6 +1814,7 @@ def condense_two_level(
         )
         .collect()
     )
+    _stage("top_collect")
     verdicts = _condense_top(
         comp_sizes,
         comp_min_ids,
@@ -1760,6 +1822,7 @@ def condense_two_level(
         [(r["u1"], r["u2"], float(r["w"]), r["cu"], r["cv"]) for r in top],
         mcs,
     )
+    _stage("condense_top")
 
     # assemble (snode, _lab): whole-component labels via one small join,
     # INTERNAL components from the distributed per-node rows
