@@ -30,6 +30,7 @@ _REGISTRY_ORDER = [
     "fastrp_step_recovery",
     "graph_ann_planted_topk",
     "graph_ann_embeddings_topk",
+    "multimodal_audio_stats",
     # the 44 entries that sat outside the round-6 window (r4/r5
     # stamps, oldest in the rotation — the whole tail returns per the
     # standing policy; rows-only entries re-record their weaker check)
@@ -78,12 +79,11 @@ _REGISTRY_ORDER = [
     "global_echo_metrics",
     "ann_topk",
     # pad: code-touched this round (multimodal decoder auto-routing)
-    # plus the flagship kept fresh
     "multimodal_blob_stats",
-    "coengagement_edges",
     # -- TAIL (51+): stamped green in round 6 (age 1), still locally
     # hash-verified every run by tests/test_catalog_oracle.py; they
     # return to the window in round 8 ----------------------------------
+    "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",
     "louvain_planted_recovery",

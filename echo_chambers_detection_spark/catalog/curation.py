@@ -1440,3 +1440,70 @@ def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+SELECT doc_id,
+       1 AS n_channels,
+       16000 AS sample_rate,
+       CAST(1000 + doc_id % 50 AS BIGINT) AS n_samples,
+       round((1000 + doc_id % 50) / 16.0, 6) AS duration_ms,
+       round((doc_id % 8) * 4096 / 32768.0, 6) AS rms
+FROM documents
+WHERE doc_id < 200
+""",
+    doc="The audio leg of the multimodal family, ORACLE-EXACT end to "
+    "end (round 7): deterministic PCM16 WAV payloads are synthesized "
+    "per doc_id (constant amplitude (doc_id%8)*4096, length "
+    "1000+doc_id%50 at 16 kHz) in one Arrow stage, then decoded by the "
+    "vendored stdlib RIFF/WAVE parser (functions/audiocodec.py) in "
+    "`decode_audio` — constant-amplitude PCM has closed-form RMS = "
+    "a/32768 and duration = n/rate, which DuckDB generates directly. "
+    "Exercises the encode->binary column->Arrow batch->decode pipeline "
+    "the image leg covers for PNG/BMP.",
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from echo_chambers_detection_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        from echo_chambers_detection_spark.functions.audiocodec import (
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    [int(d % 8) * 4096] * (1000 + int(d) % 50),
+                    sample_rate=16_000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    out = decode_audio(blobs, decoder="real")
+    return out.select(
+        "doc_id",
+        "n_channels",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "n_samples",
+        # n/16 is exact in binary (power-of-two divisor), so the
+        # round is an identity on both engines — n/16000 lands exactly
+        # on .5e-6 rounding boundaries where Spark (HALF_UP) and DuckDB
+        # (HALF_EVEN) disagree
+        F.round(F.col("n_samples") / F.lit(16.0), 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -230,3 +230,84 @@ def sample_frames(
         .where(F.col("frame_idx") % every_nth == 0)
         .drop("_i")
     )
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_stub(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Deterministic fake audio decode for non-audio payloads — same
+    role as decode_image_stub: channels/rate/length derived from the
+    byte length and a checksum so the pipeline stays testable."""
+    n = len(payload)
+    rate = 8_000 + (n % 3) * 4_000
+    n_samples = max(0, n // 2)
+    rms = ((sum(payload[:256]) % 1000) / 1000.0) if n else 0.0
+    return 1, rate, n_samples, n_samples / rate, rms
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "auto",
+) -> DataFrame:
+    """Arrow-batched audio feature-extract stage, the audio twin of
+    `decode_images` (SURVEY.md M6): mapInPandas over binary payloads →
+    (doc_id, n_channels, sample_rate, n_samples, duration_s, rms).
+
+    decoder: 'real' (vendored stdlib RIFF/WAVE parser,
+    functions/audiocodec.py — raises on non-WAV), 'stub', or 'auto'
+    (real for payloads whose magic bytes say WAV, stub otherwise —
+    the per-payload routing of decode_images)."""
+    if decoder not in ("stub", "real", "auto"):
+        raise ValueError(f"decoder must be stub|real|auto, got {decoder!r}")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from echo_chambers_detection_spark.functions.audiocodec import (
+            decode_wav,
+            sniff_wav,
+        )
+
+        def auto(payload: bytes):
+            if sniff_wav(payload):
+                return decode_wav(payload)
+            return decode_audio_stub(payload)
+
+        decode = {
+            "real": decode_wav,
+            "stub": decode_audio_stub,
+            "auto": auto,
+        }[decoder]
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_channels": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+            }
+            for payload in pdf[payload_col]:
+                c, r, ns, dur, rms = decode(bytes(payload))
+                out["n_channels"].append(c)
+                out["sample_rate"].append(r)
+                out["n_samples"].append(ns)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=DECODED_AUDIO_SCHEMA
+    )

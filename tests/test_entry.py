@@ -31,29 +31,29 @@ def test_registry_window_covers_unverified_queries():
 
     window = list(QUERY_REGISTRY)[:50]
     must_stamp_r7 = {
-        # round-7 window intent: the four new oracles/operators, the 44
+        # round-7 window intent: the five new oracles/operators, the 44
         # entries that sat outside the round-6 window, and the
-        # code-touched + flagship pads (see catalog/_ordering.py)
+        # code-touched pad (see catalog/_ordering.py)
         "analysis_run_hdbscan", "analysis_run_metrics", "ann_ivf_probe_topk",
         "ann_lsh_topk", "ann_pq_probe_topk", "ann_topk",
-        "benchmark_contamination", "coengagement_edges",
-        "community_metrics_table", "corpus_manifest", "density_clusters",
-        "engaged_user_set_ops", "event_type_user_cube",
-        "event_user_cardinalities", "event_value_percentiles",
-        "exact_dedup_groups", "fastrp_embeddings", "fastrp_step_recovery",
-        "global_echo_metrics", "graph_ann_embeddings_topk",
-        "graph_ann_planted_topk", "hdbscan_clusters",
-        "hdbscan_planted_recovery", "kafka_producer_messages",
-        "kcore_user_graph", "knn_graph_ann_topk",
+        "benchmark_contamination", "community_metrics_table",
+        "corpus_manifest", "density_clusters", "engaged_user_set_ops",
+        "event_type_user_cube", "event_user_cardinalities",
+        "event_value_percentiles", "exact_dedup_groups", "fastrp_embeddings",
+        "fastrp_step_recovery", "global_echo_metrics",
+        "graph_ann_embeddings_topk", "graph_ann_planted_topk",
+        "hdbscan_clusters", "hdbscan_planted_recovery",
+        "kafka_producer_messages", "kcore_user_graph", "knn_graph_ann_topk",
         "label_propagation_communities", "leiden_communities",
         "louvain_user_communities", "membership_asof_join",
         "minhash_lsh_candidates", "modularity_optimization_communities",
-        "multimodal_blob_stats", "near_dup_keep_list", "ngram_jaccard_pairs",
-        "order_stats_rollup", "pricing_summary", "quality_head_per_lang",
-        "rfc4122_layout_ids", "rfc4122_point_ids", "simhash64_md5_near_pairs",
-        "simhash_near_pairs", "simhash_signatures", "source_mixture_rates",
-        "text_quality_scores", "token_pack_chunks", "train_val_test_split",
-        "user_first_seen", "user_profiles_cleaned", "user_running_totals",
+        "multimodal_audio_stats", "multimodal_blob_stats",
+        "near_dup_keep_list", "ngram_jaccard_pairs", "order_stats_rollup",
+        "pricing_summary", "quality_head_per_lang", "rfc4122_layout_ids",
+        "rfc4122_point_ids", "simhash64_md5_near_pairs", "simhash_near_pairs",
+        "simhash_signatures", "source_mixture_rates", "text_quality_scores",
+        "token_pack_chunks", "train_val_test_split", "user_first_seen",
+        "user_profiles_cleaned", "user_running_totals",
     }
     missing = must_stamp_r7 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"

@@ -246,3 +246,61 @@ def test_repartition_warns_on_ignored_sample_fraction(blob_df):
             sample_fraction=0.5,
         )
     assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+
+
+def test_vendored_wav_decode_roundtrip():
+    """Stdlib WAV: encode a known sine-ish PCM16 signal, decode, and
+    check the closed-form RMS (square wave amplitude a -> rms a)."""
+    from echo_chambers_detection_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    amp = 16384  # half scale -> rms 0.5
+    samples = [amp if i % 2 == 0 else -amp for i in range(8000)]
+    wav = encode_wav_pcm16(samples, sample_rate=16_000)
+    c, r, n, dur, rms = decode_wav(wav)
+    assert (c, r, n) == (1, 16_000, 8000)
+    assert abs(dur - 0.5) < 1e-9
+    assert abs(rms - 0.5) < 1e-6
+
+
+def test_wav_unsupported_format_raises():
+    import struct
+
+    import pytest
+
+    from echo_chambers_detection_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    wav = bytearray(encode_wav_pcm16([0] * 4))
+    # flip the fmt audio-format field to ADPCM (2)
+    fmt_off = wav.index(b"fmt ") + 8
+    wav[fmt_off:fmt_off + 2] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_wav(bytes(wav))
+
+
+def test_decode_audio_auto_routes(spark):
+    from echo_chambers_detection_spark.functions.audiocodec import (
+        encode_wav_pcm16,
+    )
+    from echo_chambers_detection_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_stub,
+    )
+
+    wav = encode_wav_pcm16([8192] * 1600, sample_rate=16_000)
+    fake = b"definitely-not-audio" * 4
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(fake))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["sample_rate"] == 16_000
+    assert out[1]["n_samples"] == 1600
+    assert abs(out[1]["rms"] - 0.25) < 1e-6
+    sc, sr, sn, sd, srms = decode_audio_stub(fake)
+    assert out[2]["n_samples"] == sn and out[2]["sample_rate"] == sr
