@@ -166,6 +166,31 @@ def _graph_scale_probes(spark, timings: dict) -> None:
         e25,
         lambda e: G.label_propagation(e.select("u1", "u2")),
     )
+
+    # PageRank on the 50-regular fixture: the exact fixpoint is uniform
+    # 1/n, so correctness is a closed-form max-deviation assertion —
+    # floating error only (each round re-derives uniform from uniform)
+    def _check_pagerank_uniform(timings_key: str) -> None:
+        from pyspark.sql import functions as F
+
+        edges = e25()
+        t0 = time.perf_counter()
+        ranks = G.pagerank(
+            edges.select("u1", "u2"), max_iter=5, tol=0.0
+        ).localCheckpoint(eager=True)
+        timings[timings_key] = round(time.perf_counter() - t0, 3)
+        n = NB * BS
+        dev = ranks.agg(
+            F.max(F.abs(F.col("rank") - F.lit(1.0 / n))).alias("d")
+        ).first()["d"]
+        if dev > 1e-9:
+            raise AssertionError(
+                f"{timings_key}: rank deviates {dev:.3e} from the "
+                "uniform fixpoint (floating noise bound 1e-9)"
+            )
+        ranks.unpersist()
+
+    _check_pagerank_uniform("bench_pagerank_planted_5m")
     run(
         "bench_louvain_planted_5m",
         e25b,

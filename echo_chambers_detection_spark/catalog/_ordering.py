@@ -26,6 +26,9 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 _REGISTRY_ORDER = [
     # -- ROUND-7 WINDOW (first 50 = the driver's stamp set) ------------
     # new this round (never stamped)
+    "pagerank_planted",
+    "pagerank_user_graph",
+    "multimodal_video_stats",
     "hdbscan_planted_recovery",
     "fastrp_step_recovery",
     "graph_ann_planted_topk",
@@ -50,15 +53,12 @@ _REGISTRY_ORDER = [
     "event_user_cardinalities",
     "analysis_run_metrics",
     "analysis_run_hdbscan",
-    "rfc4122_point_ids",
     "rfc4122_layout_ids",
     "label_propagation_communities",
     "modularity_optimization_communities",
     "kcore_user_graph",
     "louvain_user_communities",
     "leiden_communities",
-    "density_clusters",
-    "fastrp_embeddings",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",
@@ -80,9 +80,15 @@ _REGISTRY_ORDER = [
     "ann_topk",
     # pad: code-touched this round (multimodal decoder auto-routing)
     "multimodal_blob_stats",
-    # -- TAIL (51+): stamped green in round 6 (age 1), still locally
-    # hash-verified every run by tests/test_catalog_oracle.py; they
-    # return to the window in round 8 ----------------------------------
+    # -- TAIL (51+): stamped green in round 6 (age 1) or displaced by
+    # this round's new hash-green queries (rfc4122_point_ids and
+    # density_clusters are rows-only entries whose hash twins —
+    # rfc4122_layout_ids, density_clusters_lsh_exhaustive — carry the
+    # driver signal, and tests/test_catalog_oracle.py still runs them
+    # every round); they return to the window in round 8 ---------------
+    "rfc4122_point_ids",
+    "density_clusters",
+    "fastrp_embeddings",
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",

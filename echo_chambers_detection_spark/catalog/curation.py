@@ -1507,3 +1507,81 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_samples") / F.lit(16.0), 6).alias("duration_ms"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@register(
+    "multimodal_video_stats",
+    """
+WITH fr AS (
+    SELECT doc_id, UNNEST(range(0, 3 + doc_id % 5)) AS f
+    FROM documents WHERE doc_id < 200
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*) AS n_sampled,
+           AVG(CAST((doc_id * 7 + f * 13) % 256 AS DOUBLE)) AS mean_luma
+    FROM fr WHERE f % 2 = 0
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       16 AS width,
+       8 AS height,
+       25.0 AS fps,
+       CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       mean_luma
+FROM agg
+""",
+    doc="The video leg of the multimodal family, ORACLE-EXACT end to "
+    "end (round 7, completing the image/audio/video triad): per doc_id "
+    "a deterministic YUV4MPEG2 stream is synthesized (16x8 C420, "
+    "3+doc_id%5 frames, frame f's Y plane constant (doc_id*7+f*13)%256) "
+    "in one Arrow stage, then decoded AND frame-sampled (stride 2) by "
+    "the vendored stdlib Y4M parser (functions/videocodec.py) in "
+    "`decode_video`. Constant planes make sampled mean luma a closed "
+    "form DuckDB generates directly — and the 128-byte power-of-two "
+    "plane keeps the division bit-exact in both engines. Mirrors what "
+    "an ffmpeg-backed sampler would emit for real footage.",
+)
+def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from echo_chambers_detection_spark.operators.multimodal import (
+        decode_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        from echo_chambers_detection_spark.functions.videocodec import (
+            encode_y4m,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = 3 + d % 5
+                frames = [
+                    bytes([(d * 7 + f * 13) % 256]) * (16 * 8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_y4m(frames, 16, 8))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    out = decode_video(blobs, decoder="real", frame_stride=2)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        "n_sampled",
+        "mean_luma",
+    )

@@ -668,3 +668,160 @@ def q_connected_components_strong(spark: SparkSession, sf_dir: str) -> DataFrame
     return connected_components(strong)
 
 
+
+# ---------------------------------------------------------------------------
+# PageRank (superset centrality over the same projected graph the
+# community family runs on; see operators/graph.py::pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_star_cycle(spark: SparkSession) -> DataFrame:
+    """Dyadic-exact PageRank fixture: 64 nodes whose degrees are ALL
+    powers of two — star K_{1,32} (hub 000, leaves 001..032), star
+    K_{1,16} (hub 033, leaves 034..049), and a 14-cycle (050..063).
+    With damping 0.5 every intermediate value of the power iteration is
+    a dyadic rational with denominator <= 2^24, so Spark and DuckDB
+    compute BIT-IDENTICAL doubles regardless of summation order — the
+    oracle can hash exact scaled integers instead of rounded floats."""
+    pad = lambda c: F.lpad(c.cast("string"), 3, "0")  # noqa: E731
+    star_a = spark.range(1, 33).select(
+        F.lit("000").alias("u1"), pad(F.col("id")).alias("u2")
+    )
+    star_b = spark.range(34, 50).select(
+        F.lit("033").alias("u1"), pad(F.col("id")).alias("u2")
+    )
+    cyc = spark.range(50, 63).select(
+        pad(F.col("id")).alias("u1"), pad(F.col("id") + 1).alias("u2")
+    )
+    wrap = spark.range(1).select(
+        F.lit("050").alias("u1"), F.lit("063").alias("u2")
+    )
+    return star_a.unionAll(star_b).unionAll(cyc).unionAll(wrap)
+
+
+_PAGERANK_ITER_SQL = """
+i{k} AS (
+    SELECT sh.dst AS node, SUM(sh.share * r{p}.r) AS s
+    FROM sh JOIN r{p} ON r{p}.node = sh.src
+    GROUP BY sh.dst
+),
+r{k} AS (
+    SELECT r{p}.node, 0.5 / 64 + 0.5 * COALESCE(i{k}.s, 0) AS r
+    FROM r{p} LEFT JOIN i{k} ON i{k}.node = r{p}.node
+)"""
+
+
+@register(
+    "pagerank_planted",
+    f"""
+WITH star_a AS (SELECT 0 AS src, i AS dst FROM range(1, 33) t(i)),
+star_b AS (SELECT 33 AS src, i AS dst FROM range(34, 50) t(i)),
+cyc AS (
+    SELECT i AS src, CASE WHEN i = 63 THEN 50 ELSE i + 1 END AS dst
+    FROM range(50, 64) t(i)
+),
+und AS (
+    SELECT src, dst FROM star_a UNION ALL SELECT dst, src FROM star_a
+    UNION ALL SELECT src, dst FROM star_b UNION ALL SELECT dst, src FROM star_b
+    UNION ALL SELECT src, dst FROM cyc UNION ALL SELECT dst, src FROM cyc
+),
+deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+sh AS (
+    SELECT u.src, u.dst, 1.0 / deg.d AS share
+    FROM und u JOIN deg ON deg.src = u.src
+),
+r0 AS (SELECT i AS node, 1.0 / 64 AS r FROM range(0, 64) t(i)),
+{_PAGERANK_ITER_SQL.format(k=1, p=0)},
+{_PAGERANK_ITER_SQL.format(k=2, p=1)},
+{_PAGERANK_ITER_SQL.format(k=3, p=2)}
+SELECT lpad(CAST(node AS VARCHAR), 3, '0') AS node,
+       CAST(r * 16777216 AS BIGINT) AS rank_scaled
+FROM r3
+""",
+    doc="PageRank dyadic-exact oracle: 3 power-iteration rounds at "
+    "damping 0.5 on the power-of-two-degree star/cycle fixture — every "
+    "rank is an exact multiple of 2^-24, so the comparison is on exact "
+    "scaled INTEGERS (no float rounding seam at all). The DuckDB side "
+    "replays the iteration unrolled as CTEs. Superset centrality next "
+    "to the reference's GDS community family "
+    "(project/metrics/community_detection.py:49-83).",
+)
+def q_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _pagerank_star_cycle(spark), damping=0.5, max_iter=3, tol=0.0
+    )
+    return ranks.select(
+        "node",
+        (F.col("rank") * F.lit(16777216.0)).cast("long").alias("rank_scaled"),
+    )
+
+
+@register(
+    "pagerank_user_graph",
+    f"""
+WITH {_ORACLE_ENGAGEMENTS_CTE},
+ce AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM ce
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM ce
+),
+wdeg AS (SELECT src, SUM(w) AS wd FROM und GROUP BY src),
+sh AS (
+    SELECT u.src, u.dst, u.w / wdeg.wd AS share
+    FROM und u JOIN wdeg ON wdeg.src = u.src
+),
+n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM und),
+r0 AS (SELECT DISTINCT src AS node, 1.0 / n.n AS r FROM und, n),
+i1 AS (
+    SELECT sh.dst AS node, SUM(sh.share * r0.r) AS s
+    FROM sh JOIN r0 ON r0.node = sh.src GROUP BY sh.dst
+),
+r1 AS (
+    SELECT r0.node, 0.15 / n.n + 0.85 * COALESCE(i1.s, 0) AS r
+    FROM r0 LEFT JOIN i1 ON i1.node = r0.node, n
+),
+i2 AS (
+    SELECT sh.dst AS node, SUM(sh.share * r1.r) AS s
+    FROM sh JOIN r1 ON r1.node = sh.src GROUP BY sh.dst
+),
+r2 AS (
+    SELECT r1.node, 0.15 / n.n + 0.85 * COALESCE(i2.s, 0) AS r
+    FROM r1 LEFT JOIN i2 ON i2.node = r1.node, n
+),
+i3 AS (
+    SELECT sh.dst AS node, SUM(sh.share * r2.r) AS s
+    FROM sh JOIN r2 ON r2.node = sh.src GROUP BY sh.dst
+),
+r3 AS (
+    SELECT r2.node, 0.15 / n.n + 0.85 * COALESCE(i3.s, 0) AS r
+    FROM r2 LEFT JOIN i3 ON i3.node = r2.node, n
+)
+SELECT node AS user_did, ROUND(r, 9) AS rank
+FROM r3
+""",
+    doc="Weighted PageRank (3 fixed rounds, damping 0.85) over the user "
+    "co-engagement projection — the production influence query next to "
+    "the community family; oracle unrolls the power iteration over the "
+    "same CTE graph. Ranks rounded to 9 digits (values are O(1e-3); the "
+    "~1e-16 summation-order jitter sits 7 orders below the rounding "
+    "grain).",
+)
+def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _user_graph(spark, sf_dir),
+        damping=0.85,
+        max_iter=3,
+        tol=0.0,
+        weighted=True,
+    )
+    return ranks.select(
+        F.col("node").alias("user_did"), F.round("rank", 9).alias("rank")
+    )

@@ -311,3 +311,97 @@ def decode_audio(
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=DECODED_AUDIO_SCHEMA
     )
+
+
+DECODED_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_stub(
+    payload: bytes, frame_stride: int = 1
+) -> tuple[int, int, float, int, int, float]:
+    """Deterministic fake video decode for non-video payloads — the
+    video twin of decode_image_stub/decode_audio_stub: geometry, frame
+    count and luma derived from byte length + checksum so the pipeline
+    stays testable on synthetic blob tables."""
+    n = len(payload)
+    width = 16 * (1 + n % 4)
+    height = 16 * (1 + (n // 4) % 4)
+    n_frames = max(1, n // 256)
+    n_sampled = (n_frames + frame_stride - 1) // frame_stride
+    luma = (sum(payload[:256]) % 256000) / 1000.0 if n else 0.0
+    return width, height, 25.0, n_frames, n_sampled, luma
+
+
+def decode_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "auto",
+    frame_stride: int = 1,
+) -> DataFrame:
+    """Arrow-batched video feature-extract + frame-sample stage, the
+    video leg of the multimodal family (SURVEY.md M6): mapInPandas over
+    binary payloads → (doc_id, width, height, fps, n_frames, n_sampled,
+    mean_luma), where mean_luma averages the raw Y plane over every
+    ``frame_stride``-th frame — the decode-side frame sampler
+    (`sample_frames` is the payload-agnostic plumbing variant).
+
+    decoder: 'real' (vendored stdlib YUV4MPEG2 parser,
+    functions/videocodec.py — raises on compressed containers), 'stub',
+    or 'auto' (real for payloads whose magic bytes say Y4M, stub
+    otherwise — the per-payload routing of decode_images/decode_audio).
+    """
+    if decoder not in ("stub", "real", "auto"):
+        raise ValueError(f"decoder must be stub|real|auto, got {decoder!r}")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from echo_chambers_detection_spark.functions.videocodec import (
+            decode_y4m,
+            sniff_y4m,
+        )
+
+        def auto(payload: bytes, stride: int):
+            if sniff_y4m(payload):
+                return decode_y4m(payload, frame_stride=stride)
+            return decode_video_stub(payload, frame_stride=stride)
+
+        decode = {
+            "real": lambda p, s: decode_y4m(p, frame_stride=s),
+            "stub": decode_video_stub,
+            "auto": auto,
+        }[decoder]
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": [],
+                "height": [],
+                "fps": [],
+                "n_frames": [],
+                "n_sampled": [],
+                "mean_luma": [],
+            }
+            for payload in pdf[payload_col]:
+                w, h, fps, nf, ns, luma = decode(bytes(payload), frame_stride)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(ns)
+                out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=DECODED_VIDEO_SCHEMA
+    )

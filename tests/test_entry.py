@@ -37,9 +37,9 @@ def test_registry_window_covers_unverified_queries():
         "analysis_run_hdbscan", "analysis_run_metrics", "ann_ivf_probe_topk",
         "ann_lsh_topk", "ann_pq_probe_topk", "ann_topk",
         "benchmark_contamination", "community_metrics_table",
-        "corpus_manifest", "density_clusters", "engaged_user_set_ops",
+        "corpus_manifest", "engaged_user_set_ops",
         "event_type_user_cube", "event_user_cardinalities",
-        "event_value_percentiles", "exact_dedup_groups", "fastrp_embeddings",
+        "event_value_percentiles", "exact_dedup_groups",
         "fastrp_step_recovery", "global_echo_metrics",
         "graph_ann_embeddings_topk", "graph_ann_planted_topk",
         "hdbscan_clusters", "hdbscan_planted_recovery",
@@ -48,9 +48,11 @@ def test_registry_window_covers_unverified_queries():
         "louvain_user_communities", "membership_asof_join",
         "minhash_lsh_candidates", "modularity_optimization_communities",
         "multimodal_audio_stats", "multimodal_blob_stats",
+        "multimodal_video_stats",
         "near_dup_keep_list", "ngram_jaccard_pairs", "order_stats_rollup",
+        "pagerank_planted", "pagerank_user_graph",
         "pricing_summary", "quality_head_per_lang", "rfc4122_layout_ids",
-        "rfc4122_point_ids", "simhash64_md5_near_pairs", "simhash_near_pairs",
+        "simhash64_md5_near_pairs", "simhash_near_pairs",
         "simhash_signatures", "source_mixture_rates", "text_quality_scores",
         "token_pack_chunks", "train_val_test_split", "user_first_seen",
         "user_profiles_cleaned", "user_running_totals",

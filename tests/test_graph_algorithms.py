@@ -19,6 +19,7 @@ from echo_chambers_detection_spark.operators.graph import (
     leiden,
     louvain,
     modularity_optimization,
+    pagerank,
     weighted_modularity,
 )
 
@@ -306,3 +307,85 @@ def test_connected_components_raises_on_nonconvergence(spark):
         assert {r["component"] for r in out.collect()} == {"n00"}
     finally:
         G.LOCAL_GRAPH_EDGE_LIMIT = old
+
+
+# ---------------------------------------------------------------------------
+# PageRank (superset centrality; operators/graph.py::pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_pagerank(n, directed_edges, damping, iters, weights=None):
+    """Reference power iteration with uniform dangling redistribution."""
+    import numpy as np
+
+    W = np.zeros((n, n))
+    for idx, (u, v) in enumerate(directed_edges):
+        W[u, v] = 1.0 if weights is None else weights[idx]
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        nz = out > 0
+        contrib = (r[nz] / out[nz]) @ W[nz]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+def test_pagerank_undirected_sums_to_one_and_orders_hubs(spark):
+    # star: hub sees all the rank mass
+    edges = _edges_df(spark, [("h", f"l{i}") for i in range(6)])
+    rows = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=30, tol=1e-12).collect()
+    }
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert rows["h"] > max(v for k, v in rows.items() if k != "h")
+    leaf_vals = [v for k, v in rows.items() if k != "h"]
+    assert max(leaf_vals) - min(leaf_vals) < 1e-12
+
+
+def test_pagerank_directed_dangling_matches_numpy(spark):
+    # chain a->b->c with c dangling, plus d->b: closed-form via numpy
+    names = ["a", "b", "c", "d"]
+    directed = [(0, 1), (1, 2), (3, 1)]
+    edges = _edges_df(
+        spark, [(names[u], names[v]) for u, v in directed]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, damping=0.85, max_iter=4, tol=0.0, directed=True
+        ).collect()
+    }
+    want = _numpy_pagerank(4, directed, 0.85, 4)
+    for i, nm in enumerate(names):
+        assert got[nm] == pytest.approx(want[i], abs=1e-12), nm
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_prefers_heavy_neighbor(spark):
+    # b receives a's mass via weight 9:1 over c
+    edges = _edges_df(
+        spark,
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "c", 1.0)],
+        weighted=True,
+    )
+    rows = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, weighted=True, max_iter=30, tol=1e-12).collect()
+    }
+    assert rows["b"] > rows["c"]
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 8-cycle is 2-regular: uniform 1/8 is the exact fixpoint
+    edges = _edges_df(
+        spark,
+        [(f"n{i}", f"n{(i + 1) % 8}" if i < 7 else "n0") for i in range(8)],
+    )
+    # canonicalize pair order (u1<u2 unnecessary for symmetrize, but
+    # avoid the duplicate n7-n0/n0-n7 edge)
+    edges = _edges_df(spark, [(f"n{i}", f"n{i + 1}") for i in range(7)] + [("n0", "n7")])
+    for r in pagerank(edges, max_iter=10, tol=1e-15).collect():
+        assert r["rank"] == pytest.approx(1.0 / 8, abs=1e-12)

@@ -304,3 +304,79 @@ def test_decode_audio_auto_routes(spark):
     assert abs(out[1]["rms"] - 0.25) < 1e-6
     sc, sr, sn, sd, srms = decode_audio_stub(fake)
     assert out[2]["n_samples"] == sn and out[2]["sample_rate"] == sr
+
+
+def test_vendored_y4m_decode_roundtrip():
+    from echo_chambers_detection_spark.functions.videocodec import (
+        decode_y4m,
+        encode_y4m,
+        sniff_y4m,
+    )
+
+    frames = [bytes([v]) * (16 * 8) for v in (10, 20, 30, 40, 50)]
+    y4m = encode_y4m(frames, 16, 8, fps=(30, 1))
+    assert sniff_y4m(y4m)
+    w, h, fps, nf, ns, luma = decode_y4m(y4m)
+    assert (w, h, fps, nf, ns) == (16, 8, 30.0, 5, 5)
+    assert luma == pytest.approx(30.0)  # mean of 10..50
+    # stride 2 samples frames 0, 2, 4 -> mean of 10, 30, 50
+    w, h, fps, nf, ns, luma = decode_y4m(y4m, frame_stride=2)
+    assert (nf, ns) == (5, 3)
+    assert luma == pytest.approx(30.0)
+
+
+def test_y4m_colorspaces_and_errors():
+    from echo_chambers_detection_spark.functions.videocodec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    y = bytes(range(64)) * 2  # 16x8 plane
+    for cs, want_luma in (
+        ("C420jpeg", 31.5),
+        ("C422", 31.5),
+        ("C444", 31.5),
+        ("Cmono", 31.5),
+    ):
+        out = decode_y4m(encode_y4m([y], 16, 8, colorspace=cs))
+        assert out[:2] == (16, 8), cs
+        assert out[5] == pytest.approx(want_luma), cs
+    with pytest.raises(NotImplementedError, match="signature"):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)  # MP4
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C411\nFRAME\n" + b"\x00" * 24)
+    truncated = encode_y4m([y], 16, 8)[:-10]
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_y4m(truncated)
+
+
+def test_decode_video_auto_routes_and_strides(spark):
+    from echo_chambers_detection_spark.functions.videocodec import (
+        encode_y4m,
+    )
+    from echo_chambers_detection_spark.operators.multimodal import (
+        decode_video,
+        decode_video_stub,
+    )
+
+    frames = [bytes([100 + f]) * (16 * 8) for f in range(6)]
+    y4m = encode_y4m(frames, 16, 8)
+    fake = b"definitely-not-video" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m)), (2, bytearray(fake))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_video(df, frame_stride=3).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (16, 8)
+    assert (out[1]["n_frames"], out[1]["n_sampled"]) == (6, 2)
+    # frames 0 and 3 sampled -> mean of 100 and 103
+    assert out[1]["mean_luma"] == pytest.approx(101.5)
+    sw, sh, sfps, snf, sns, sluma = decode_video_stub(fake, frame_stride=3)
+    assert out[2]["n_frames"] == snf and out[2]["n_sampled"] == sns
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="decoder"):
+        decode_video(df, decoder="ffmpeg")
