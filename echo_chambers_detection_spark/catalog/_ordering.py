@@ -29,6 +29,8 @@ _REGISTRY_ORDER = [
     "pagerank_planted",
     "pagerank_user_graph",
     "multimodal_video_stats",
+    "semantic_dedup_md5_keep",
+    "language_temperature_resample",
     "hdbscan_planted_recovery",
     "fastrp_step_recovery",
     "graph_ann_planted_topk",
@@ -42,7 +44,6 @@ _REGISTRY_ORDER = [
     "knn_graph_ann_topk",
     "ann_lsh_topk",
     "kafka_producer_messages",
-    "hdbscan_clusters",
     "simhash64_md5_near_pairs",
     "train_val_test_split",
     "token_pack_chunks",
@@ -52,7 +53,6 @@ _REGISTRY_ORDER = [
     "source_mixture_rates",
     "event_user_cardinalities",
     "analysis_run_metrics",
-    "analysis_run_hdbscan",
     "rfc4122_layout_ids",
     "label_propagation_communities",
     "modularity_optimization_communities",
@@ -89,6 +89,8 @@ _REGISTRY_ORDER = [
     "rfc4122_point_ids",
     "density_clusters",
     "fastrp_embeddings",
+    "hdbscan_clusters",
+    "analysis_run_hdbscan",
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",
@@ -143,6 +145,7 @@ _REGISTRY_ORDER = [
     # window slot on them would be a wasted no_oracle stamp
     "simhash64_near_pairs",
     "density_clusters_lsh",
+    "semantic_dedup_keep_list",
 ]
 
 

@@ -1585,3 +1585,141 @@ def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         "mean_luma",
     )
+
+
+@register(
+    "semantic_dedup_md5_keep",
+    f"""
+WITH RECURSIVE {_ORACLE_EMB_EXPLODED},
+cl AS (
+    SELECT DISTINCT post_cid,
+           (strpos('0123456789abcdef', substr(md5(post_cid), 1, 1)) - 1)
+           % 16 AS c
+    FROM ex
+),
+pairs AS (
+    SELECT a.post_cid AS d1, b.post_cid AS d2
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.post_cid < b.post_cid
+    JOIN cl c1 ON c1.post_cid = a.post_cid
+    JOIN cl c2 ON c2.post_cid = b.post_cid
+    WHERE c1.c = c2.c
+    GROUP BY 1, 2
+    HAVING ROUND(SUM(a.x * b.x) /
+                 (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) >= 0.2
+),
+edges AS (
+    SELECT d1 AS src, d2 AS dst FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+closure AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.dst AS node, c.comp
+    FROM closure c JOIN edges e ON e.src = c.node
+    WHERE c.comp < e.dst
+),
+comps AS (SELECT node, MIN(comp) AS keeper FROM closure GROUP BY node)
+SELECT node AS post_cid, keeper FROM comps WHERE node != keeper
+""",
+    doc="SemDeDup keep-list, ORACLE-EXACT twin configuration: clusters "
+    "are the first md5 nibble of the id (data-independent, so DuckDB "
+    "replays the bucketing verbatim — the simhash64-md5-twin pattern), "
+    "then exact within-cluster cosine >= 0.2 -> connected components "
+    "-> drop all but the min-id member. Proves the whole "
+    "cluster->GEMM->components->keeper chain hash-exactly; "
+    "semantic_dedup_keep_list swaps in trained k-means clusters.",
+)
+def q_semantic_dedup_md5_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_dedup_keep_list,
+    )
+
+    return semantic_dedup_keep_list(
+        _emb(spark, sf_dir), threshold=0.2, mode="md5", k=16
+    )
+
+
+@register(
+    "semantic_dedup_keep_list",
+    None,
+    doc="SemDeDup production path: deterministic k-means clusters "
+    "(operators/ann.py::ivf_index, hash-seeded + sampled training) "
+    "scale the pairwise cosine work down ~k-fold, then the same "
+    "components->min-id-keeper chain as the hash-exact md5 twin. "
+    "Cluster assignment depends on trained centroids, so no SQL "
+    "oracle exists by construction (the md5 twin carries the hash "
+    "signal); invariants in tests/test_dedup.py.",
+)
+def q_semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_dedup_keep_list,
+    )
+
+    return semantic_dedup_keep_list(
+        _emb(spark, sf_dir), threshold=0.4, mode="kmeans", k=8
+    )
+
+
+@register(
+    "language_temperature_resample",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+quota AS (
+    SELECT lang,
+           CAST(FLOOR(SQRT(CAST(n * 16 AS DOUBLE))) AS BIGINT) AS lang_quota
+    FROM counts
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rank_in_lang
+    FROM documents
+)
+SELECT r.doc_id, r.lang, q.lang_quota,
+       CAST(r.rank_in_lang AS BIGINT) AS rank_in_lang
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.rank_in_lang <= q.lang_quota
+""",
+    doc="Temperature-based source rebalancing (the multilingual-corpus "
+    "sampling recipe: keep quota ∝ n^(1/T), here T=2 realized as "
+    "floor(sqrt(16·n)) so the head language is downsampled ~4x harder "
+    "than the tail): deterministic md5-rank selection per language — "
+    "reproducible across runs and engines, no RNG. sqrt of an integer "
+    "is one exactly-rounded IEEE op, so the quota is bit-deterministic "
+    "in both engines (no summation-order seam). Scale shape: one tiny "
+    "count agg, a broadcast quota join, and one per-language window — "
+    "the md5 sort IS the sample spec; the no-sort Bernoulli variant "
+    "(keep iff hash < rate) trades exact quotas for one scan when a "
+    "global per-source rank would be the bottleneck.",
+)
+def q_language_temperature_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            F.floor(F.sqrt((F.col("n") * 16).cast("double")))
+            .cast("long")
+            .alias("lang_quota"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn(
+        "rank_in_lang", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rank_in_lang") <= F.col("lang_quota"))
+        .select("doc_id", "lang", "lang_quota", "rank_in_lang")
+    )

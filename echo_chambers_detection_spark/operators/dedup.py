@@ -479,3 +479,111 @@ def simhash_candidate_pairs(
         F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
     )
     return verified.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster embeddings, exact-cosine
+# within each cluster, drop all but the min-id member of each near-dup
+# component. The embedding-space sibling of the MinHash keep-list above
+# — the standard curation step for pretraining corpora (near-identical
+# paraphrases that share no shingles).
+# ---------------------------------------------------------------------------
+
+
+def semantic_clusters(
+    embeddings: DataFrame,
+    mode: str = "kmeans",
+    k: int = 16,
+    id_col: str = "post_cid",
+) -> DataFrame:
+    """Cluster assignment for semantic dedup: (id, cluster).
+
+    mode='kmeans' — deterministic Lloyd quantizer (operators/ann.py::
+    ivf_index), the production path: cluster count scales the pairwise
+    work down by ~k, and assignment is one Arrow GEMM pass.
+    mode='md5' — first md5 nibble of the id, mod k (k <= 16): data-
+    independent bucketing that DuckDB replays verbatim, the
+    oracle-exact twin configuration (same role as simhash64's md5-vote
+    twin). mode='exhaustive' — one cluster; the pairwise step provably
+    equals the exact GEMM self-join."""
+    if mode == "kmeans":
+        from echo_chambers_detection_spark.operators.ann import ivf_index
+
+        assign, _ = ivf_index(embeddings, k=k, id_col=id_col)
+        return assign.select(id_col, "cluster")
+    if mode == "md5":
+        if not 1 <= k <= 16:
+            raise ValueError(f"md5 mode uses one nibble: k in 1..16, got {k}")
+        nib = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+        ).cast("int")
+        return embeddings.select(
+            id_col, F.pmod(nib, F.lit(k)).alias("cluster")
+        )
+    if mode == "exhaustive":
+        return embeddings.select(id_col, F.lit(0).alias("cluster"))
+    raise ValueError(f"mode must be kmeans|md5|exhaustive, got {mode!r}")
+
+
+def semantic_dedup_keep_list(
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    mode: str = "kmeans",
+    k: int = 16,
+    id_col: str = "post_cid",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """SemDeDup keep-list: (dropped id, keeper id) for every document
+    whose embedding sits in a near-dup component (exact cosine >=
+    threshold within its cluster); the kept representative is the
+    component's min id — the same keeper convention as the MinHash
+    `near_dup_keep_list` chain.
+
+    Scale shape: pairwise work is confined to clusters (the SemDeDup
+    recipe — k-means over embeddings, then per-cluster similarity), so
+    the shuffle keys on `cluster` and each Arrow group scores its
+    members with one GEMM tile; nothing all-pairs, no driver rows.
+    Cross-cluster near-dups are missed by design — that is the
+    recall/cost dial k controls (k=1 via mode='exhaustive' is exact).
+    Components via the distributed min-label loop, so chained
+    duplicates collapse to one keeper."""
+    import pandas as pd
+
+    cl = semantic_clusters(embeddings, mode=mode, k=k, id_col=id_col)
+    withvec = cl.join(
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("_vec")),
+        id_col,
+    )
+
+    def cluster_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"u1": [], "u2": []})
+        x = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(x, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (x @ x.T) / denom, np.nan)
+        ids = pdf[id_col].to_numpy()
+        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        u1, u2 = [], []
+        for i, j in zip(ii, jj):
+            a, b = ids[i], ids[j]
+            if a < b:
+                u1.append(a)
+                u2.append(b)
+        return pd.DataFrame({"u1": u1, "u2": u2})
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    pairs = withvec.groupBy("cluster").applyInPandas(
+        cluster_gemm, schema=f"u1 {id_type}, u2 {id_type}"
+    )
+    from echo_chambers_detection_spark.operators.graph import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs)
+    return comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col), F.col("component").alias("keeper")
+    )

@@ -187,3 +187,105 @@ def test_simhash64_overflow_is_loud(spark):
         [("d", "normal sized document text")], "doc_id string, text string"
     )
     assert simhash64(ok).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb_fixture(spark):
+    """Three near-dup groups + two singletons; ids chosen so min-id
+    keepers are unambiguous."""
+    import math
+
+    rows = []
+
+    def vec(angle, scale=1.0):
+        return [scale * math.cos(angle), scale * math.sin(angle), 0.0, 0.0]
+
+    # group A: a0/a1/a2 nearly colinear (cos ~ 0.999)
+    for i, eps in enumerate((0.0, 0.01, 0.02)):
+        rows.append((f"a{i}", vec(0.3 + eps)))
+    # group B: two vectors, scaled differently (cosine ignores norm)
+    rows.append(("b0", vec(1.4, 1.0)))
+    rows.append(("b1", vec(1.41, 7.5)))
+    # singletons far from everything
+    rows.append(("s0", vec(2.8)))
+    rows.append(("s1", [0.0, 0.0, 1.0, 0.0]))
+    return spark.createDataFrame(
+        rows, "post_cid string, vector array<double>"
+    )
+
+
+def test_semantic_dedup_exhaustive_known_groups(spark):
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_dedup_keep_list,
+    )
+
+    out = {
+        r["post_cid"]: r["keeper"]
+        for r in semantic_dedup_keep_list(
+            _emb_fixture(spark), threshold=0.99, mode="exhaustive"
+        ).collect()
+    }
+    assert out == {"a1": "a0", "a2": "a0", "b1": "b0"}
+
+
+def test_semantic_dedup_clustering_only_loses_pairs(spark):
+    """Any clustering can only MISS cross-cluster pairs: the dropped
+    set under kmeans/md5 must be a subset of the exhaustive drop."""
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_dedup_keep_list,
+    )
+
+    emb = _emb_fixture(spark)
+    exhaustive = {
+        r["post_cid"]
+        for r in semantic_dedup_keep_list(
+            emb, threshold=0.99, mode="exhaustive"
+        ).collect()
+    }
+    for mode, k in (("md5", 4), ("kmeans", 2)):
+        dropped = {
+            r["post_cid"]
+            for r in semantic_dedup_keep_list(
+                emb, threshold=0.99, mode=mode, k=k
+            ).collect()
+        }
+        assert dropped <= exhaustive, (mode, dropped, exhaustive)
+
+
+def test_semantic_clusters_md5_matches_duckdb_nibble(spark):
+    import duckdb
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_clusters,
+    )
+
+    emb = _emb_fixture(spark)
+    got = {
+        r["post_cid"]: r["cluster"]
+        for r in semantic_clusters(emb, mode="md5", k=16).collect()
+    }
+    con = duckdb.connect()
+    for cid in got:
+        want = con.execute(
+            "SELECT (strpos('0123456789abcdef', substr(md5(?), 1, 1)) - 1) % 16",
+            [cid],
+        ).fetchone()[0]
+        assert got[cid] == want, cid
+
+
+def test_semantic_dedup_rejects_bad_modes(spark):
+    import pytest
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_clusters,
+    )
+
+    emb = _emb_fixture(spark)
+    with pytest.raises(ValueError, match="nibble"):
+        semantic_clusters(emb, mode="md5", k=64)
+    with pytest.raises(ValueError, match="mode"):
+        semantic_clusters(emb, mode="hdbscan")
