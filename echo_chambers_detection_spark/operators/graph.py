@@ -536,6 +536,17 @@ def pagerank(
     else:
         sym = _materialize_wide(_symmetrize(edges, weighted=weighted))
         all_nodes = _nodes_of_sym(sym)
+    if _local_path_ok(edges, sym.count()):
+        from echo_chambers_detection_spark.operators.localgraph import (
+            pagerank_local,
+        )
+
+        rows = sym.toPandas()
+        _release_checkpoint(sym)
+        ranks = pagerank_local(rows, damping, max_iter, tol)
+        return edges.sparkSession.createDataFrame(
+            list(ranks.items()), "node string, rank double"
+        )
     out_strength = sym.groupBy("src").agg(F.sum("weight").alias("_wdeg"))
     shares = _materialize_wide(
         sym.join(out_strength, "src").select(

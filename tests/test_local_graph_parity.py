@@ -159,3 +159,45 @@ def test_connected_components_parity(spark, monkeypatch):
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
         ("p", "p"), ("q", "p"), ("r", "p"),
     }
+
+
+def test_pagerank_parity_dyadic_exact(spark, monkeypatch):
+    """On the power-of-two-degree oracle fixture at damping 0.5 every
+    intermediate is dyadic, so local and distributed ranks must be
+    BIT-IDENTICAL (this is the pagerank_planted oracle regime)."""
+    from echo_chambers_detection_spark.catalog.graph import (
+        _pagerank_star_cycle,
+    )
+
+    edges = _pagerank_star_cycle(spark)
+    local = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, damping=0.5, max_iter=3, tol=0.0).collect()
+    }
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, damping=0.5, max_iter=3, tol=0.0).collect()
+    }
+    monkeypatch.undo()
+    assert local == dist  # exact float equality, not approx
+
+
+def test_pagerank_parity_generic_weights(spark, monkeypatch):
+    """Messy weights: float association differs between numpy and
+    Spark partial aggregates, so parity is to 1e-12 — the reason the
+    production catalog query rounds its output."""
+    edges = _fixtures(spark)["random"]
+    local = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, weighted=True, max_iter=6, tol=0.0).collect()
+    }
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, weighted=True, max_iter=6, tol=0.0).collect()
+    }
+    monkeypatch.undo()
+    assert set(local) == set(dist)
+    for k in local:
+        assert local[k] == pytest.approx(dist[k], rel=1e-12, abs=1e-15), k
