@@ -27,6 +27,7 @@ _REGISTRY_ORDER = [
     # -- ROUND-7 WINDOW (first 50 = the driver's stamp set) ------------
     # new this round (never stamped)
     "pagerank_planted",
+    "pagerank_personalized_planted",
     "pagerank_user_graph",
     "multimodal_video_stats",
     "semantic_dedup_md5_keep",
@@ -55,7 +56,6 @@ _REGISTRY_ORDER = [
     "analysis_run_metrics",
     "rfc4122_layout_ids",
     "label_propagation_communities",
-    "modularity_optimization_communities",
     "kcore_user_graph",
     "louvain_user_communities",
     "leiden_communities",
@@ -91,6 +91,7 @@ _REGISTRY_ORDER = [
     "fastrp_embeddings",
     "hdbscan_clusters",
     "analysis_run_hdbscan",
+    "modularity_optimization_communities",
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",

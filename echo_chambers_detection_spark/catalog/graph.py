@@ -825,3 +825,74 @@ def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("user_did"), F.round("rank", 9).alias("rank")
     )
+
+
+_PPR_ITER_SQL = """
+i{k} AS (
+    SELECT sh.dst AS node, SUM(sh.share * r{p}.r) AS s
+    FROM sh JOIN r{p} ON r{p}.node = sh.src
+    GROUP BY sh.dst
+),
+r{k} AS (
+    SELECT r{p}.node,
+           (CASE WHEN r{p}.node IN (0, 33) THEN 0.25 ELSE 0.0 END)
+           + 0.5 * COALESCE(i{k}.s, 0) AS r
+    FROM r{p} LEFT JOIN i{k} ON i{k}.node = r{p}.node
+)"""
+
+
+@register(
+    "pagerank_personalized_planted",
+    f"""
+WITH star_a AS (SELECT 0 AS src, i AS dst FROM range(1, 33) t(i)),
+star_b AS (SELECT 33 AS src, i AS dst FROM range(34, 50) t(i)),
+cyc AS (
+    SELECT i AS src, CASE WHEN i = 63 THEN 50 ELSE i + 1 END AS dst
+    FROM range(50, 64) t(i)
+),
+und AS (
+    SELECT src, dst FROM star_a UNION ALL SELECT dst, src FROM star_a
+    UNION ALL SELECT src, dst FROM star_b UNION ALL SELECT dst, src FROM star_b
+    UNION ALL SELECT src, dst FROM cyc UNION ALL SELECT dst, src FROM cyc
+),
+deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+sh AS (
+    SELECT u.src, u.dst, 1.0 / deg.d AS share
+    FROM und u JOIN deg ON deg.src = u.src
+),
+r0 AS (
+    SELECT i AS node,
+           CASE WHEN i IN (0, 33) THEN 0.5 ELSE 0.0 END AS r
+    FROM range(0, 64) t(i)
+),
+{_PPR_ITER_SQL.format(k=1, p=0)},
+{_PPR_ITER_SQL.format(k=2, p=1)},
+{_PPR_ITER_SQL.format(k=3, p=2)}
+SELECT lpad(CAST(node AS VARCHAR), 3, '0') AS node,
+       CAST(r * 16777216 AS BIGINT) AS rank_scaled
+FROM r3
+""",
+    doc="PERSONALIZED PageRank (random walk with restart) on the same "
+    "dyadic star/cycle fixture: teleport mass 1/2 on each hub, so the "
+    "cycle component — unreachable from the seeds — provably decays to "
+    "exactly zero while the two stars split mass by hub degree. Same "
+    "exact-scaled-integer hashing as pagerank_planted (seed weights "
+    "1/2 keep every intermediate a multiple of 2^-24). Influence/"
+    "recommendation variant of the centrality family.",
+)
+def q_pagerank_personalized_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _pagerank_star_cycle(spark),
+        damping=0.5,
+        max_iter=3,
+        tol=0.0,
+        seeds=["000", "033"],
+    )
+    return ranks.select(
+        "node",
+        (F.col("rank") * F.lit(16777216.0)).cast("long").alias("rank_scaled"),
+    )

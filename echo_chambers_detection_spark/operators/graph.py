@@ -489,6 +489,7 @@ def pagerank(
     tol: float = 1e-8,
     weighted: bool = False,
     directed: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Distributed PageRank by power iteration: one join + one
     aggregation per round over a PRE-NORMALIZED edge frame.
@@ -508,12 +509,22 @@ def pagerank(
     aggregation per round, redistributed uniformly (the standard
     random-surfer completion).
 
+    Personalization: ``seeds`` replaces the uniform teleport vector
+    with mass 1/len(seeds) on each seed node (random walk with restart
+    — the influence/recommendation variant). Internally both cases are
+    ONE formula: the rank frame carries a static per-node teleport
+    weight ``_s`` (uniform 1/n or the seed indicator), and each round
+    computes rank' = (1−d)·s + d·(incoming + dangling·s). Seeds absent
+    from the graph leak their share of teleport mass by design (the
+    seed set is the caller's spec, not data-dependent).
+
     Convergence: stops when the L1 delta Σ|rank'−rank| ≤ ``tol``
     (computed as a flag-style agg on the already-materialized frame,
     no extra job) or after ``max_iter`` rounds; ``tol=0.0`` pins an
     exact round count, which the dyadic-exact oracle fixture relies
     on. Driver state is O(1) scalars; checkpoint generations are
-    retired in-loop. Returns (node, rank) with Σ rank = 1.
+    retired in-loop. Returns (node, rank); Σ rank = 1 when every seed
+    is present (or no seeds given).
     """
     if directed:
         w = (
@@ -543,7 +554,7 @@ def pagerank(
 
         rows = sym.toPandas()
         _release_checkpoint(sym)
-        ranks = pagerank_local(rows, damping, max_iter, tol)
+        ranks = pagerank_local(rows, damping, max_iter, tol, seeds=seeds)
         return edges.sparkSession.createDataFrame(
             list(ranks.items()), "node string, rank double"
         )
@@ -557,9 +568,19 @@ def pagerank(
     if n == 0:
         _release_checkpoint(sym)
         return edges.sparkSession.createDataFrame([], "node string, rank double")
-    base = (1.0 - damping) / n
+    if seeds:
+        sv = (
+            F.when(
+                F.col("node").isin([str(s) for s in seeds]),
+                F.lit(1.0 / len(seeds)),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
+    else:
+        sv = F.lit(1.0 / n).cast("double")
     ranks = _materialize(
-        all_nodes.withColumn("rank", F.lit(1.0 / n).cast("double"))
+        all_nodes.withColumn("_s", sv).withColumn("rank", F.col("_s"))
     )
     # all_nodes is a lazy view over sym — only now is sym's checkpoint dead
     _release_checkpoint(sym)
@@ -580,38 +601,41 @@ def pagerank(
             dangling = 0.0
         incoming = (
             shares.join(
-                hint(ranks.withColumnRenamed("node", "src")), "src"
+                hint(
+                    ranks.select(
+                        F.col("node").alias("src"), F.col("rank")
+                    )
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("share") * F.col("rank")).alias("_in"))
         )
+        new_rank_expr = F.lit(1.0 - damping) * F.col("_s") + F.lit(
+            damping
+        ) * (
+            F.coalesce("_in", F.lit(0.0))
+            + F.lit(dangling) * F.col("_s")
+        )
         new_ranks = _materialize(
             ranks.join(incoming, "node", "left").select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce("_in", F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-                F.abs(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce("_in", F.lit(0.0)) + F.lit(dangling / n))
-                    - F.col("rank")
-                ).alias("_d"),
+                "_s",
+                new_rank_expr.alias("rank"),
+                F.abs(new_rank_expr - F.col("rank")).alias("_d"),
             )
         )
         delta = float(
             new_ranks.agg(F.sum("_d").alias("d")).first()["d"] or 0.0
         )
         _release_checkpoint(ranks)
-        ranks = new_ranks.select("node", "rank")
+        ranks = new_ranks.select("node", "_s", "rank")
         ranks._ckpt_rdd_ids = getattr(new_ranks, "_ckpt_rdd_ids", [])
         new_ranks._ckpt_rdd_ids = []
         if delta <= tol:
             break
     _release_checkpoint(shares)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -549,16 +549,17 @@ def leiden_local(sym_rows, m, max_levels, max_rounds, gamma=1.0):
     return {s: comp_min[find(i)] for i, s in enumerate(ids)}
 
 
-def pagerank_local(sym_rows, damping, max_iter, tol):
+def pagerank_local(sym_rows, damping, max_iter, tol, seeds=None):
     """numpy mirror of graph.pagerank over a DIRECTED (src, dst, w)
     edge frame (the symmetrized frame for undirected inputs): same
-    share normalization, same teleport/dangling completion, same L1
-    stop rule. Float sums here associate differently than Spark's
-    partial aggregates, so parity is exact on dyadic fixtures (the
-    pagerank_planted oracle regime) and agrees to ~1e-15 relative
-    otherwise — which is why the catalog queries round or scale their
-    rank output; tests/test_local_graph_parity.py pins both regimes.
-    Returns {node_id: rank}."""
+    share normalization, same teleport vector s (uniform 1/n or the
+    personalized seed indicator), same r' = (1−d)·s + d·(contrib +
+    dangling·s) op order, same L1 stop rule. Float sums here associate
+    differently than Spark's partial aggregates, so parity is exact on
+    dyadic fixtures (the pagerank_planted oracle regime) and agrees to
+    ~1e-15 relative otherwise — which is why the catalog queries round
+    or scale their rank output; tests/test_local_graph_parity.py pins
+    both regimes. Returns {node_id: rank}."""
     np = _np()
     ids, e_src, e_dst, e_w = _edge_arrays(sym_rows)
     n = len(ids)
@@ -568,13 +569,21 @@ def pagerank_local(sym_rows, damping, max_iter, tol):
     np.add.at(out, e_src, e_w)
     share = e_w / out[e_src]
     has_dangling = bool((out == 0).any())
-    base = (1.0 - damping) / n
-    r = np.full(n, 1.0 / n)
+    if seeds:
+        seed_set = {str(s) for s in seeds}
+        s_vec = np.array(
+            [1.0 / len(seeds) if s in seed_set else 0.0 for s in ids]
+        )
+    else:
+        s_vec = np.full(n, 1.0 / n)
+    r = s_vec.copy()
     for _ in range(max_iter):
         dangling = float(r[out == 0].sum()) if has_dangling else 0.0
         contrib = np.zeros(n)
         np.add.at(contrib, e_dst, share * r[e_src])
-        r_new = base + damping * (contrib + dangling / n)
+        r_new = (1.0 - damping) * s_vec + damping * (
+            contrib + dangling * s_vec
+        )
         delta = float(np.abs(r_new - r).sum())
         r = r_new
         if delta <= tol:

@@ -49,11 +49,12 @@ def test_registry_window_covers_unverified_queries():
         "label_propagation_communities", "language_temperature_resample",
         "leiden_communities",
         "louvain_user_communities", "membership_asof_join",
-        "minhash_lsh_candidates", "modularity_optimization_communities",
+        "minhash_lsh_candidates",
         "multimodal_audio_stats", "multimodal_blob_stats",
         "multimodal_video_stats",
         "near_dup_keep_list", "ngram_jaccard_pairs", "order_stats_rollup",
-        "pagerank_planted", "pagerank_user_graph",
+        "pagerank_personalized_planted", "pagerank_planted",
+        "pagerank_user_graph",
         "pricing_summary", "quality_head_per_lang", "rfc4122_layout_ids",
         "semantic_dedup_md5_keep",
         "simhash64_md5_near_pairs", "simhash_near_pairs",

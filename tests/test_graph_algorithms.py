@@ -389,3 +389,52 @@ def test_pagerank_uniform_on_regular_graph(spark):
     edges = _edges_df(spark, [(f"n{i}", f"n{i + 1}") for i in range(7)] + [("n0", "n7")])
     for r in pagerank(edges, max_iter=10, tol=1e-15).collect():
         assert r["rank"] == pytest.approx(1.0 / 8, abs=1e-12)
+
+
+def test_pagerank_personalized_zero_outside_reach(spark):
+    # seeds in one component: the other component's rank is EXACTLY 0
+    edges = _edges_df(
+        spark,
+        [("a0", "a1"), ("a1", "a2"), ("b0", "b1")],
+    )
+    rows = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, damping=0.5, max_iter=8, tol=0.0, seeds=["a0"]
+        ).collect()
+    }
+    assert rows["b0"] == 0.0 and rows["b1"] == 0.0
+    assert rows["a0"] > rows["a2"] > 0
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_personalized_matches_numpy(spark):
+    names = ["a", "b", "c", "d"]
+    directed = [(0, 1), (1, 2), (3, 1)]
+    edges = _edges_df(spark, [(names[u], names[v]) for u, v in directed])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges,
+            damping=0.85,
+            max_iter=5,
+            tol=0.0,
+            directed=True,
+            seeds=["a", "d"],
+        ).collect()
+    }
+    import numpy as np
+
+    W = np.zeros((4, 4))
+    for u, v in directed:
+        W[u, v] = 1.0
+    out = W.sum(axis=1)
+    s = np.array([0.5, 0.0, 0.0, 0.5])
+    r = s.copy()
+    for _ in range(5):
+        dangling = r[out == 0].sum()
+        nz = out > 0
+        contrib = (r[nz] / out[nz]) @ W[nz]
+        r = 0.15 * s + 0.85 * (contrib + dangling * s)
+    for i, nm in enumerate(names):
+        assert got[nm] == pytest.approx(r[i], abs=1e-12), nm
