@@ -831,8 +831,11 @@ def contract_runt_fringes(
         )
     )
     absorptions: DataFrame | None = None
+    log = logging.getLogger(__name__)
+    rounds_run = 0
 
     for _ in range(max_rounds):
+        rounds_run += 1
         inc = e.select(
             F.col("u1").alias("node"), F.col("u2").alias("other"),
             "w", "u1", "u2",
@@ -843,18 +846,23 @@ def contract_runt_fringes(
             )
         )
         deg = inc.groupBy("node").agg(F.count("*").alias("deg"))
-        # per-node second-smallest incident key — condition (c) reduces
-        # to key(e) < k2(target) because edge keys are unique
+        # BATCH-PREFIX absorption (round 7): the one-leaf-per-target
+        # round rule made deep fringes (k pendant leaves per hub) take
+        # k rounds — the dominant cost of the 1M-edge bench probe. The
+        # sequential replay absorbs a target's candidate leaf edges in
+        # key order as long as (i) they form a PREFIX of the target's
+        # full incident-key order (each absorption's (c) check: after
+        # absorbing edge_1..edge_{i-1}, the target's second-smallest
+        # remaining incident key is exactly its next incident edge) and
+        # (ii) the running size stays under min_cluster_size ((d) at
+        # every step; (b) for i>1 is automatic since the internal max
+        # becomes edge_{i-1} < edge_i). Taking that longest valid
+        # prefix per target in ONE round is therefore EXACTLY the
+        # multi-round result — the 15-case random parity suite and the
+        # hub/backbone exactness test pin it.
         wk = Window.partitionBy("node").orderBy("w", "u1", "u2")
-        k2 = (
-            inc.withColumn("_rk", F.row_number().over(wk))
-            .where(F.col("_rk") == 2)
-            .select(
-                F.col("node").alias("other"),
-                F.col("w").alias("k2_w"),
-                F.col("u1").alias("k2_u1"),
-                F.col("u2").alias("k2_u2"),
-            )
+        tgt_rank = inc.withColumn("rk", F.row_number().over(wk)).select(
+            F.col("node").alias("other"), "w", "u1", "u2", "rk"
         )
         cand = (
             inc.join(deg.where(F.col("deg") == 1).select("node"), "node")
@@ -887,31 +895,41 @@ def contract_runt_fringes(
                 ),
                 "other",
             )
-            .join(k2, "other", "left")
             .where(
-                _lex_lt(  # (a)
+                _lex_lt(  # (a) leaf fully merged before its edge
                     F.col("lm_w"), F.col("lm_u1"), F.col("lm_u2"),
                     F.col("w"), F.col("u1"), F.col("u2"),
                 )
-                & _lex_lt(  # (b)
+                & _lex_lt(  # (b) target merged before the first edge
                     F.col("tm_w"), F.col("tm_u1"), F.col("tm_u2"),
                     F.col("w"), F.col("u1"), F.col("u2"),
                 )
-                & (  # (c)
-                    F.col("k2_w").isNull()
-                    | _lex_lt(
-                        F.col("w"), F.col("u1"), F.col("u2"),
-                        F.col("k2_w"), F.col("k2_u1"), F.col("k2_u2"),
-                    )
-                )
-                & (  # (d)
-                    F.col("lsize") + F.col("tsize")
-                    < F.lit(min_cluster_size)
-                )
             )
+            .join(tgt_rank, ["other", "w", "u1", "u2"])
+        )
+        wt = Window.partitionBy("other").orderBy("rk")
+        wt_all = Window.partitionBy("other")
+        flagged = (
+            cand.withColumn("lrk", F.row_number().over(wt))
+            .withColumn("cum", F.sum("lsize").over(wt))
+            .withColumn(
+                "_bad_rk",
+                F.when(
+                    (F.col("rk") != F.col("lrk"))  # prefix break = (c)
+                    | (
+                        F.col("tsize") + F.col("cum")
+                        >= F.lit(min_cluster_size)
+                    ),  # (d) at this step
+                    F.col("rk"),
+                ),
+            )
+            .withColumn("_first_bad", F.min("_bad_rk").over(wt_all))
         )
         acc = _materialize(
-            cand.select(
+            flagged.where(
+                F.col("_first_bad").isNull()
+                | (F.col("rk") < F.col("_first_bad"))
+            ).select(
                 F.col("node").alias("leaf"),
                 F.col("other").alias("target"),
                 "w", "u1", "u2", "lsize", "lmin",
@@ -919,14 +937,13 @@ def contract_runt_fringes(
         )
         if acc.limit(1).count() == 0:
             _release_checkpoint(acc)
+            rounds_run -= 1  # empty round: nothing absorbed
             break
-        tgt = acc.select(
-            F.col("target").alias("node"),
-            F.col("lsize").alias("a_size"),
-            F.col("lmin").alias("a_min"),
-            F.col("w").alias("a_w"),
-            F.col("u1").alias("a_u1"),
-            F.col("u2").alias("a_u2"),
+        tgt = acc.groupBy(F.col("target").alias("node")).agg(
+            F.sum("lsize").alias("a_size"),
+            F.min("lmin").alias("a_min"),
+            # the LAST absorbed edge is the target's new internal max
+            F.max(F.struct("w", "u1", "u2")).alias("a_key"),
         )
         nodes_new = _materialize(
             nodes.join(
@@ -941,11 +958,9 @@ def contract_runt_fringes(
                 F.least(
                     "min_id", F.coalesce("a_min", F.col("min_id"))
                 ).alias("min_id"),
-                # key(e) sorts after both old m's by (a)+(b), so it IS
-                # the new internal max
-                F.coalesce("a_w", F.col("m_w")).alias("m_w"),
-                F.coalesce("a_u1", F.col("m_u1")).alias("m_u1"),
-                F.coalesce("a_u2", F.col("m_u2")).alias("m_u2"),
+                F.coalesce(F.col("a_key.w"), F.col("m_w")).alias("m_w"),
+                F.coalesce(F.col("a_key.u1"), F.col("m_u1")).alias("m_u1"),
+                F.coalesce(F.col("a_key.u2"), F.col("m_u2")).alias("m_u2"),
             )
         )
         e_new = _materialize(
@@ -960,6 +975,11 @@ def contract_runt_fringes(
         _release_checkpoint(nodes, e, acc)
         nodes, e, absorptions = nodes_new, e_new, amap_new
 
+    log.info(
+        "contract_runt_fringes: %d absorbing round(s) (batch-prefix; "
+        "was one-leaf-per-target-per-round before round 7)",
+        rounds_run,
+    )
     if absorptions is None:
         member_map = _materialize(
             base_nodes.select(
