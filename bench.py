@@ -37,6 +37,9 @@ _WARMUP_QUERIES = [
     "density_clusters",           # FastRP + GEMM + components
     "scd2_membership_history",    # SCD-2 window/semi-join family
     "hdbscan_clusters",           # Boruvka/condense driver tail
+    "pagerank_user_graph",        # share-normalized power iteration
+    "semantic_dedup_md5_keep",    # cluster GEMM + components chain
+    "multimodal_video_stats",     # Arrow synth + vendored codec decode
 ]
 _WARMUP_SF_DIR = os.environ.get(
     "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"

@@ -32,6 +32,7 @@ _REGISTRY_ORDER = [
     "multimodal_video_stats",
     "semantic_dedup_md5_keep",
     "language_temperature_resample",
+    "bernoulli_lang_sample",
     "hdbscan_planted_recovery",
     "fastrp_step_recovery",
     "graph_ann_planted_topk",
@@ -58,7 +59,6 @@ _REGISTRY_ORDER = [
     "label_propagation_communities",
     "kcore_user_graph",
     "louvain_user_communities",
-    "leiden_communities",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",
@@ -92,6 +92,7 @@ _REGISTRY_ORDER = [
     "hdbscan_clusters",
     "analysis_run_hdbscan",
     "modularity_optimization_communities",
+    "leiden_communities",
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",

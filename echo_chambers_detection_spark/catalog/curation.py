@@ -1723,3 +1723,74 @@ def q_language_temperature_resample(
         .where(F.col("rank_in_lang") <= F.col("lang_quota"))
         .select("doc_id", "lang", "lang_quota", "rank_in_lang")
     )
+
+
+@register(
+    "bernoulli_lang_sample",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rate AS (
+    SELECT lang,
+           FLOOR(SQRT(CAST(n * 16 AS DOUBLE))) / n * 65536 AS gate
+    FROM counts
+),
+hashed AS (
+    SELECT doc_id, lang,
+           (strpos('0123456789abcdef',
+                   substr(md5('bern:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+           * 4096
+           + (strpos('0123456789abcdef',
+                     substr(md5('bern:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           * 256
+           + (strpos('0123456789abcdef',
+                     substr(md5('bern:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+           * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5('bern:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+           AS h16
+    FROM documents
+)
+SELECT h.doc_id, h.lang, CAST(h.h16 AS BIGINT) AS h16
+FROM hashed h JOIN rate r ON r.lang = h.lang
+WHERE h.h16 < r.gate
+""",
+    doc="The NO-SORT Bernoulli twin of language_temperature_resample "
+    "(the scale swap its docstring names): keep a doc iff the first 16 "
+    "md5 bits of a salted key fall under the per-language rate gate — "
+    "one scan plus a broadcast rate join, no per-language global rank, "
+    "which is the shape that survives a source with trillions of rows. "
+    "Expected keeps equal the sqrt quota; realized counts are "
+    "hash-deterministic (reproducible across runs AND engines: the "
+    "gate is sqrt->floor->divide->multiply, all exactly-rounded "
+    "single IEEE ops). Salt 'bern:' decorrelates from the split/"
+    "rank hashes.",
+)
+def q_bernoulli_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            (
+                F.floor(F.sqrt((F.col("n") * 16).cast("double")))
+                / F.col("n")
+                * F.lit(65536)
+            ).alias("gate"),
+        )
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bern:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.withColumn("h16", h16)
+        .join(F.broadcast(rate), "lang")
+        .where(F.col("h16") < F.col("gate"))
+        .select("doc_id", "lang", "h16")
+    )

@@ -38,7 +38,8 @@ def test_registry_window_covers_unverified_queries():
         # (see catalog/_ordering.py)
         "analysis_run_metrics", "ann_ivf_probe_topk",
         "ann_lsh_topk", "ann_pq_probe_topk", "ann_topk",
-        "benchmark_contamination", "community_metrics_table",
+        "benchmark_contamination", "bernoulli_lang_sample",
+        "community_metrics_table",
         "corpus_manifest", "engaged_user_set_ops",
         "event_type_user_cube", "event_user_cardinalities",
         "event_value_percentiles", "exact_dedup_groups",
@@ -47,7 +48,6 @@ def test_registry_window_covers_unverified_queries():
         "hdbscan_planted_recovery",
         "kafka_producer_messages", "kcore_user_graph", "knn_graph_ann_topk",
         "label_propagation_communities", "language_temperature_resample",
-        "leiden_communities",
         "louvain_user_communities", "membership_asof_join",
         "minhash_lsh_candidates",
         "multimodal_audio_stats", "multimodal_blob_stats",
