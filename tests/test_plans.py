@@ -226,3 +226,33 @@ def test_curation_family_plan_shapes(spark):
         "rfc4122_layout_ids",
     ):
         assert not has_python_stage(_q(spark, name)), name
+
+
+def test_resample_family_plan_shapes(spark):
+    """Round-7 sampling queries keep their scale facts: the temperature
+    resample's quota side is BROADCAST (never a shuffle join against
+    the doc scan), its only wide operation is the one per-language
+    window; the Bernoulli twin has NO window/sort at all (that is its
+    reason to exist) and stays JVM-only."""
+    import re
+
+    from echo_chambers_detection_spark.plans.explain import formatted_plan
+
+    def n_ops(df, op):
+        # formatted plans list each operator in the tree AND the detail
+        # section; count tree headers "(k) Op" only
+        return len(re.findall(rf"\(\d+\) (?:{op})\b", formatted_plan(df)))
+
+    resample = _q(spark, "language_temperature_resample")
+    assert count_operator(resample, "BroadcastHashJoin") >= 1
+    assert n_ops(resample, "Window") == 1
+    assert not has_python_stage(resample)
+
+    bern = _q(spark, "bernoulli_lang_sample")
+    assert count_operator(bern, "BroadcastHashJoin") >= 1
+    assert n_ops(bern, "Window") == 0
+    assert n_ops(bern, "Sort") == 0
+    assert not has_python_stage(bern)
+    # pruning: neither query reads the document text
+    for df in (resample, bern):
+        assert all("text" not in s for s in read_schemas(df))
