@@ -33,6 +33,7 @@ _REGISTRY_ORDER = [
     "semantic_dedup_md5_keep",
     "language_temperature_resample",
     "bernoulli_lang_sample",
+    "event_value_percentiles_approx",
     "hdbscan_planted_recovery",
     "fastrp_step_recovery",
     "graph_ann_planted_topk",
@@ -58,7 +59,6 @@ _REGISTRY_ORDER = [
     "rfc4122_layout_ids",
     "label_propagation_communities",
     "kcore_user_graph",
-    "louvain_user_communities",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",
@@ -93,6 +93,7 @@ _REGISTRY_ORDER = [
     "analysis_run_hdbscan",
     "modularity_optimization_communities",
     "leiden_communities",
+    "louvain_user_communities",
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",

@@ -287,3 +287,51 @@ def q_user_profiles_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users_from_events(_t(spark, sf_dir, "events"))
 
 
+
+
+@register(
+    "event_value_percentiles_approx",
+    None,
+    doc="Bounded-memory approximate percentiles (percentile_approx — "
+    "the Greenwald-Khanna sketch Spark ships) next to the exact "
+    "interpolated query, mirroring the HLL++/exact-count pairing of "
+    "event_user_cardinalities: at 100 TB the exact percentile's "
+    "per-group sort is the cost you swap away, and the sketch's "
+    "rank-error contract (rel_rank_error <= 1/accuracy) is the quality "
+    "gate — asserted per group in tests/test_entry.py, the same "
+    "pattern as the HLL error-bound test. rel_error columns compare "
+    "against the exact values so the driver's rows-only stamp still "
+    "records the live gap.",
+)
+def q_event_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.5D, 1000)").alias("p50_a"),
+        F.expr("percentile_approx(value, 0.95D, 1000)").alias("p95_a"),
+        F.count("*").alias("n"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("p50_x"),
+        F.expr("percentile(value, 0.95D)").alias("p95_x"),
+    )
+    spread = ev.groupBy("event_type").agg(
+        (F.max("value") - F.min("value")).alias("rng")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .join(F.broadcast(spread), "event_type")
+        .select(
+            "event_type",
+            F.round("p50_a", 6).alias("p50_approx"),
+            F.round("p95_a", 6).alias("p95_approx"),
+            F.round(
+                F.abs(F.col("p50_a") - F.col("p50_x")) / F.col("rng"), 6
+            ).alias("p50_rel_value_gap"),
+            F.round(
+                F.abs(F.col("p95_a") - F.col("p95_x")) / F.col("rng"), 6
+            ).alias("p95_rel_value_gap"),
+            "n",
+        )
+    )

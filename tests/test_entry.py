@@ -42,13 +42,14 @@ def test_registry_window_covers_unverified_queries():
         "community_metrics_table",
         "corpus_manifest", "engaged_user_set_ops",
         "event_type_user_cube", "event_user_cardinalities",
-        "event_value_percentiles", "exact_dedup_groups",
+        "event_value_percentiles", "event_value_percentiles_approx",
+        "exact_dedup_groups",
         "fastrp_step_recovery", "global_echo_metrics",
         "graph_ann_embeddings_topk", "graph_ann_planted_topk",
         "hdbscan_planted_recovery",
         "kafka_producer_messages", "kcore_user_graph", "knn_graph_ann_topk",
         "label_propagation_communities", "language_temperature_resample",
-        "louvain_user_communities", "membership_asof_join",
+        "membership_asof_join",
         "minhash_lsh_candidates",
         "multimodal_audio_stats", "multimodal_blob_stats",
         "multimodal_video_stats",
@@ -115,3 +116,21 @@ def test_catalog_package_surface_unchanged():
     for name in ("QuerySpec", "register", "_t", "_dec_sum",
                  "_emb", "_query_vec", "_post_graph"):
         assert callable(getattr(cat, name)), name
+
+
+def test_event_value_percentiles_approx_error_bound(spark):
+    """The Greenwald-Khanna sketch's value gap vs the exact percentile
+    stays small relative to each group's value range (rows-only
+    catalog query — this bound IS its quality contract, the same
+    pattern as the HLL++ test above)."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    rows = (
+        QUERY_REGISTRY["event_value_percentiles_approx"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["p50_rel_value_gap"] <= 0.02, (r["event_type"], r)
+        assert r["p95_rel_value_gap"] <= 0.02, (r["event_type"], r)
