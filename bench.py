@@ -105,6 +105,76 @@ def _at_scale_probes(spark, timings: dict) -> None:
     timings["bench_hdbscan_auto_40k"] = round(time.perf_counter() - t0, 3)
 
 
+def _semantic_dedup_scale_probe(spark, timings: dict) -> None:
+    """SemDeDup at representative scale: 100k clustered vectors + 10k
+    PLANTED exact duplicates (node i and dup_i share the identical
+    vector, so they provably land in the same k-means cell and score
+    cosine exactly 1.0). The keep-list must drop EXACTLY the 10k
+    planted twins — with 12%-of-scale noise the non-twin cosine ceiling
+    sits far below the 0.9999 gate, so a false positive or a missed
+    twin both fail the assertion. Runs the kmeans production path end
+    to end (train -> assign -> per-cluster GEMM -> distributed
+    components -> keeper)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        semantic_dedup_keep_list,
+    )
+
+    # _synth_clustered's noise (1% of center scale) leaves ~1e-4 of
+    # random same-center pairs above any tight cosine gate (measured:
+    # 84 of 1e8 pairs over 0.99999) — this probe needs noise big enough
+    # (12% of scale) that NO non-twin pair approaches the gate, so the
+    # assertion is exact
+    def synth_noisy(n: int, d: int = 16, kc: int = 50):
+        df = spark.range(n).select(
+            F.col("id").cast("string").alias("node"),
+            F.pmod(F.col("id"), F.lit(kc)).alias("_c"),
+            F.col("id").alias("_i"),
+        )
+        cols = []
+        for j in range(d):
+            center = F.pmod(F.xxhash64(F.col("_c"), F.lit(j)), F.lit(1000)) / 250.0
+            noise = (
+                F.pmod(F.xxhash64(F.col("_i"), F.lit(j + 7777)), F.lit(1000))
+                / 2000.0
+            )
+            cols.append(center + noise)
+        return df.select("node", F.array(*cols).alias("vector"))
+
+    base = synth_noisy(100_000)
+    dups = (
+        base.where(F.col("node").cast("long") < 10_000)
+        .select(F.concat(F.lit("d"), F.col("node")).alias("node"), "vector")
+    )
+    emb = base.unionAll(dups).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    # k=32: the ivf training pass dominates this probe (~64s of the
+    # k=16 run's 264s total was Lloyd + assignment); 32 cells halve the
+    # per-cluster GEMM surface and the blocked kernel keeps each Arrow
+    # task's float surface capped either way
+    dropped = semantic_dedup_keep_list(
+        emb, threshold=0.9999, mode="kmeans", k=32, id_col="node"
+    ).localCheckpoint(eager=True)
+    timings["bench_semantic_dedup_110k"] = round(time.perf_counter() - t0, 3)
+    n = dropped.count()
+    # keeper convention: min id — 'd<i>' > '<i>' lexicographically never
+    # holds uniformly ('d' > digits), so each component's keeper is the
+    # ORIGINAL node and the dropped row is its planted twin
+    bad = dropped.where(
+        F.col("node") != F.concat(F.lit("d"), F.col("keeper"))
+    ).count()
+    emb.unpersist()
+    dropped.unpersist()
+    if n != 10_000 or bad:
+        raise AssertionError(
+            f"semantic dedup scale probe wrong: dropped {n} (want 10000), "
+            f"{bad} with a non-twin keeper"
+        )
+
+
 def _graph_scale_probes(spark, timings: dict) -> None:
     """Distributed community-detection rows at REPRESENTATIVE scale
     (VERDICT r5 #1): a 100k-node planted-partition graph with >=5M
@@ -420,6 +490,8 @@ def main() -> None:
 
     # synthetic at-scale rows (bench_-prefixed, outside the total)
     _at_scale_probes(spark, timings)
+    release_persisted()
+    _semantic_dedup_scale_probe(spark, timings)
     release_persisted()
     _graph_scale_probes(spark, timings)
     release_persisted()

@@ -562,17 +562,25 @@ def semantic_dedup_keep_list(
             return pd.DataFrame({"u1": [], "u2": []})
         x = np.stack(pdf["_vec"].to_numpy()).astype("float64")
         norms = np.linalg.norm(x, axis=1)
-        denom = np.outer(norms, norms)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(denom > 0, (x @ x.T) / denom, np.nan)
         ids = pdf[id_col].to_numpy()
-        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
         u1, u2 = [], []
-        for i, j in zip(ii, jj):
-            a, b = ids[i], ids[j]
-            if a < b:
-                u1.append(a)
-                u2.append(b)
+        # BLOCKED scoring: clusters are n/k rows by design, and a full
+        # s x s sims matrix at s=7k is ~400MB per task — 32 concurrent
+        # tasks OOM'd the Python workers at the 110k-vector bench scale.
+        # Row blocks of 2048 against the full cluster cap the per-task
+        # float surface at ~2048*s doubles regardless of cluster size.
+        B = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s0 in range(0, len(ids), B):
+                xb = x[s0 : s0 + B]
+                denom = np.outer(norms[s0 : s0 + B], norms)
+                sims = np.where(denom > 0, (xb @ x.T) / denom, np.nan)
+                ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+                for i, j in zip(ii, jj):
+                    a, b = ids[s0 + i], ids[j]
+                    if a < b:
+                        u1.append(a)
+                        u2.append(b)
         return pd.DataFrame({"u1": u1, "u2": u2})
 
     id_type = dict(embeddings.dtypes)[id_col]
