@@ -326,11 +326,20 @@ def q_event_value_percentiles_approx(
             "event_type",
             F.round("p50_a", 6).alias("p50_approx"),
             F.round("p95_a", 6).alias("p95_approx"),
+            # rng == 0 (constant-valued group) would make these 0/0 =
+            # NaN; a constant group has zero approximation gap by
+            # construction (ADVICE r7)
             F.round(
-                F.abs(F.col("p50_a") - F.col("p50_x")) / F.col("rng"), 6
+                F.when(F.col("rng") == 0, F.lit(0.0)).otherwise(
+                    F.abs(F.col("p50_a") - F.col("p50_x")) / F.col("rng")
+                ),
+                6,
             ).alias("p50_rel_value_gap"),
             F.round(
-                F.abs(F.col("p95_a") - F.col("p95_x")) / F.col("rng"), 6
+                F.when(F.col("rng") == 0, F.lit(0.0)).otherwise(
+                    F.abs(F.col("p95_a") - F.col("p95_x")) / F.col("rng")
+                ),
+                6,
             ).alias("p95_rel_value_gap"),
             "n",
         )

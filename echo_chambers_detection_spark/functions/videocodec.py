@@ -22,13 +22,22 @@ from __future__ import annotations
 Y4M_MAGIC = b"YUV4MPEG2 "
 _FRAME_MAGIC = b"FRAME"
 
-# chroma plane bytes per luma byte, by colorspace family
-_CHROMA_FACTOR = {
-    "420": 0.5,  # two (w/2 x h/2) planes
-    "422": 1.0,  # two (w/2 x h) planes
-    "444": 2.0,  # two (w x h) planes
-    "mono": 0.0,
-}
+_COLORSPACES = ("420", "422", "444", "mono")
+
+
+def _chroma_bytes(width: int, height: int, cs: str) -> int:
+    """Chroma bytes per frame. Real Y4M planes use CEILING division for
+    subsampled dimensions — C420 is 2*ceil(w/2)*ceil(h/2), C422 is
+    2*ceil(w/2)*h — so odd-dimension streams decode correctly instead of
+    mis-advancing the frame cursor (ADVICE r7)."""
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    if cs == "420":
+        return 2 * cw * ch
+    if cs == "422":
+        return 2 * cw * height
+    if cs == "444":
+        return 2 * width * height
+    return 0  # mono
 
 
 def sniff_y4m(payload: bytes) -> bool:
@@ -67,10 +76,10 @@ def decode_y4m(
             cs = "mono" if val.startswith("mono") else val[:3]
     if width is None or height is None:
         raise NotImplementedError("Y4M header missing W/H")
-    if cs not in _CHROMA_FACTOR:
+    if cs not in _COLORSPACES:
         raise NotImplementedError(f"Y4M colorspace C{cs} unsupported")
     y_size = width * height
-    frame_size = y_size + int(y_size * _CHROMA_FACTOR[cs])
+    frame_size = y_size + _chroma_bytes(width, height, cs)
 
     pos = nl + 1
     n = len(payload)
@@ -107,7 +116,7 @@ def encode_y4m(
     same role as encode_wav_pcm16 on the audio side."""
     y_size = width * height
     cs = "mono" if colorspace.startswith("Cmono") else colorspace[1:4]
-    chroma = b"\x80" * int(y_size * _CHROMA_FACTOR[cs])
+    chroma = b"\x80" * _chroma_bytes(width, height, cs)
     out = [
         b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
         % (width, height, fps[0], fps[1], colorspace.encode())

@@ -16,6 +16,16 @@ actual byte sample. `repartition(n)` (round-robin) rather than
 which preserves any skew the input had and can silently reduce upstream
 parallelism; compaction is a rewrite job where the one shuffle is the
 point — perfectly even output files.
+
+Crash safety (in-place `compact_table`): the swap is two renames with a
+window between them where `path` does not exist. We (a) clean or recover
+any stale `.precompact`/`.compacting` siblings left by a crashed run at
+entry — a `.precompact` with no live `path` IS the table and is restored,
+a stale `.compacting` is a dead partial rewrite and is deleted — and
+(b) roll `old` back to `path` if the second rename throws, so the only
+unrecoverable outcome is a hard kill inside the kernel rename itself.
+On object stores replace the rename swap with the table format's commit
+protocol (this helper is the filesystem flavor).
 """
 
 from __future__ import annotations
@@ -24,6 +34,34 @@ import glob
 import os
 
 from pyspark.sql import DataFrame
+
+
+def _list_data_files(path: str, fmt: str, spark=None) -> list[tuple[str, int]]:
+    """(path, size) of non-empty `*.fmt` files under `path`. Uses the
+    Hadoop FileSystem API when a SparkSession is supplied — so s3a://,
+    hdfs://, etc. report real counts instead of a silent 0 from a local
+    glob (ADVICE r7) — with a local-glob fallback otherwise."""
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(hconf)
+            if not fs.exists(hpath):
+                return []
+            out = []
+            for st in fs.listStatus(hpath):
+                p = st.getPath()
+                if st.isFile() and p.getName().endswith(f".{fmt}") and st.getLen() > 0:
+                    out.append((str(p.toString()), int(st.getLen())))
+            return out
+        except Exception:
+            pass  # fall through to local glob (e.g. mocked sessions)
+    return [
+        (f, os.path.getsize(f))
+        for f in glob.glob(os.path.join(path, f"*.{fmt}"))
+        if os.path.getsize(f) > 0
+    ]
 
 
 def estimate_bytes(df: DataFrame, sample_rows: int = 10_000) -> int:
@@ -64,13 +102,32 @@ def write_compacted(
     on_disk = est / max(compression_ratio, 1e-9)
     n = max(1, int(on_disk // target_file_bytes) + (1 if on_disk % target_file_bytes else 0))
     df.repartition(n).write.format(fmt).mode(mode).save(path)
-    return len(
-        [
-            f
-            for f in glob.glob(os.path.join(path, f"*.{fmt}"))
-            if os.path.getsize(f) > 0
-        ]
-    )
+    return len(_list_data_files(path, fmt, spark=df.sparkSession))
+
+
+def _recover_stale(spark, path: str) -> None:
+    """Entry-point recovery from a previous crashed compaction.
+
+    - `.precompact` present while `path` is missing: the crash hit the
+      swap window between the two renames — the precompact dir IS the
+      table; restore it.
+    - `.precompact` present alongside a live `path`: the crash hit after
+      the swap completed but before cleanup; the live path is the
+      compacted table and the leftover is garbage — delete it.
+    - `.compacting` present: a dead partial rewrite from any crashed
+      run; always delete (its contents are reproducible from `path`).
+    """
+    import shutil
+
+    old = path.rstrip("/") + ".precompact"
+    tmp = path.rstrip("/") + ".compacting"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
 
 def compact_table(
@@ -81,31 +138,28 @@ def compact_table(
 ) -> tuple[int, int]:
     """In-place compaction of an existing table directory: read, rewrite
     to a temp sibling at target size, atomically swap. Returns
-    (files_before, files_after).
+    (files_before, files_after). Recovers from stale state left by a
+    crashed prior run before doing any work (see module docstring)."""
+    import shutil
 
-    The swap is rename-based — on object stores replace this with the
-    table format's commit protocol (this helper is the filesystem
-    flavor)."""
-    before = [
-        f
-        for f in glob.glob(os.path.join(path, f"*.{fmt}"))
-        if os.path.getsize(f) > 0
-    ]
+    _recover_stale(spark, path)
+    before = _list_data_files(path, fmt, spark=spark)
     # size from the actual files — no estimate needed for in-place work
-    total = sum(os.path.getsize(f) for f in before)
+    total = sum(sz for _, sz in before)
     n = max(1, total // target_file_bytes + (1 if total % target_file_bytes else 0))
     tmp = path.rstrip("/") + ".compacting"
     df = spark.read.format(fmt).load(path)
     df.repartition(int(n)).write.format(fmt).mode("overwrite").save(tmp)
     old = path.rstrip("/") + ".precompact"
     os.rename(path, old)
-    os.rename(tmp, path)
-    import shutil
-
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # roll back so `path` always exists after we return/raise; the
+        # remaining exposure is a hard kill between the two renames,
+        # which _recover_stale repairs on the next run
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
-    after = [
-        f
-        for f in glob.glob(os.path.join(path, f"*.{fmt}"))
-        if os.path.getsize(f) > 0
-    ]
+    after = _list_data_files(path, fmt, spark=spark)
     return len(before), len(after)

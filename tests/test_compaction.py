@@ -58,3 +58,37 @@ def test_estimate_bytes_plausible(spark):
     # deep-memory fallback much higher — the plausibility window only
     # rejects nonsense (zero, or the 8 EiB unknown-stats default)
     assert 10_000 <= est < 5_000_000, est
+
+
+def test_compact_table_recovers_stale_state(spark, tmp_path):
+    # .compacting left by a crashed rewrite + .precompact alongside a
+    # live table: both are garbage; compaction cleans them and proceeds
+    path = str(tmp_path / "t3")
+    df = spark.range(0, 2_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(16).write.parquet(path)
+    os.makedirs(path + ".compacting")
+    with open(path + ".compacting" + "/junk.parquet", "w") as f:
+        f.write("dead partial rewrite")
+    os.makedirs(path + ".precompact")
+    before, after = compact_table(spark, path, target_file_bytes=8 << 20)
+    assert before == 16 and after < before
+    assert not os.path.exists(path + ".precompact")
+    assert not os.path.exists(path + ".compacting")
+    assert spark.read.parquet(path).count() == 2_000
+
+
+def test_compact_table_restores_table_lost_in_swap_window(spark, tmp_path):
+    # crash BETWEEN the two renames leaves only .precompact — the next
+    # run must restore it as the table before compacting
+    path = str(tmp_path / "t4")
+    df = spark.range(0, 1_000).select("id")
+    df.repartition(8).write.parquet(path)
+    os.rename(path, path + ".precompact")  # simulate the crash window
+    assert not os.path.exists(path)
+    before, after = compact_table(spark, path, target_file_bytes=8 << 20)
+    assert before == 8 and after <= before
+    assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == sum(
+        range(1_000)
+    )

@@ -380,12 +380,7 @@ def test_pagerank_weighted_prefers_heavy_neighbor(spark):
 
 def test_pagerank_uniform_on_regular_graph(spark):
     # 8-cycle is 2-regular: uniform 1/8 is the exact fixpoint
-    edges = _edges_df(
-        spark,
-        [(f"n{i}", f"n{(i + 1) % 8}" if i < 7 else "n0") for i in range(8)],
-    )
-    # canonicalize pair order (u1<u2 unnecessary for symmetrize, but
-    # avoid the duplicate n7-n0/n0-n7 edge)
+    # (pair order canonicalized so n7-n0 isn't duplicated as n0-n7)
     edges = _edges_df(spark, [(f"n{i}", f"n{i + 1}") for i in range(7)] + [("n0", "n7")])
     for r in pagerank(edges, max_iter=10, tol=1e-15).collect():
         assert r["rank"] == pytest.approx(1.0 / 8, abs=1e-12)

@@ -380,3 +380,22 @@ def test_decode_video_auto_routes_and_strides(spark):
 
     with _pt.raises(ValueError, match="decoder"):
         decode_video(df, decoder="ffmpeg")
+
+
+def test_y4m_odd_dimensions_use_ceiling_chroma_planes():
+    # real C420/C422 planes are 2*ceil(w/2)*ceil(h/2) / 2*ceil(w/2)*h;
+    # an int(y_size*factor) floor mis-advances the cursor on odd dims
+    # and rejects valid multi-frame streams (ADVICE r7)
+    from echo_chambers_detection_spark.functions.videocodec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    for w, h, cs in [(5, 3, "C420jpeg"), (5, 3, "C422"), (7, 5, "C422"),
+                     (3, 7, "C420jpeg"), (5, 4, "C422")]:
+        frames = [bytes([v]) * (w * h) for v in (100, 200)]
+        y4m = encode_y4m(frames, w, h, colorspace=cs)
+        got = decode_y4m(y4m)
+        assert got[0] == w and got[1] == h, (w, h, cs)
+        assert got[3] == 2 and got[4] == 2, (w, h, cs)
+        assert got[5] == pytest.approx(150.0), (w, h, cs)
