@@ -40,6 +40,8 @@ _WARMUP_QUERIES = [
     "pagerank_user_graph",        # share-normalized power iteration
     "semantic_dedup_md5_keep",    # cluster GEMM + components chain
     "multimodal_video_stats",     # Arrow synth + vendored codec decode
+    "triangle_counts",            # oriented wedge + closure joins
+    "chunk_dedup_stats",          # chunk explode + freq join-back
 ]
 _WARMUP_SF_DIR = os.environ.get(
     "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
@@ -279,6 +281,40 @@ def _graph_scale_probes(spark, timings: dict) -> None:
         ),
         lambda e: G.leiden(e, max_levels=2, max_rounds=4),
     )
+
+    # Triangle counting on 50 circulant C_2000(1..25) blocks (2.5M
+    # undirected edges, 30M triangles): closed-form per-node truth —
+    # every node has degree 2d=50 and exactly 3*d*(d-1)/2 = 900
+    # triangles — asserted distributedly over all 100k nodes, so the
+    # degree-ordered apex orientation and wedge closure are both
+    # load-bearing at scale (round 8)
+    def _check_triangles_closed_form(timings_key: str) -> None:
+        from pyspark.sql import functions as F
+
+        from echo_chambers_detection_spark.operators.triangles import (
+            triangle_counts,
+        )
+
+        edges = planted_partition_edges(
+            spark, NB, BS, 25, bridges=False, partitions=64,
+            offsets="linear",
+        )
+        t0 = time.perf_counter()
+        tc = triangle_counts(edges.select("u1", "u2")).localCheckpoint(
+            eager=True
+        )
+        timings[timings_key] = round(time.perf_counter() - t0, 3)
+        bad = tc.where(
+            (F.col("triangles") != 900) | (F.col("deg") != 50)
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"{timings_key}: {bad} nodes off the closed form "
+                "(triangles=900, deg=50)"
+            )
+        tc.unpersist()
+
+    _check_triangles_closed_form("bench_triangles_planted_2m5")
 
 
 def _condense_scale_probe(spark, timings: dict) -> None:

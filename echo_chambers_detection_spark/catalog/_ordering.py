@@ -18,91 +18,29 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 # rounds (VERDICT r3 #3). Standing per-round policy: window = (1) new
 # never-stamped queries, (2) queries whose code changed this round,
 # (3) the previous round's unstamped tail (oldest stamps), (4) pad with
-# flagship/heavy families; tail = last round's stamps, with the two
-# intentionally oracle-less production variants pinned LAST so they
-# never burn a stamp slot (their exhaustive twins carry the hash
-# signal — VERDICT r6 what's-wrong #3).
+# flagship/heavy families; tail = last round's stamps, with EVERY
+# rows-only entry pinned LAST so none ever burns a stamp slot
+# (VERDICT r6 what's-wrong #3, extended in round 8 from the original
+# two to all sixteen: each has either a hash-green oracle twin or an
+# invariant/error-bound test, and tests/test_catalog_oracle.py re-runs
+# every oracled query locally every round regardless of the window).
 
 _REGISTRY_ORDER = [
-    # -- ROUND-7 WINDOW (first 50 = the driver's stamp set) ------------
+    # -- ROUND-8 WINDOW (first 50 = the driver's stamp set) ------------
     # new this round (never stamped)
-    "pagerank_planted",
-    "pagerank_personalized_planted",
-    "pagerank_user_graph",
+    "triangle_counts",
+    "triangle_counts_planted",
+    "transitivity_stats",
+    "degree_assortativity_moments",
+    "chunk_dedup_stats",
+    "top_tokens_per_lang",
+    "order_value_quartiles",
+    # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
-    "semantic_dedup_md5_keep",
-    "language_temperature_resample",
-    "bernoulli_lang_sample",
-    "event_value_percentiles_approx",
-    "hdbscan_planted_recovery",
-    "fastrp_step_recovery",
-    "graph_ann_planted_topk",
-    "graph_ann_embeddings_topk",
-    "multimodal_audio_stats",
-    # the 44 entries that sat outside the round-6 window (r4/r5
-    # stamps, oldest in the rotation — the whole tail returns per the
-    # standing policy; rows-only entries re-record their weaker check)
-    "ann_ivf_probe_topk",
-    "ann_pq_probe_topk",
-    "knn_graph_ann_topk",
-    "ann_lsh_topk",
-    "kafka_producer_messages",
-    "simhash64_md5_near_pairs",
-    "train_val_test_split",
-    "token_pack_chunks",
-    "quality_head_per_lang",
-    "benchmark_contamination",
-    "corpus_manifest",
-    "source_mixture_rates",
-    "event_user_cardinalities",
-    "analysis_run_metrics",
-    "rfc4122_layout_ids",
-    "label_propagation_communities",
-    "kcore_user_graph",
-    "exact_dedup_groups",
-    "event_value_percentiles",
-    "event_type_user_cube",
-    "order_stats_rollup",
-    "engaged_user_set_ops",
-    "user_profiles_cleaned",
-    "membership_asof_join",
-    "simhash_signatures",
-    "user_first_seen",
-    "user_running_totals",
-    "text_quality_scores",
-    "simhash_near_pairs",
-    "pricing_summary",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "near_dup_keep_list",
-    "community_metrics_table",
-    "global_echo_metrics",
-    "ann_topk",
-    # pad: code-touched this round (multimodal decoder auto-routing)
-    "multimodal_blob_stats",
-    # -- TAIL (51+): stamped green in round 6 (age 1) or displaced by
-    # this round's new hash-green queries (rfc4122_point_ids and
-    # density_clusters are rows-only entries whose hash twins —
-    # rfc4122_layout_ids, density_clusters_lsh_exhaustive — carry the
-    # driver signal, and tests/test_catalog_oracle.py still runs them
-    # every round); they return to the window in round 8 ---------------
-    "rfc4122_point_ids",
-    "density_clusters",
-    "fastrp_embeddings",
-    "hdbscan_clusters",
-    "analysis_run_hdbscan",
-    "modularity_optimization_communities",
-    "leiden_communities",
-    "louvain_user_communities",
-    "coengagement_edges",
-    "embedded_documents",
-    "scd2_membership_history",
-    "louvain_planted_recovery",
-    "modularity_opt_planted_recovery",
-    "leiden_planted_recovery",
-    "lpa_planted_recovery",
-    "kcore_planted_cores",
-    "connected_components_planted",
+    # oldest stamps in the rotation: the oracled entries last stamped in
+    # round 6 (5 fixed-fixture planted-recovery rows overflow to the
+    # tail head — they read no testdata, so regeneration cannot move
+    # them, and the local oracle suite re-proves them every round)
     "density_clusters_lsh_exhaustive",
     "events_in_membership_intervals",
     "ann_ivf_topk",
@@ -141,14 +79,82 @@ _REGISTRY_ORDER = [
     "community_catalog_save",
     "community_membership_save",
     "session_windows_by_type",
-    # permanently below the window boundary (VERDICT r6 what's-wrong
-    # #3): intentionally oracle-less production variants whose
-    # hash-green exhaustive twins (simhash64_md5_near_pairs,
-    # density_clusters_lsh_exhaustive) carry the driver signal — a
-    # window slot on them would be a wasted no_oracle stamp
-    "simhash64_near_pairs",
-    "density_clusters_lsh",
-    "semantic_dedup_keep_list",
+    "coengagement_edges",
+    "embedded_documents",
+    "scd2_membership_history",
+    "connected_components_planted",
+    # -- TAIL (51+) ----------------------------------------------------
+    # round-6-stamped fixed-fixture overflow: first to rotate back in
+    # round 9
+    "louvain_planted_recovery",
+    "modularity_opt_planted_recovery",
+    "leiden_planted_recovery",
+    "lpa_planted_recovery",
+    "kcore_planted_cores",
+    # stamped green in round 7 (age 1)
+    "pagerank_planted",
+    "pagerank_personalized_planted",
+    "pagerank_user_graph",
+    "semantic_dedup_md5_keep",
+    "language_temperature_resample",
+    "bernoulli_lang_sample",
+    "hdbscan_planted_recovery",
+    "fastrp_step_recovery",
+    "graph_ann_planted_topk",
+    "multimodal_audio_stats",
+    "ann_ivf_probe_topk",
+    "ann_pq_probe_topk",
+    "knn_graph_ann_topk",
+    "ann_lsh_topk",
+    "kafka_producer_messages",
+    "simhash64_md5_near_pairs",
+    "train_val_test_split",
+    "token_pack_chunks",
+    "quality_head_per_lang",
+    "benchmark_contamination",
+    "corpus_manifest",
+    "source_mixture_rates",
+    "analysis_run_metrics",
+    "rfc4122_layout_ids",
+    "exact_dedup_groups",
+    "event_value_percentiles",
+    "event_type_user_cube",
+    "order_stats_rollup",
+    "engaged_user_set_ops",
+    "user_profiles_cleaned",
+    "membership_asof_join",
+    "simhash_signatures",
+    "user_first_seen",
+    "user_running_totals",
+    "text_quality_scores",
+    "simhash_near_pairs",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "near_dup_keep_list",
+    "community_metrics_table",
+    "global_echo_metrics",
+    "ann_topk",
+    "multimodal_blob_stats",
+    # permanently below the window boundary: every rows-only entry
+    # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
+    # the hash signal, where one exists, in parentheses:
+    "event_value_percentiles_approx",  # (event_value_percentiles) + bound test
+    "event_user_cardinalities",  # HLL sketch; error-bound test
+    "graph_ann_embeddings_topk",  # (graph_ann_planted_topk)
+    "label_propagation_communities",  # (lpa_planted_recovery)
+    "kcore_user_graph",  # (kcore_planted_cores)
+    "rfc4122_point_ids",  # (rfc4122_layout_ids) + CPython bit-parity test
+    "density_clusters",  # (density_clusters_lsh_exhaustive)
+    "fastrp_embeddings",  # (fastrp_step_recovery) + plan-pinned tests
+    "hdbscan_clusters",  # (hdbscan_planted_recovery) + 25 parity tests
+    "analysis_run_hdbscan",  # (hdbscan_planted_recovery)
+    "modularity_optimization_communities",  # (modularity_opt_planted_recovery)
+    "leiden_communities",  # (leiden_planted_recovery)
+    "louvain_user_communities",  # (louvain_planted_recovery)
+    "simhash64_near_pairs",  # (simhash64_md5_near_pairs)
+    "density_clusters_lsh",  # (density_clusters_lsh_exhaustive)
+    "semantic_dedup_keep_list",  # (semantic_dedup_md5_keep)
 ]
 
 

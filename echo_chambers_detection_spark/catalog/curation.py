@@ -1794,3 +1794,116 @@ def q_bernoulli_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("h16") < F.col("gate"))
         .select("doc_id", "lang", "h16")
     )
+
+
+# ===========================================================================
+# Chunk-level exact dedup + per-language heavy hitters (round 8)
+# ===========================================================================
+
+
+@register(
+    "chunk_dedup_stats",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           UNNEST([array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ')
+                   for i in generate_series(1, (len(t) + 9) // 10)]) AS chunk
+    FROM toks
+),
+freq AS (
+    SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk
+)
+SELECT chunks.doc_id,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+FROM chunks JOIN freq USING (chunk)
+GROUP BY chunks.doc_id
+""",
+    doc="Chunk-level exact dedup (M6 dedup family): documents split into "
+    "non-overlapping 10-token chunks, chunk text deduplicated "
+    "corpus-wide — the fixed-window flavor of C4's line-level exact "
+    "dedup for corpora without line structure. Per-doc output: chunk "
+    "count and how many of its chunks also occur elsewhere. Scale "
+    "shape: explode -> one hash groupBy on the chunk text (map-side "
+    "partial agg) -> broadcast-or-shuffle join back; no pairwise "
+    "comparisons anywhere.",
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("t")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") > 0,
+                F.expr(
+                    "transform(sequence(1, CAST((size(t) + 9) / 10 AS INT)),"
+                    " i -> array_join(slice(t, (i-1)*10 + 1, 10), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(F.count("*").alias("c"))
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+
+
+@register(
+    "top_tokens_per_lang",
+    """
+WITH toks AS (
+    SELECT lang,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS token
+    FROM documents
+),
+cnt AS (
+    SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY lang, token
+)
+SELECT lang, token, cnt, rk FROM (
+    SELECT lang, token, cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token) AS rk
+    FROM cnt
+) WHERE rk <= 5
+""",
+    doc="Per-language heavy hitters (M6 text analysis): exact token "
+    "frequencies via one map-side-combining groupBy, then a top-5 "
+    "window per language with a TOTAL order (count desc, token asc) so "
+    "ties break deterministically. At 100 TB the exact groupBy is the "
+    "honest baseline the count-min/top-k sketches get compared to.",
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokenize("text")).alias("token")
+    )
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "token", "cnt", "rk")
+    )

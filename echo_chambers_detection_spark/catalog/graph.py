@@ -896,3 +896,156 @@ def q_pagerank_personalized_planted(
         "node",
         (F.col("rank") * F.lit(16777216.0)).cast("long").alias("rank_scaled"),
     )
+
+
+# ===========================================================================
+# Graph statistics: triangles / clustering / assortativity (round 8) —
+# the GDS-catalog cohesion companions (gds.triangleCount,
+# gds.localClusteringCoefficient) to the community detectors the
+# reference streams (project/metrics/community_detection.py:49-83).
+# All-integer outputs, so every query is oracle-hash-exact.
+# ===========================================================================
+
+_ORACLE_USER_GRAPH_CTE = f"""
+{_ORACLE_ENGAGEMENTS_CTE},
+g AS (
+    SELECT a.user_did AS u1, b.user_did AS u2
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+deg AS (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT u1 AS node FROM g UNION ALL SELECT u2 AS node FROM g
+    ) GROUP BY node
+)
+"""
+
+
+@register(
+    "triangle_counts",
+    f"""
+WITH {_ORACLE_USER_GRAPH_CTE},
+tri AS (
+    SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+    FROM g e1
+    JOIN g e2 ON e2.u1 = e1.u2
+    JOIN g e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+),
+pn AS (
+    SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+)
+SELECT d.node,
+       COALESCE(pn.t, 0) AS triangles,
+       d.deg,
+       d.deg * (d.deg - 1) // 2 AS wedges
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+""",
+    doc="Per-user triangle membership + degree + wedge capacity on the "
+    "co-engagement graph (local clustering coefficient = triangles/"
+    "wedges, left as exact integers): degree-ordered node-iterator, "
+    "each triangle found at its unique low-rank apex "
+    "(operators/triangles.py)",
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    return triangle_counts(_user_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "transitivity_stats",
+    f"""
+WITH {_ORACLE_USER_GRAPH_CTE},
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM g e1
+    JOIN g e2 ON e2.u1 = e1.u2
+    JOIN g e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM g) AS n_edges,
+       tri.n_triangles,
+       (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges
+FROM tri
+""",
+    doc="Global transitivity summary of the co-engagement graph "
+    "(3*n_triangles/n_wedges = global clustering coefficient, exact "
+    "integer numerator/denominator)",
+)
+def q_transitivity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        transitivity_stats,
+    )
+
+    return transitivity_stats(_user_graph(spark, sf_dir).select("u1", "u2"))
+
+
+@register(
+    "degree_assortativity_moments",
+    f"""
+WITH {_ORACLE_USER_GRAPH_CTE},
+dpairs AS (
+    SELECT u1, u2 FROM g
+    UNION ALL
+    SELECT u2 AS u1, u1 AS u2 FROM g
+)
+SELECT COUNT(*) AS m2,
+       SUM(da.deg) AS s_x,
+       SUM(da.deg * da.deg) AS s_xx,
+       SUM(da.deg * db.deg) AS s_xy
+FROM dpairs
+JOIN deg da ON da.node = dpairs.u1
+JOIN deg db ON db.node = dpairs.u2
+""",
+    doc="Degree-assortativity moments of the co-engagement graph: exact "
+    "bigint sums over both orientations of every edge; the Pearson "
+    "coefficient (m2*s_xy - s_x^2)/(m2*s_xx - s_x^2) is a driver-side "
+    "division, keeping the distributed pass float-free",
+)
+def q_degree_assortativity_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        degree_assortativity_moments,
+    )
+
+    return degree_assortativity_moments(
+        _user_graph(spark, sf_dir).select("u1", "u2")
+    )
+
+
+@register(
+    "triangle_counts_planted",
+    """
+SELECT lpad(CAST(i AS VARCHAR), 6, '0') AS node,
+       CAST(30 AS BIGINT) AS triangles,
+       CAST(10 AS BIGINT) AS deg,
+       CAST(45 AS BIGINT) AS wedges
+FROM range(0, 200) t(i)
+""",
+    doc="Triangle kernel on a closed-form fixture: 8 disjoint circulant "
+    "blocks C_25(1..5) — every node has degree 2d=10, wedge capacity "
+    "45, and exactly 3*d*(d-1)/2 = 30 triangles (a triangle in a "
+    "circulant with offsets 1..d is a gap pair a,b>=1, a+b<=d at a "
+    "unique base vertex, so per-block count = 25*d*(d-1)/2 = 250). "
+    "Validates apex orientation + wedge closure end-to-end against "
+    "arithmetic, not another implementation.",
+)
+def q_triangle_counts_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    edges = planted_partition_edges(
+        spark, 8, 25, 5, bridges=False, offsets="linear"
+    )
+    return triangle_counts(edges.select("u1", "u2"))

@@ -292,3 +292,47 @@ def q_engagement_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "order_value_quartiles",
+    """
+WITH q AS (
+    SELECT o_orderpriority,
+           o_totalprice,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+)
+SELECT o_orderpriority, quartile,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM q GROUP BY o_orderpriority, quartile
+""",
+    doc="NTILE quartile bucketing of order values per priority class "
+    "(window-function surface: equal-frequency binning). The window "
+    "order is made TOTAL with the o_orderkey tiebreak so tile "
+    "assignment is deterministic; min/max are selections of stored "
+    "doubles (no float arithmetic), so the oracle is hash-exact.",
+)
+def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

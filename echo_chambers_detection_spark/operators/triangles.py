@@ -1,0 +1,153 @@
+"""Distributed triangle counting and degree-correlation moments.
+
+Graph-statistics companions to the community detectors (SURVEY.md G4-G8;
+the reference's Neo4j GDS catalog ships `gds.triangleCount` /
+`gds.localClusteringCoefficient` in the same family as the algorithms
+`project/metrics/community_detection.py` calls): triangle counts and the
+clustering coefficient are the standard echo-chamber cohesion signals on
+the co-engagement projection, and degree assortativity is the classic
+one-pass mixing statistic.
+
+Scale design — the degree-ordered node-iterator (Suri & Vassilvitskii,
+"Counting triangles and the curse of the last reducer", WWW'11):
+
+1. degree per node (one groupBy over the edge list);
+2. orient every undirected edge from the endpoint of LOWER (degree,
+   node) rank to the higher — each triangle now has exactly one "apex"
+   whose two out-edges span it, and the per-node out-degree is bounded
+   by O(sqrt(m)), which is what kills the celebrity-vertex wedge
+   explosion (a 10^6-degree hub generates 10^12 wedges unoriented,
+   ~m wedges oriented);
+3. wedge join: oriented out-edges self-joined on the apex;
+4. closure join: wedge (b, c) semi-joined against the oriented edge set.
+
+Everything is plain DataFrame joins/aggregations — shuffle-partitioned
+on the join keys, AQE-skew-splittable, no driver state, no Python in
+the hot path. Counts are exact integers, so the catalog oracle is
+hash-exact against DuckDB with zero float plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from a canonical undirected edge list (u1 < u2, one
+    row per edge)."""
+    return (
+        edges.select(F.col("u1").alias("node"))
+        .unionAll(edges.select(F.col("u2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each edge low-rank -> high-rank, rank = (deg, node).
+    Output (src, dst, dst_deg): dst_deg rides along so the wedge join
+    can order its two legs without re-joining degrees."""
+    e = (
+        edges.select("u1", "u2")
+        .join(deg.withColumnRenamed("node", "u1").withColumnRenamed("deg", "d1"), "u1")
+        .join(deg.withColumnRenamed("node", "u2").withColumnRenamed("deg", "d2"), "u2")
+    )
+    u1_lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("u1") < F.col("u2"))
+    )
+    return e.select(
+        F.when(u1_lower, F.col("u1")).otherwise(F.col("u2")).alias("src"),
+        F.when(u1_lower, F.col("u2")).otherwise(F.col("u1")).alias("dst"),
+        F.when(u1_lower, F.col("d2")).otherwise(F.col("d1")).alias("dst_deg"),
+    )
+
+
+def triangle_vertices(edges: DataFrame) -> DataFrame:
+    """One row (a, b, c) per triangle in the undirected graph; each
+    triangle appears exactly once (a = apex of the oriented wedge, b/c
+    ordered by rank)."""
+    deg = node_degrees(edges)
+    oe = _oriented(edges, deg)
+    l = oe.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("dst_deg").alias("bd"),
+    )
+    r = oe.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("dst_deg").alias("cd"),
+    )
+    wedges = l.join(r, "a").where(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    closure = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closure, ["b", "c"]).select("a", "b", "c")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node (node, triangles, deg, wedges): triangle membership
+    count, degree, and deg*(deg-1)/2 open-wedge capacity — the local
+    clustering coefficient is triangles/wedges, left as an exact
+    integer pair so comparisons stay float-free. Nodes in no triangle
+    appear with triangles = 0."""
+    tri = triangle_vertices(edges)
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        node_degrees(edges)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+            "deg",
+            F.expr("deg * (deg - 1) DIV 2").alias("wedges"),
+        )
+    )
+
+
+def transitivity_stats(edges: DataFrame) -> DataFrame:
+    """One-row global summary: n_nodes, n_edges, n_triangles, n_wedges
+    (global transitivity = 3*n_triangles/n_wedges, derivable from the
+    exact integers)."""
+    deg = node_degrees(edges)
+    tri_n = triangle_vertices(edges).agg(
+        F.count("*").alias("n_triangles")
+    )
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("CAST(sum(deg) AS BIGINT) DIV 2").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
+    )
+    return base.crossJoin(tri_n).select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges"
+    )
+
+
+def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
+    """Exact integer moments of the degree-degree joint distribution at
+    edge endpoints, over BOTH orientations of every undirected edge (the
+    standard convention): m2 = 2|E| directed pairs, s_x = sum of source
+    degrees, s_xx = sum of squared source degrees, s_xy = sum of
+    endpoint-degree products. The assortativity coefficient is
+    (m2*s_xy - s_x^2) / (m2*s_xx - s_x^2) — a driver-side division over
+    exact bigints, so the distributed part (this one aggregation pass)
+    never touches a float."""
+    deg = node_degrees(edges)
+    both = edges.select("u1", "u2").unionAll(
+        edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
+    )
+    e = (
+        both.join(deg.withColumnRenamed("node", "u1").withColumnRenamed("deg", "dx"), "u1")
+        .join(deg.withColumnRenamed("node", "u2").withColumnRenamed("deg", "dy"), "u2")
+    )
+    return e.agg(
+        F.count("*").alias("m2"),
+        F.sum("dx").alias("s_x"),
+        F.sum(F.expr("dx * dx")).alias("s_xx"),
+        F.sum(F.expr("dx * dy")).alias("s_xy"),
+    )

@@ -30,41 +30,41 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r7 = {
-        # round-7 window intent: this round's new oracle-backed queries,
-        # the entries that sat outside the round-6 window (minus
-        # rows-only entries displaced in favor of new hash-green rows —
-        # their twins carry the signal), and the code-touched pad
-        # (see catalog/_ordering.py)
-        "analysis_run_metrics", "ann_ivf_probe_topk",
-        "ann_lsh_topk", "ann_pq_probe_topk", "ann_topk",
-        "benchmark_contamination", "bernoulli_lang_sample",
-        "community_metrics_table",
-        "corpus_manifest", "engaged_user_set_ops",
-        "event_type_user_cube", "event_user_cardinalities",
-        "event_value_percentiles", "event_value_percentiles_approx",
-        "exact_dedup_groups",
-        "fastrp_step_recovery", "global_echo_metrics",
-        "graph_ann_embeddings_topk", "graph_ann_planted_topk",
-        "hdbscan_planted_recovery",
-        "kafka_producer_messages", "kcore_user_graph", "knn_graph_ann_topk",
-        "label_propagation_communities", "language_temperature_resample",
-        "membership_asof_join",
-        "minhash_lsh_candidates",
-        "multimodal_audio_stats", "multimodal_blob_stats",
-        "multimodal_video_stats",
-        "near_dup_keep_list", "ngram_jaccard_pairs", "order_stats_rollup",
-        "pagerank_personalized_planted", "pagerank_planted",
-        "pagerank_user_graph",
-        "pricing_summary", "quality_head_per_lang", "rfc4122_layout_ids",
-        "semantic_dedup_md5_keep",
-        "simhash64_md5_near_pairs", "simhash_near_pairs",
-        "simhash_signatures", "source_mixture_rates", "text_quality_scores",
-        "token_pack_chunks", "train_val_test_split", "user_first_seen",
-        "user_profiles_cleaned", "user_running_totals",
+    must_stamp_r8 = {
+        # round-8 window intent: this round's new oracle-backed queries,
+        # the code-touched video query, and the oracled entries last
+        # stamped in round 6 (see catalog/_ordering.py; 5 fixed-fixture
+        # planted-recovery rows overflow to the tail head, and every
+        # rows-only entry is pinned below the window boundary)
+        "triangle_counts", "triangle_counts_planted",
+        "transitivity_stats", "degree_assortativity_moments",
+        "chunk_dedup_stats", "top_tokens_per_lang",
+        "order_value_quartiles", "multimodal_video_stats",
+        "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
+        "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
+        "revenue_by_nation", "doc_fingerprints", "language_id_pred",
+        "embedding_near_dup", "tumbling_event_counts", "engagement_union",
+        "sliding_event_counts", "language_id_trigram_pred",
+        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
+        "c4_quality_flags", "winnowing_fingerprints",
+        "membership_with_labels", "top_orders", "customers_without_orders",
+        "active_customers", "top3_orders_per_customer", "event_type_stats",
+        "ann_extremes", "text_token_stats", "knn_graph_topk",
+        "doc_repetition_scores", "coengagement_top_pairs",
+        "embedding_similarity_join", "user_mean_embeddings",
+        "conductance_sentinel", "connected_components_strong",
+        "scd2_current_membership", "scd2_membership_as_of",
+        "community_catalog_save", "community_membership_save",
+        "session_windows_by_type", "coengagement_edges",
+        "embedded_documents", "scd2_membership_history",
+        "connected_components_planted",
     }
-    missing = must_stamp_r7 - set(window)
+    missing = must_stamp_r8 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
+    # every window slot must carry a hash oracle — a no_oracle stamp is
+    # a wasted slot (VERDICT r6 what's-wrong #3)
+    no_oracle = [n for n in window if QUERY_REGISTRY[n].oracle is None]
+    assert not no_oracle, f"rows-only entries in the window: {no_oracle}"
 
 
 def test_registry_entries_bind_their_own_query_functions():

@@ -1,0 +1,92 @@
+"""Triangle counting / transitivity / assortativity (operators/triangles.py).
+
+Closed-form micro-fixtures; the catalog-level DuckDB oracles
+(triangle_counts, transitivity_stats, degree_assortativity_moments,
+triangle_counts_planted) are exercised by tests/test_catalog_oracle.py.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from echo_chambers_detection_spark.operators.triangles import (
+    degree_assortativity_moments,
+    transitivity_stats,
+    triangle_counts,
+    triangle_vertices,
+)
+
+
+def _edges(spark, pairs):
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    return spark.createDataFrame(canon, ["u1", "u2"])
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    e = _edges(spark, combinations(["a", "b", "c", "d"], 2))
+    rows = {r["node"]: r for r in triangle_counts(e).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert (r["triangles"], r["deg"], r["wedges"]) == (3, 3, 3)
+    tris = triangle_vertices(e).collect()
+    assert len(tris) == 4
+    # each triangle appears exactly once, as a set
+    assert len({frozenset((t["a"], t["b"], t["c"])) for t in tris}) == 4
+
+
+def test_path_has_zero_triangles_but_all_nodes_reported(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    rows = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert rows == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_hub_orientation_finds_triangle_at_low_rank_apex(spark):
+    # star center + one closing edge: the only triangle's apex must be a
+    # LEAF under degree ordering — the hub never fans out wedges
+    e = _edges(
+        spark,
+        [("s", f"l{i}") for i in range(1, 5)] + [("l1", "l2")],
+    )
+    rows = {r["node"]: r for r in triangle_counts(e).collect()}
+    assert rows["s"]["triangles"] == 1
+    assert rows["l1"]["triangles"] == 1 and rows["l2"]["triangles"] == 1
+    assert rows["l3"]["triangles"] == 0 and rows["l4"]["triangles"] == 0
+    assert rows["s"]["deg"] == 4 and rows["s"]["wedges"] == 6
+
+
+def test_transitivity_stats_k4(spark):
+    e = _edges(spark, combinations(["a", "b", "c", "d"], 2))
+    row = transitivity_stats(e).first()
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_triangles"], row["n_wedges"]
+    ) == (4, 6, 4, 12)
+    # K4 transitivity: 3*4/12 == 1
+    assert 3 * row["n_triangles"] == row["n_wedges"]
+
+
+def test_assortativity_moments_star(spark):
+    # star(1+3): center degree 3, leaves degree 1; both orientations
+    row = degree_assortativity_moments(
+        _edges(spark, [("c", "x"), ("c", "y"), ("c", "z")])
+    ).first()
+    assert (row["m2"], row["s_x"], row["s_xx"], row["s_xy"]) == (
+        6, 12, 30, 18,
+    )
+    # perfectly disassortative: r = (m2*s_xy - s_x^2)/(m2*s_xx - s_x^2)
+    r = (6 * 18 - 12 * 12) / (6 * 30 - 12 * 12)
+    assert r == -1.0
+
+
+def test_planted_circulant_closed_form(spark):
+    # C_25(1..5) blocks: every node deg 10, 30 triangles, 45 wedges
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    e = planted_partition_edges(
+        spark, 2, 25, 5, bridges=False, offsets="linear"
+    ).select("u1", "u2")
+    rows = triangle_counts(e).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert (r["triangles"], r["deg"], r["wedges"]) == (30, 10, 45)
