@@ -65,3 +65,32 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV source with explicit schema (reference pd.read_csv of cluster
     files, project/metrics/metrics_interface.py:47-50, SURVEY.md S18)."""
     return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format training-data pipelines
+    feed tokenizers with (one JSON document per line; Spark's json
+    writer is newline-delimited by construction). Engine infrastructure
+    beyond the reference's CSV artifacts."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema in production —
+    schema inference is a full extra pass over the data, which at
+    100 TB doubles the scan cost."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar format Spark ships a native
+    vectorized reader for; kept API-symmetric with parquet so tables
+    can migrate either way."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
