@@ -35,6 +35,7 @@ _REGISTRY_ORDER = [
     "chunk_dedup_stats",
     "top_tokens_per_lang",
     "order_value_quartiles",
+    "event_type_theta_users",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -82,10 +83,10 @@ _REGISTRY_ORDER = [
     "coengagement_edges",
     "embedded_documents",
     "scd2_membership_history",
-    "connected_components_planted",
     # -- TAIL (51+) ----------------------------------------------------
     # round-6-stamped fixed-fixture overflow: first to rotate back in
     # round 9
+    "connected_components_planted",
     "louvain_planted_recovery",
     "modularity_opt_planted_recovery",
     "leiden_planted_recovery",
@@ -140,6 +141,7 @@ _REGISTRY_ORDER = [
     # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
     # the hash signal, where one exists, in parentheses:
     "event_value_percentiles_approx",  # (event_value_percentiles) + bound test
+    "event_value_quantiles_kll",  # (event_value_percentiles) + bound test
     "event_user_cardinalities",  # HLL sketch; error-bound test
     "graph_ann_embeddings_topk",  # (graph_ann_planted_topk)
     "label_propagation_communities",  # (lpa_planted_recovery)

@@ -344,3 +344,86 @@ def q_event_value_percentiles_approx(
             "n",
         )
     )
+
+
+# ===========================================================================
+# DataSketches family (round 8): theta distinct + KLL quantiles, next to
+# the HLL++ (event_user_cardinalities) and Greenwald-Khanna
+# (event_value_percentiles_approx) sketches — the full
+# mergeable-summary toolkit a 100 TB pipeline aggregates with.
+# ===========================================================================
+
+
+@register(
+    "event_type_theta_users",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_theta,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="Distinct engaged users per event type via a THETA sketch "
+    "(Spark 4's Apache DataSketches binding): mergeable across "
+    "partitions/days like HLL, but supporting set algebra downstream. "
+    "A theta sketch is EXACT below its nominal capacity — it retains "
+    "every hash until 2^lgNomEntries and only then samples — so with "
+    "lg=14 (16384) and the test tables' per-type cardinality in the "
+    "hundreds, the estimate IS the exact distinct count and the query "
+    "is oracle-hash-checkable (the same pairing trick as the planted "
+    "recoveries: pin the regime where the approximate algorithm is "
+    "provably exact). The sampling regime's error bound is covered by "
+    "a 100k-cardinality test (tests/test_sketches.py).",
+)
+def q_event_type_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.theta_sketch_estimate(
+            F.theta_sketch_agg(F.col("user_id"), 14)
+        ).alias("n_users_theta"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "event_value_quantiles_kll",
+    None,
+    doc="Bounded-memory quantiles via the KLL sketch (Spark 4 "
+    "DataSketches binding) — the modern replacement for "
+    "Greenwald-Khanna with provably optimal space for a given rank "
+    "error (~1.7% at the default k=200). Same live-gap contract as "
+    "event_value_percentiles_approx: rel_value_gap columns compare "
+    "against the exact interpolated percentiles in-query so the "
+    "driver's rows-only stamp records the actual error; the rank-error "
+    "bound is asserted in tests/test_sketches.py.",
+)
+def q_event_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kll = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(F.col("value")).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    approx = kll.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_k"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95_k"),
+        "n",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("p50_x"),
+        F.expr("percentile(value, 0.95D)").alias("p95_x"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    gap = lambda a, x: F.round(  # noqa: E731
+        F.when(F.col("rng") == 0, F.lit(0.0)).otherwise(
+            F.abs(F.col(a) - F.col(x)) / F.col("rng")
+        ),
+        6,
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        F.round("p50_k", 6).alias("p50_kll"),
+        F.round("p95_k", 6).alias("p95_kll"),
+        gap("p50_k", "p50_x").alias("p50_rel_value_gap"),
+        gap("p95_k", "p95_x").alias("p95_rel_value_gap"),
+        "n",
+    )

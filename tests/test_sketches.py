@@ -1,0 +1,66 @@
+"""DataSketches family (theta distinct, KLL quantiles) — regime tests.
+
+The catalog pins the regimes: event_type_theta_users is oracle-backed
+BECAUSE a theta sketch below nominal capacity is exact; this file
+asserts (a) that exactness property where the oracle relies on it,
+(b) the bounded error in the sampling regime the oracle can't see,
+and (c) the KLL rank-error contract behind event_value_quantiles_kll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_theta_exact_below_nominal_capacity(spark):
+    # 12k distinct < 2^14 nominal: estimate must be EXACTLY the count
+    df = spark.range(0, 60_000).select((F.col("id") % 12_000).alias("v"))
+    est = df.agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg(F.col("v"), 14)).alias("e")
+    ).first()["e"]
+    assert est == 12_000
+
+
+def test_theta_sampling_regime_error_bounded(spark):
+    # 200k distinct >> 2^14: sampling kicks in; theta's RSE at k=16384
+    # is ~1/sqrt(k) ~ 0.8%, so 4% is a generous deterministic-fixture bar
+    n = 200_000
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    est = df.agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg(F.col("v"), 14)).alias("e")
+    ).first()["e"]
+    assert abs(est - n) / n < 0.04, est
+
+
+def test_kll_rank_error_bounded(spark):
+    # uniform 0..99999: true p50 = 49999.5-ish, p95 = 94999.05-ish.
+    # KLL at default k=200 has ~1.7% rank error; assert 3% of the range.
+    n = 100_000
+    df = spark.range(0, n).select(F.col("id").cast("double").alias("v"))
+    row = df.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v"), F.lit(0.5)
+        ).alias("p50"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v"), F.lit(0.95)
+        ).alias("p95"),
+    ).first()
+    assert abs(row["p50"] - 0.50 * n) / n < 0.03
+    assert abs(row["p95"] - 0.95 * n) / n < 0.03
+
+
+def test_kll_catalog_live_gap_small(spark):
+    # the catalog query's self-reported rel_value_gap columns must stay
+    # inside the same 3% bar on the real events table
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+    rows = (
+        QUERY_REGISTRY["event_value_quantiles_kll"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["p50_rel_value_gap"] <= 0.03, r
+        assert r["p95_rel_value_gap"] <= 0.03, r
+        assert r["n"] > 0
