@@ -316,6 +316,52 @@ def _graph_scale_probes(spark, timings: dict) -> None:
 
     _check_triangles_closed_form("bench_triangles_planted_2m5")
 
+    # Factored PageRank where the materialized projection is IMPOSSIBLE:
+    # 100k users all engaging one celebrity post (plus a pairing post
+    # each) project to a ~5e9-edge near-complete graph — but the
+    # bipartite matvec is 200k rows/round. wdeg_u = (N-1)+1 = N for
+    # every user, so uniform 1/n is the exact fixpoint and the
+    # correctness assertion is closed-form (round 8)
+    def _check_pagerank_factored_celebrity(timings_key: str) -> None:
+        from pyspark.sql import functions as F
+
+        from echo_chambers_detection_spark.operators.graph import (
+            pagerank_coengagement,
+        )
+
+        n = 100_000
+        base = spark.range(0, n, 1, 32).select(
+            F.lpad(F.col("id").cast("string"), 6, "0").alias("user_did"),
+            F.col("id"),
+        )
+        eng = base.select(
+            "user_did", F.lit("CELEB").alias("post_uri")
+        ).unionAll(
+            base.select(
+                "user_did",
+                F.concat(
+                    F.lit("pair"),
+                    F.floor(F.col("id") / 2).cast("string"),
+                ).alias("post_uri"),
+            )
+        )
+        t0 = time.perf_counter()
+        ranks = pagerank_coengagement(
+            eng, damping=0.85, max_iter=3, tol=0.0
+        ).localCheckpoint(eager=True)
+        timings[timings_key] = round(time.perf_counter() - t0, 3)
+        dev = ranks.agg(
+            F.max(F.abs(F.col("rank") - F.lit(1.0 / n))).alias("d")
+        ).first()["d"]
+        if dev > 1e-9:
+            raise AssertionError(
+                f"{timings_key}: rank deviates {dev:.3e} from the "
+                "uniform fixpoint (bound 1e-9)"
+            )
+        ranks.unpersist()
+
+    _check_pagerank_factored_celebrity("bench_pagerank_factored_celebrity")
+
 
 def _condense_scale_probe(spark, timings: dict) -> None:
     """Two-level condense at ~1M forest edges (VERDICT r5 #3): a

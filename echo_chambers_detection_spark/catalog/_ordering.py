@@ -36,6 +36,7 @@ _REGISTRY_ORDER = [
     "top_tokens_per_lang",
     "order_value_quartiles",
     "event_type_theta_users",
+    "pagerank_factored_planted",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -82,10 +83,9 @@ _REGISTRY_ORDER = [
     "session_windows_by_type",
     "coengagement_edges",
     "embedded_documents",
-    "scd2_membership_history",
     # -- TAIL (51+) ----------------------------------------------------
-    # round-6-stamped fixed-fixture overflow: first to rotate back in
-    # round 9
+    # round-6-stamped overflow: first to rotate back in round 9
+    "scd2_membership_history",
     "connected_components_planted",
     "louvain_planted_recovery",
     "modularity_opt_planted_recovery",

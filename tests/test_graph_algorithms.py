@@ -433,3 +433,79 @@ def test_pagerank_personalized_matches_numpy(spark):
         r = 0.15 * s + 0.85 * (contrib + dangling * s)
     for i, nm in enumerate(names):
         assert got[nm] == pytest.approx(r[i], abs=1e-12), nm
+
+
+def test_pagerank_factored_matches_materialized(spark):
+    """pagerank_coengagement must equal pagerank over the materialized
+    projection (same damping/iters) — exact on the dyadic fixture,
+    <=1e-9 relative on the real engagement relation (float association
+    differs between the factored and materialized matvecs)."""
+    from echo_chambers_detection_spark.catalog.graph import (
+        _factored_star_engagements,
+    )
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges,
+    )
+    from echo_chambers_detection_spark.operators.graph import (
+        pagerank,
+        pagerank_coengagement,
+    )
+    from echo_chambers_detection_spark.sources.domain import (
+        engagements_from_events,
+    )
+    from echo_chambers_detection_spark.sources.tables import load_table
+
+    # dyadic star: bit-exact
+    eng = _factored_star_engagements(spark)
+    fact = {
+        r["node"]: r["rank"]
+        for r in pagerank_coengagement(
+            eng, damping=1.0, max_iter=3, tol=0.0, seeds=["hub"]
+        ).collect()
+    }
+    mat = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            coengagement_edges(eng),
+            damping=1.0, max_iter=3, tol=0.0, weighted=True,
+            seeds=["hub"],
+        ).collect()
+    }
+    assert fact == mat and fact["hub"] == 0.25
+
+    # real engagements at sf0.001
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    eng = engagements_from_events(ev)
+    fact = {
+        r["node"]: r["rank"]
+        for r in pagerank_coengagement(
+            eng, damping=0.85, max_iter=3, tol=0.0
+        ).collect()
+    }
+    mat = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            coengagement_edges(eng),
+            damping=0.85, max_iter=3, tol=0.0, weighted=True,
+        ).collect()
+    }
+    assert set(fact) == set(mat) and fact
+    for k in fact:
+        assert abs(fact[k] - mat[k]) <= 1e-9 * max(abs(mat[k]), 1e-30), k
+
+
+def test_pagerank_factored_excludes_isolated_users(spark):
+    # a user whose only post nobody else engages has wdeg 0 — absent
+    # from the materialized projection, so absent here too
+    eng = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("solo", "p9")],
+        ["user_did", "post_uri"],
+    )
+    from echo_chambers_detection_spark.operators.graph import (
+        pagerank_coengagement,
+    )
+
+    nodes = {
+        r["node"] for r in pagerank_coengagement(eng, max_iter=2).collect()
+    }
+    assert nodes == {"a", "b"}
