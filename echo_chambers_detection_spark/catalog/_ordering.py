@@ -37,6 +37,7 @@ _REGISTRY_ORDER = [
     "order_value_quartiles",
     "event_type_theta_users",
     "pagerank_factored_planted",
+    "tfidf_top_terms",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -82,9 +83,9 @@ _REGISTRY_ORDER = [
     "community_membership_save",
     "session_windows_by_type",
     "coengagement_edges",
-    "embedded_documents",
     # -- TAIL (51+) ----------------------------------------------------
     # round-6-stamped overflow: first to rotate back in round 9
+    "embedded_documents",
     "scd2_membership_history",
     "connected_components_planted",
     "louvain_planted_recovery",

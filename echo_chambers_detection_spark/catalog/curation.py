@@ -1907,3 +1907,61 @@ def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("lang", "token", "cnt", "rk")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, df, score_scaled, rk FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           (tf.tf * 1000000) // df.df AS score_scaled,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token
+           ) AS rk
+    FROM tf JOIN df USING (token)
+) WHERE rk <= 3
+""",
+    doc="TF-IDF keyword extraction (M6 text analysis): top-3 terms per "
+    "document by tf/df. The score is the exact scaled-integer quotient "
+    "tf*1e6 DIV df — integer division is bit-identical across engines, "
+    "so ranking and output hash-verify with zero float plumbing (the "
+    "idf log is monotone in 1/df at fixed N, so per-doc ORDERING is "
+    "unchanged by dropping it; consumers wanting calibrated scores "
+    "apply ln(N/df) to the df column downstream). Scale shape: two "
+    "map-side-combining groupBys + a window partitioned by doc_id "
+    "(bounded per-doc term cardinality) — no global sort.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score_scaled", F.expr("tf * 1000000 DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_scaled", "rk")
+    )

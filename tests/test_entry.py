@@ -40,7 +40,8 @@ def test_registry_window_covers_unverified_queries():
         "transitivity_stats", "degree_assortativity_moments",
         "chunk_dedup_stats", "top_tokens_per_lang",
         "order_value_quartiles", "event_type_theta_users",
-        "pagerank_factored_planted", "multimodal_video_stats",
+        "pagerank_factored_planted", "tfidf_top_terms",
+        "multimodal_video_stats",
         "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
         "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
         "revenue_by_nation", "doc_fingerprints", "language_id_pred",
@@ -57,7 +58,6 @@ def test_registry_window_covers_unverified_queries():
         "scd2_current_membership", "scd2_membership_as_of",
         "community_catalog_save", "community_membership_save",
         "session_windows_by_type", "coengagement_edges",
-        "embedded_documents",
     }
     missing = must_stamp_r8 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"

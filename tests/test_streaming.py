@@ -404,3 +404,45 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     near_dedup_batch_against_store(b2, store, out, max_hamming=4)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {"a1", "a2", "b2", "b3"}, got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two live streams (views, clicks) joined on user + event-time
+    proximity must produce exactly the batch join's rows under
+    availableNow (inner interval join; watermarks bound the state,
+    the range condition is what makes expiry possible)."""
+    from echo_chambers_detection_spark.streaming.joins import (
+        attribute_clicks_to_views,
+    )
+
+    events = load_table(spark, "events", SF)
+    vsrc = str(tmp_path / "views.parquet")
+    csrc = str(tmp_path / "clicks.parquet")
+    events.where(F.col("event_type") == "view").write.parquet(vsrc)
+    events.where(F.col("event_type") == "click").write.parquet(csrc)
+
+    batch = attribute_clicks_to_views(
+        spark.read.parquet(vsrc), spark.read.parquet(csrc)
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(want) > 0  # fixture actually exercises the join
+
+    schema_v = spark.read.parquet(vsrc).schema
+    schema_c = spark.read.parquet(csrc).schema
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        attribute_clicks_to_views(
+            spark.readStream.schema(schema_v).parquet(vsrc),
+            spark.readStream.schema(schema_c).parquet(csrc),
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+    assert got == want
