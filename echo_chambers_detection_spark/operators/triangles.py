@@ -62,11 +62,15 @@ def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def triangle_vertices(edges: DataFrame) -> DataFrame:
+def triangle_vertices(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """One row (a, b, c) per triangle in the undirected graph; each
     triangle appears exactly once (a = apex of the oriented wedge, b/c
-    ordered by rank)."""
-    deg = node_degrees(edges)
+    ordered by rank). Pass a MATERIALIZED `deg` when the caller also
+    needs degrees: Catalyst does not reuse common subplans, so a lazy
+    deg referenced from both orientation joins and the caller's output
+    would re-run its groupBy per reference."""
+    if deg is None:
+        deg = node_degrees(edges).localCheckpoint(eager=True)
     oe = _oriented(edges, deg)
     l = oe.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
@@ -90,23 +94,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     clustering coefficient is triangles/wedges, left as an exact
     integer pair so comparisons stay float-free. Nodes in no triangle
     appear with triangles = 0."""
-    tri = triangle_vertices(edges)
+    deg = node_degrees(edges).localCheckpoint(eager=True)
+    tri = triangle_vertices(edges, deg)
+    # one explode, not a 3-way unionAll of tri: Catalyst does not reuse
+    # common subplans across union branches, so the union form would
+    # execute the wedge+closure joins three times
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
-    return (
-        node_degrees(edges)
-        .join(per_node, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
-            "deg",
-            F.expr("deg * (deg - 1) DIV 2").alias("wedges"),
-        )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+        "deg",
+        F.expr("deg * (deg - 1) DIV 2").alias("wedges"),
     )
 
 
@@ -114,8 +118,8 @@ def transitivity_stats(edges: DataFrame) -> DataFrame:
     """One-row global summary: n_nodes, n_edges, n_triangles, n_wedges
     (global transitivity = 3*n_triangles/n_wedges, derivable from the
     exact integers)."""
-    deg = node_degrees(edges)
-    tri_n = triangle_vertices(edges).agg(
+    deg = node_degrees(edges).localCheckpoint(eager=True)
+    tri_n = triangle_vertices(edges, deg).agg(
         F.count("*").alias("n_triangles")
     )
     base = deg.agg(
@@ -137,7 +141,7 @@ def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
     (m2*s_xy - s_x^2) / (m2*s_xx - s_x^2) — a driver-side division over
     exact bigints, so the distributed part (this one aggregation pass)
     never touches a float."""
-    deg = node_degrees(edges)
+    deg = node_degrees(edges).localCheckpoint(eager=True)
     both = edges.select("u1", "u2").unionAll(
         edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
     )
