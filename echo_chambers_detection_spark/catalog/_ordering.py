@@ -38,6 +38,7 @@ _REGISTRY_ORDER = [
     "event_type_theta_users",
     "pagerank_factored_planted",
     "tfidf_top_terms",
+    "degree_histogram",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -80,11 +81,11 @@ _REGISTRY_ORDER = [
     "scd2_current_membership",
     "scd2_membership_as_of",
     "community_catalog_save",
-    "community_membership_save",
     "session_windows_by_type",
     "coengagement_edges",
     # -- TAIL (51+) ----------------------------------------------------
     # round-6-stamped overflow: first to rotate back in round 9
+    "community_membership_save",
     "embedded_documents",
     "scd2_membership_history",
     "connected_components_planted",

@@ -1122,3 +1122,35 @@ def q_pagerank_factored_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         (F.col("rank") * F.lit(16777216.0)).cast("long").alias("rank_scaled"),
     )
+
+
+@register(
+    "degree_histogram",
+    f"""
+WITH {_ORACLE_USER_GRAPH_CTE}
+SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_nodes,
+       MIN(deg) AS min_deg,
+       MAX(deg) AS max_deg
+FROM deg GROUP BY 1
+""",
+    doc="Log2-bucketed degree distribution of the co-engagement graph "
+    "(bucket = bit length of the degree — `bin()` is bit-identical in "
+    "Spark and DuckDB, dodging floor(log2(x)) float-boundary "
+    "misrounds). The first look every graph-skew diagnosis starts "
+    "with: a heavy tail here is what the coengagement degree caps and "
+    "AQE skew splits exist for.",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        node_degrees,
+    )
+
+    deg = node_degrees(_user_graph(spark, sf_dir).select("u1", "u2"))
+    return deg.groupBy(
+        F.length(F.bin(F.col("deg"))).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

@@ -41,7 +41,7 @@ def test_registry_window_covers_unverified_queries():
         "chunk_dedup_stats", "top_tokens_per_lang",
         "order_value_quartiles", "event_type_theta_users",
         "pagerank_factored_planted", "tfidf_top_terms",
-        "multimodal_video_stats",
+        "degree_histogram", "multimodal_video_stats",
         "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
         "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
         "revenue_by_nation", "doc_fingerprints", "language_id_pred",
@@ -56,7 +56,7 @@ def test_registry_window_covers_unverified_queries():
         "embedding_similarity_join", "user_mean_embeddings",
         "conductance_sentinel", "connected_components_strong",
         "scd2_current_membership", "scd2_membership_as_of",
-        "community_catalog_save", "community_membership_save",
+        "community_catalog_save",
         "session_windows_by_type", "coengagement_edges",
     }
     missing = must_stamp_r8 - set(window)
