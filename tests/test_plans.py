@@ -256,3 +256,26 @@ def test_resample_family_plan_shapes(spark):
     # pruning: neither query reads the document text
     for df in (resample, bern):
         assert all("text" not in s for s in read_schemas(df))
+
+
+def test_round8_queries_stay_jvm_and_shaped(spark):
+    # the new families must be Python-free and (for tfidf/top-tokens)
+    # window-partitioned, never globally sorted
+    for name in (
+        "triangle_counts",
+        "transitivity_stats",
+        "degree_assortativity_moments",
+        "chunk_dedup_stats",
+        "top_tokens_per_lang",
+        "tfidf_top_terms",
+        "order_value_quartiles",
+        "event_type_theta_users",
+        "degree_histogram",
+        "pagerank_factored_planted",
+    ):
+        df = _q(spark, name)
+        assert not has_python_stage(df), f"{name} fell back to Python"
+    for name in ("top_tokens_per_lang", "tfidf_top_terms"):
+        plan = _q(spark, name)._jdf.queryExecution().executedPlan().toString()
+        # the window's Sorts must all be partition-local
+        assert "global=true" not in plan, plan[:800]
