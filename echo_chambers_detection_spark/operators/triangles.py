@@ -155,3 +155,45 @@ def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
         F.sum(F.expr("dx * dx")).alias("s_xx"),
         F.sum(F.expr("dx * dy")).alias("s_xy"),
     )
+
+
+def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k strong-tie sparsification of a weighted undirected graph:
+    each node keeps its k heaviest incident edges (ties broken by
+    neighbor id, so the result is deterministic), and an edge survives
+    if EITHER endpoint keeps it — the standard backbone extraction
+    before cohesion analysis (triangles, clustering coefficients) on
+    dense projections.
+
+    Why it exists: a co-engagement projection over a bounded item
+    vocabulary degenerates toward a complete graph, and exact triangle
+    enumeration is then inherently Θ(n³) — no algorithm fixes that,
+    the GRAPH must be thresholded. Top-k-per-node (vs a global weight
+    cutoff) keeps every node represented and is scale-free: |E'| <= n*k
+    by construction, so the triangle pass downstream is linear in n.
+
+    One window per orientation (partitioned by node — the per-node
+    top-k never global-sorts); output is the canonical (u1 < u2)
+    distinct edge list."""
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"), "weight"
+    ).unionAll(
+        edges.select(
+            F.col("u2").alias("src"), F.col("u1").alias("dst"), "weight"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("weight").desc(), F.col("dst")
+    )
+    keep = (
+        und.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.least("src", "dst").alias("u1"),
+            F.greatest("src", "dst").alias("u2"),
+        )
+        .distinct()
+    )
+    return keep

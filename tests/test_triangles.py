@@ -90,3 +90,36 @@ def test_planted_circulant_closed_form(spark):
     assert len(rows) == 50
     for r in rows:
         assert (r["triangles"], r["deg"], r["wedges"]) == (30, 10, 45)
+
+
+def test_strong_tie_backbone_keeps_topk_per_node(spark):
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    # hub h with weighted edges to 4 leaves; k=2 keeps h's two heaviest,
+    # but every leaf keeps its only edge -> all 4 survive via the leaves
+    e = spark.createDataFrame(
+        [("h", "l1", 5.0), ("h", "l2", 4.0), ("h", "l3", 3.0),
+         ("h", "l4", 2.0)],
+        "u1 string, u2 string, weight double",
+    )
+    kept = {(r["u1"], r["u2"]) for r in strong_tie_backbone(e, k=2).collect()}
+    assert kept == {("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4")}
+
+    # isolate the top-k-per-node effect: leaves now have an alternative
+    # heavier edge, so h's weak edges are kept by NOBODY
+    e2 = spark.createDataFrame(
+        [("h", "l1", 5.0), ("h", "l2", 4.0), ("h", "l3", 1.0),
+         ("h", "l4", 1.0),
+         ("l3", "x", 9.0), ("l3", "y", 8.0),
+         ("l4", "x", 9.0), ("l4", "y", 8.0),
+         ("x", "y", 9.5)],
+        "u1 string, u2 string, weight double",
+    )
+    kept2 = {
+        tuple(sorted((r["u1"], r["u2"])))
+        for r in strong_tie_backbone(e2, k=2).collect()
+    }
+    assert ("h", "l3") not in kept2 and ("h", "l4") not in kept2
+    assert ("h", "l1") in kept2 and ("h", "l2") in kept2
