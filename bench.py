@@ -40,6 +40,8 @@ _WARMUP_QUERIES = [
     "pagerank_user_graph",        # share-normalized power iteration
     "semantic_dedup_md5_keep",    # cluster GEMM + components chain
     "multimodal_video_stats",     # Arrow synth + vendored codec decode
+    "minhash_jaccard_estimate_error",  # checkpointed sig reuse joins
+    "token_pmi_collocations",     # incidence self-join + broadcast dfs
     "triangle_counts",            # oriented wedge + closure joins
     "chunk_dedup_stats",          # chunk explode + freq join-back
 ]

@@ -65,3 +65,22 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin a SMALL scan across the cluster before per-row-heavy
+    compute (md5 shingling, simhash votes, trigram counters, LSH hashing).
+
+    A parquet row-group is the minimum split unit, so a small fixture
+    table — one row-group — puts the whole column's per-row work on one
+    core no matter what ``files.maxPartitionBytes`` says; a shuffle is the
+    only way to fan it out. GUARDED, not unconditional: at production
+    scale the scan already has >= defaultParallelism partitions and this
+    returns the frame untouched (an unconditional repartition(32) would
+    funnel a 100 TB scan through 32 partitions). ``.rdd.getNumPartitions``
+    only plans — it launches no job.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+

@@ -39,6 +39,10 @@ _REGISTRY_ORDER = [
     "pagerank_factored_planted",
     "tfidf_top_terms",
     "degree_histogram",
+    "event_interarrival_stats",
+    "incremental_dedup_new_batch",
+    "minhash_jaccard_estimate_error",
+    "token_pmi_collocations",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -78,13 +82,15 @@ _REGISTRY_ORDER = [
     "user_mean_embeddings",
     "conductance_sentinel",
     "connected_components_strong",
+    # -- TAIL (51+) ----------------------------------------------------
+    # round-6-stamped overflow: first to rotate back in round 9
+    # (the four new round-8 queries above displaced these from the
+    # window; all are re-proven locally by tests/test_catalog_oracle.py)
     "scd2_current_membership",
     "scd2_membership_as_of",
     "community_catalog_save",
     "session_windows_by_type",
     "coengagement_edges",
-    # -- TAIL (51+) ----------------------------------------------------
-    # round-6-stamped overflow: first to rotate back in round 9
     "community_membership_save",
     "embedded_documents",
     "scd2_membership_history",

@@ -10,9 +10,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from echo_chambers_detection_spark.catalog._core import (
+    _spread,
     _t,
     register,
 )
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, fanned out for per-row-heavy text compute
+    (see _core._spread — no-op once the scan has real partitions)."""
+    return _spread(_t(spark, sf_dir, "documents"), spark)
 from echo_chambers_detection_spark.catalog.vector import (
     _ORACLE_EMB_EXPLODED,
     _emb,
@@ -270,7 +277,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.substring(t, i, F.lit(8))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = _t(spark, sf_dir, "documents").select("doc_id", h.alias("h"))
+    base = _docs_spread(spark, sf_dir).select("doc_id", h.alias("h"))
     w = F.when(
         F.size("h") >= 4,
         F.transform(
@@ -332,7 +339,7 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = tokenize("text")
-    base = _t(spark, sf_dir, "documents").select(
+    base = _docs_spread(spark, sf_dir).select(
         "doc_id", t.alias("t")
     )
     uni = (
@@ -952,7 +959,7 @@ def q_language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in LANG_ORDER:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hit_cols.append(F.size(F.filter(t, _in(sw))).alias(f"_h_{lang}"))
-    base = _t(spark, sf_dir, "documents").select(
+    base = _docs_spread(spark, sf_dir).select(
         "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
     )
     pred = _lang_case_chain(
@@ -1003,7 +1010,7 @@ def q_language_id_trigram_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / F.lit(len(sub))
             score = score + occ.cast("int")
         hit_cols.append(score.alias(f"_h_{lang}"))
-    base = _t(spark, sf_dir, "documents").select(
+    base = _docs_spread(spark, sf_dir).select(
         "doc_id", F.col("lang").alias("lang_actual"), *hit_cols
     )
     pred = _lang_case_chain(
@@ -1034,7 +1041,7 @@ FROM toks
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.functions.text import minhash_fingerprint
 
-    return _t(spark, sf_dir, "documents").select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id", minhash_fingerprint("text").alias("fingerprint")
     )
 
@@ -1147,7 +1154,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    shingles = doc_shingles(_docs_spread(spark, sf_dir))
     sigs = minhash_signatures(shingles, num_perm=16)
     return lsh_candidate_pairs(lsh_band_keys(sigs, rows_per_band=4))
 
@@ -1179,7 +1186,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
     )
 
-    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    shingles = doc_shingles(_docs_spread(spark, sf_dir))
     return jaccard_pairs(shingles, threshold=0.5).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1234,7 +1241,7 @@ def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    shingles = doc_shingles(_t(spark, sf_dir, "documents"))
+    shingles = doc_shingles(_docs_spread(spark, sf_dir))
     pairs = jaccard_pairs(shingles, threshold=0.5).select(
         F.col("d1").alias("u1"), F.col("d2").alias("u2")
     )
@@ -1267,7 +1274,7 @@ FROM sums GROUP BY 1
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.dedup import simhash16
 
-    return simhash16(_t(spark, sf_dir, "documents"))
+    return simhash16(_docs_spread(spark, sf_dir))
 
 
 @register(
@@ -1288,7 +1295,7 @@ def q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs_banded,
     )
 
-    sigs = simhash64(_t(spark, sf_dir, "documents"))
+    sigs = simhash64(_docs_spread(spark, sf_dir))
     return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
         "d1", "d2"
     )
@@ -1340,7 +1347,7 @@ def q_simhash64_md5_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs_banded,
     )
 
-    sigs = simhash64(_t(spark, sf_dir, "documents"), vote_hash=md5_vote64)
+    sigs = simhash64(_docs_spread(spark, sf_dir), vote_hash=md5_vote64)
     return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
         "d1", "d2"
     )
@@ -1387,7 +1394,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs,
     )
 
-    sigs = simhash16(_t(spark, sf_dir, "documents"))
+    sigs = simhash16(_docs_spread(spark, sf_dir))
     return simhash_candidate_pairs(sigs, max_hamming=1)
 
 
@@ -1964,4 +1971,238 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "score_scaled", "rk")
+    )
+
+
+@register(
+    "incremental_dedup_new_batch",
+    """
+WITH idx AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+newb AS (
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+),
+firsts AS (
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS batch_dups
+    FROM newb GROUP BY 1
+)
+SELECT f.doc_id, f.fp, f.batch_dups
+FROM firsts f LEFT JOIN idx i ON i.fp = f.fp
+WHERE i.fp IS NULL
+""",
+    doc="Incremental ingest dedup: a new batch (odd doc_ids standing in "
+    "for today's crawl) deduped INTERNALLY (min-id survivor per "
+    "fingerprint) and AGAINST the standing corpus index (even doc_ids) "
+    "via anti-join — the keep-list a continuously-ingesting training "
+    "pipeline appends. Scale shape: one hash agg on fp + one shuffled "
+    "anti-join on fp; the index side is never collected or broadcast "
+    "unconditionally (it is corpus-sized), and Catalyst pushes the "
+    "parity filters into both scans.",
+)
+def q_incremental_dedup_new_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5("text").alias("fp")
+    idx = (
+        docs.where(F.col("doc_id") % 2 == 0).select(fp).distinct()
+    )
+    newb = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", fp)
+    firsts = newb.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("batch_dups"),
+    )
+    return firsts.join(idx, "fp", "left_anti").select(
+        "doc_id", "fp", "batch_dups"
+    )
+
+
+@register(
+    "minhash_jaccard_estimate_error",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+perms AS (SELECT UNNEST(generate_series(0, 15)) AS perm),
+sig AS (
+    SELECT doc_id, perm, MIN(md5(perm || ':' || s)) AS minhash
+    FROM sh, perms GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, perm // 4 AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+    FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.d1, c.d2,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS m
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.d1
+    JOIN sig sb ON sb.doc_id = c.d2 AND sb.perm = sa.perm
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT c.d1, c.d2, COUNT(*) AS c
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.d1
+    JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT e.d1, e.d2,
+       ROUND(e.m / 16.0, 6) AS est_jaccard,
+       ROUND(COALESCE(sh2.c, 0) * 1.0
+             / (s1.sz + s2.sz - COALESCE(sh2.c, 0)), 6) AS exact_jaccard
+FROM est e
+LEFT JOIN shared sh2 ON sh2.d1 = e.d1 AND sh2.d2 = e.d2
+JOIN sizes s1 ON s1.doc_id = e.d1
+JOIN sizes s2 ON s2.doc_id = e.d2
+""",
+    doc="Estimator-quality audit for the MinHash chain: for every LSH "
+    "candidate pair, the 16-permutation signature agreement (an exact "
+    "binary fraction m/16) next to the true shingle Jaccard — the "
+    "calibration table you sample before trusting near-dup thresholds "
+    "on a new corpus. Scale shape: the pair set is the LSH candidate "
+    "output (never all-pairs); signature agreement joins on (doc, "
+    "perm) with 16 rows per doc; the exact-Jaccard leg touches only "
+    "candidate docs' shingles via bucketed equi-joins.",
+)
+def q_minhash_jaccard_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # sh / sig / cand each feed 2-4 DAG branches below; without
+    # materialization Catalyst re-runs the shingle+signature pipeline
+    # once per branch. These frames are doc-count-sized (shingles ~50x
+    # docs, signatures 16x docs, candidates the LSH output), not
+    # corpus-text-sized, so eager checkpoints are cheap at any SF and
+    # keep AQE stats live for the downstream joins (a LAZY checkpoint
+    # here measured 3x slower: the unknown-stats barrier forces
+    # sort-merge plans).
+    sh = doc_shingles(_docs_spread(spark, sf_dir)).coalesce(
+        8
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, num_perm=16).coalesce(4).localCheckpoint(
+        eager=True
+    )
+    cand = lsh_candidate_pairs(
+        lsh_band_keys(sig, rows_per_band=4)
+    ).coalesce(1).localCheckpoint(eager=True)
+    sa = sig.select(
+        F.col("doc_id").alias("d1"), "perm",
+        F.col("minhash").alias("mh1"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("d2"), "perm",
+        F.col("minhash").alias("mh2"),
+    )
+    est = (
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "perm"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(
+                F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("shingle").alias("s"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("s"))
+    shared = (
+        cand.join(a, "d1").join(b, ["d2", "s"]).groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    return (
+        est.join(shared, ["d1", "d2"], "left")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("m") / F.lit(16.0), 6).alias("est_jaccard"),
+            F.round(
+                c * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - c), 6
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "token_pmi_collocations",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+dt AS (
+    SELECT DISTINCT doc_id, x AS w
+    FROM (SELECT doc_id, UNNEST(t) AS x FROM toks)
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfq AS (SELECT w, COUNT(*) AS c FROM dt GROUP BY 1),
+pairs AS (
+    SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_ab
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY 1, 2
+)
+SELECT p.w1, p.w2, p.c_ab, d1.c AS c1, d2.c AS c2,
+       p.c_ab * nd.n * 1000000 // (d1.c * d2.c) AS lift_scaled
+FROM pairs p
+JOIN dfq d1 ON d1.w = p.w1
+JOIN dfq d2 ON d2.w = p.w2, nd
+WHERE p.c_ab >= 5
+""",
+    doc="Document-level token collocations: pairwise co-occurrence "
+    "lift (PMI's argument, exact scaled-integer quotient c_ab*N*1e6 "
+    "DIV c1*c2 — the same drop-the-monotone-log discipline as "
+    "tfidf_top_terms, so the hash check has zero float plumbing; "
+    "PMI = ln(lift/1e6) downstream). The collocation table is the "
+    "phrase-mining / tokenizer-merge-candidate primitive over a "
+    "training corpus. Scale shape: the doc-token incidence self-join "
+    "fans out per-document (bounded by per-doc distinct tokens, not "
+    "corpus size), then ONE map-side-combining agg on the bounded "
+    "vocabulary-pair key; document frequencies broadcast-join back.",
+)
+def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    docs = _docs_spread(spark, sf_dir)
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("w")
+    )
+    # corpus size as a broadcast 1-row frame, not a driver-side count
+    nd = docs.agg(F.count("*").alias("n"))
+    dfq = dt.groupBy("w").agg(F.count("*").alias("c"))
+    a = dt.select("doc_id", F.col("w").alias("w1"))
+    b = dt.select("doc_id", F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    d1 = dfq.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    d2 = dfq.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1", "w2", "c_ab", "c1", "c2",
+            F.expr("c_ab * n * 1000000L DIV (c1 * c2)").alias(
+                "lift_scaled"
+            ),
+        )
     )

@@ -128,3 +128,55 @@ def q_session_windows_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "event_interarrival_stats",
+    """
+WITH g AS (
+    SELECT event_type,
+           epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_ms
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms,
+       MAX(gap_ms) AS max_gap_ms,
+       ROUND(SUM(gap_ms) / (COUNT(*) * 1000.0), 6) AS avg_gap_s
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY 1
+""",
+    doc="Per-user event inter-arrival gaps rolled up by the later "
+    "event's type — the activity-cadence profile a feed-ingest "
+    "pipeline watches for bot bursts (superset of the reference's "
+    "event-time surface, SURVEY.md X4). Exact bigint millisecond "
+    "sums; the single terminal division is bit-identical across "
+    "engines. The lag window has a total per-user order (ts, "
+    "event_id) so tied timestamps cannot flip gaps between runs. "
+    "Scale shape: ONE shuffle on user_id for the window, then a "
+    "map-side-combining agg on the bounded event_type key — no "
+    "global sort anywhere.",
+)
+def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        )
+        .where(F.col("gap_ms").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.round(
+            F.sum("gap_ms") / (F.count("*") * F.lit(1000.0)), 6
+        ).alias("avg_gap_s"),
+    )

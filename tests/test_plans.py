@@ -58,6 +58,9 @@ def test_jvm_only_paths_have_no_python(spark):
         "community_metrics_table",
         "minhash_lsh_candidates",
         "simhash_signatures",
+        "event_interarrival_stats",
+        "incremental_dedup_new_batch",
+        "token_pmi_collocations",
         "text_quality_scores",
         "scd2_membership_history",
         "membership_asof_join",
