@@ -418,6 +418,67 @@ def _condense_scale_probe(spark, timings: dict) -> None:
         )
 
 
+
+def _interarrival_scale_probe(spark, timings: dict) -> None:
+    """10M-event lag-window probe with a closed-form oracle — the
+    window-function family's at-scale evidence row. 100k users x 100
+    events each; user u's cadence is exactly (u % 7 + 1) seconds and
+    the later event's type cycles seq % 3, so every aggregate has a
+    closed form: per type, n_gaps = 33 * 100k, sum_gap_ms =
+    33 * 1000 * sum_u (u % 7 + 1), max_gap_ms = 7000. The probe asserts
+    EXACT equality on all three — a wrong window order, a dropped
+    first-row NULL, or a lost tie-break shows up as an integer
+    mismatch, not a tolerance miss. All inputs are JVM expressions;
+    no driver data."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.eventstats import (
+        interarrival_gap_stats,
+    )
+
+    N_USERS, PER_USER = 100_000, 100
+    ev = spark.range(0, N_USERS * PER_USER, 1, 64).select(
+        (F.col("id") % N_USERS).alias("user_id"),
+        F.expr(f"id DIV {N_USERS}").alias("seq"),
+        F.col("id").alias("event_id"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_millis(
+            F.col("seq") * (F.col("user_id") % 7 + 1) * 1000
+        ).alias("ts"),
+        F.concat(F.lit("t"), (F.col("seq") % 3)).alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    rows = {
+        r["event_type"]: r
+        for r in interarrival_gap_stats(ev).collect()
+    }
+    timings["bench_interarrival_lag_10m"] = round(
+        time.perf_counter() - t0, 3
+    )
+    # closed form: sum over u in [0, 100k) of (u % 7 + 1), exact ints
+    sum_cadence = (N_USERS // 7) * 28 + sum(
+        r + 1 for r in range(N_USERS % 7)
+    )
+    # gaps land on seq k in [1, 100): k % 3 == r for exactly 33 k's
+    # per residue r (1..99 splits 33/33/33)
+    per_type = 33 * N_USERS
+    want_sum = 33 * 1000 * sum_cadence
+    for r in (0, 1, 2):
+        got = rows[f"t{r}"]
+        if (
+            got["n_gaps"] != per_type
+            or got["sum_gap_ms"] != want_sum
+            or got["max_gap_ms"] != 7000
+        ):
+            raise AssertionError(
+                f"interarrival closed form violated for t{r}: {got}"
+            )
+
+
 def _skew_scale_probes(spark, timings: dict) -> None:
     """Celebrity-skew co-engagement row (VERDICT r5 #6): synthetic
     engagements where one post has 10^4x the median degree (40k
@@ -580,6 +641,8 @@ def main() -> None:
     _graph_scale_probes(spark, timings)
     release_persisted()
     _skew_scale_probes(spark, timings)
+    release_persisted()
+    _interarrival_scale_probe(spark, timings)
     release_persisted()
     _condense_scale_probe(spark, timings)
 

@@ -160,23 +160,8 @@ GROUP BY 1
     "global sort anywhere.",
 )
 def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from echo_chambers_detection_spark.operators.eventstats import (
+        interarrival_gap_stats,
+    )
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    gaps = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            (ms - F.lag(ms).over(w)).alias("gap_ms"),
-        )
-        .where(F.col("gap_ms").isNotNull())
-    )
-    return gaps.groupBy("event_type").agg(
-        F.count("*").alias("n_gaps"),
-        F.sum("gap_ms").alias("sum_gap_ms"),
-        F.max("gap_ms").alias("max_gap_ms"),
-        F.round(
-            F.sum("gap_ms") / (F.count("*") * F.lit(1000.0)), 6
-        ).alias("avg_gap_s"),
-    )
+    return interarrival_gap_stats(_t(spark, sf_dir, "events"))

@@ -1,0 +1,49 @@
+"""Event-cadence statistics: per-user inter-arrival gaps.
+
+Mirrors the activity-profiling a feed-ingest pipeline runs over the
+engagement stream (superset of the reference's event-time surface —
+the reference materializes engagement edges with timestamps via its
+Kafka consumers, project/kafka/*.py; SURVEY.md X4). Batch formulation
+here; the streaming twin of per-user ordering is the stateful
+first-seen/running-count family in streaming/stateful.py.
+
+Scale shape: ONE shuffle (the lag window partitions by user), then a
+map-side-combining aggregation on the bounded group key. No global
+sort; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def interarrival_gap_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-user gap between consecutive events, rolled up by the LATER
+    event's ``group_col``: (group, n_gaps, sum_gap_ms, max_gap_ms,
+    avg_gap_s).
+
+    The window order is total per user — (ts, tiebreak) — so tied
+    timestamps cannot flip gaps between runs; sums are exact bigint
+    milliseconds and the single terminal division is bit-identical
+    across engines (the DuckDB-oracle discipline of the catalog).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    ms = F.unix_millis(ts_col)
+    gaps = events.select(
+        group_col, (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy(group_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.round(
+            F.sum("gap_ms") / (F.count("*") * F.lit(1000.0)), 6
+        ).alias("avg_gap_s"),
+    )
