@@ -43,6 +43,7 @@ _REGISTRY_ORDER = [
     "incremental_dedup_new_batch",
     "minhash_jaccard_estimate_error",
     "token_pmi_collocations",
+    "user_session_stats",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in

@@ -165,3 +165,83 @@ def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return interarrival_gap_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "user_session_stats",
+    """
+WITH g AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms,
+           epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_ms
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ms,
+           CASE WHEN gap_ms IS NULL OR gap_ms > 28800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM g
+),
+numbered AS (
+    SELECT user_id, ms,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sess
+    FROM marked
+),
+sessions AS (
+    SELECT user_id, sess, COUNT(*) AS n_events,
+           MAX(ms) - MIN(ms) AS dur_ms
+    FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_session_ms,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM sessions GROUP BY 1
+""",
+    doc="Gap-based per-user sessionization (8h inactivity threshold — "
+    "the median inter-event gap at this cadence is ~7.3h, so sessions "
+    "genuinely merge AND split): lag-gap mark, running-sum session "
+    "numbering, per-session rollup, per-user profile. The stacked-"
+    "window shape (lag, then cumulative sum over the SAME per-user "
+    "order) is the canonical sessionization plan — both windows share "
+    "one shuffle on user_id and Spark executes them in a single sort "
+    "pass. All-integer outputs, hash-exact. Complements "
+    "session_windows_by_type (Spark's native session_window "
+    "aggregation, the streaming-capable formulation).",
+)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    limit_ms = 8 * 3600 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gap = ms - F.lag(ms).over(w)
+    marked = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        F.when(gap.isNull() | (gap > limit_ms), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = marked.select(
+        "user_id", "ms", F.sum("is_new").over(wn).alias("sess")
+    )
+    sessions = numbered.groupBy("user_id", "sess").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("dur_ms"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("dur_ms").alias("sum_session_ms"),
+        F.max("n_events").alias("max_session_events"),
+    )

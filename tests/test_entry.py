@@ -43,7 +43,8 @@ def test_registry_window_covers_unverified_queries():
         "pagerank_factored_planted", "tfidf_top_terms",
         "degree_histogram", "event_interarrival_stats",
         "incremental_dedup_new_batch", "minhash_jaccard_estimate_error",
-        "token_pmi_collocations", "multimodal_video_stats",
+        "token_pmi_collocations", "user_session_stats",
+        "multimodal_video_stats",
         "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
         "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
         "revenue_by_nation", "doc_fingerprints", "language_id_pred",
@@ -57,12 +58,11 @@ def test_registry_window_covers_unverified_queries():
         "doc_repetition_scores", "coengagement_top_pairs",
         "embedding_similarity_join", "user_mean_embeddings",
         "conductance_sentinel", "connected_components_strong",
-        "scd2_current_membership",
-        # scd2_membership_as_of / community_catalog_save /
-        # session_windows_by_type / coengagement_edges were displaced
-        # to the tail head by the four new round-8 queries — all are
-        # round-6-stamped and re-proven locally by
-        # tests/test_catalog_oracle.py every round.
+        # scd2_current_membership / scd2_membership_as_of /
+        # community_catalog_save / session_windows_by_type /
+        # coengagement_edges were displaced to the tail head by the
+        # five new round-8 queries — all are round-6-stamped and
+        # re-proven locally by tests/test_catalog_oracle.py every round.
     }
     missing = must_stamp_r8 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
