@@ -478,6 +478,29 @@ def _interarrival_scale_probe(spark, timings: dict) -> None:
                 f"interarrival closed form violated for t{r}: {got}"
             )
 
+    # sessionization leg on the SAME fixture: threshold 4s splits the
+    # user population exactly by cadence — u % 7 + 1 <= 4 collapses to
+    # ONE 100-event session, >= 5 shatters into 100 singletons. Users
+    # per residue: ceil/floor of 100k/7; closed form below.
+    from echo_chambers_detection_spark.operators.eventstats import (
+        user_session_stats,
+    )
+
+    t0 = time.perf_counter()
+    sess = user_session_stats(ev, gap_limit_ms=4000)
+    agg = sess.groupBy("n_sessions").count().collect()
+    timings["bench_sessionization_10m"] = round(time.perf_counter() - t0, 3)
+    per_res = [N_USERS // 7 + (1 if r < N_USERS % 7 else 0) for r in range(7)]
+    want = {
+        1: sum(per_res[:4]),     # cadences 1..4s: one session
+        PER_USER: sum(per_res[4:]),  # cadences 5..7s: all singletons
+    }
+    got_hist = {r["n_sessions"]: r["count"] for r in agg}
+    if got_hist != want:
+        raise AssertionError(
+            f"sessionization closed form violated: {got_hist} != {want}"
+        )
+
 
 def _skew_scale_probes(spark, timings: dict) -> None:
     """Celebrity-skew co-engagement row (VERDICT r5 #6): synthetic

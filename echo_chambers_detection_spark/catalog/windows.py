@@ -215,33 +215,10 @@ FROM sessions GROUP BY 1
     "aggregation, the streaming-capable formulation).",
 )
 def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from echo_chambers_detection_spark.operators.eventstats import (
+        user_session_stats,
+    )
 
-    limit_ms = 8 * 3600 * 1000
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    gap = ms - F.lag(ms).over(w)
-    marked = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        ms.alias("ms"),
-        F.when(gap.isNull() | (gap > limit_ms), 1)
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    wn = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    numbered = marked.select(
-        "user_id", "ms", F.sum("is_new").over(wn).alias("sess")
-    )
-    sessions = numbered.groupBy("user_id", "sess").agg(
-        F.count("*").alias("n_events"),
-        (F.max("ms") - F.min("ms")).alias("dur_ms"),
-    )
-    return sessions.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_events").alias("total_events"),
-        F.sum("dur_ms").alias("sum_session_ms"),
-        F.max("n_events").alias("max_session_events"),
+    return user_session_stats(
+        _t(spark, sf_dir, "events"), gap_limit_ms=8 * 3600 * 1000
     )

@@ -47,3 +47,52 @@ def interarrival_gap_stats(
             F.sum("gap_ms") / (F.count("*") * F.lit(1000.0)), 6
         ).alias("avg_gap_s"),
     )
+
+
+def user_session_stats(
+    events: DataFrame,
+    gap_limit_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive per-user events more than
+    ``gap_limit_ms`` apart start a new session. Returns one row per
+    user: (user, n_sessions, total_events, sum_session_ms,
+    max_session_events).
+
+    The stacked-window shape — lag-gap mark, then a running sum over
+    the SAME per-user total order — costs ONE shuffle: Spark plans
+    both windows and the downstream partial aggregations over a single
+    Exchange on the user key (plan-pinned in tests). All-integer
+    outputs, so the DuckDB gaps-and-islands twin hash-verifies.
+    """
+    ms = F.unix_millis(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gap = ms - F.lag(ms).over(w)
+    marked = events.select(
+        user_col,
+        tiebreak_col,
+        ms.alias("ms"),
+        F.when(gap.isNull() | (gap > gap_limit_ms), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wn = (
+        Window.partitionBy(user_col)
+        .orderBy("ms", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        user_col, "ms", F.sum("is_new").over(wn).alias("sess")
+    )
+    sessions = numbered.groupBy(user_col, "sess").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("dur_ms"),
+    )
+    return sessions.groupBy(user_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("dur_ms").alias("sum_session_ms"),
+        F.max("n_events").alias("max_session_events"),
+    )

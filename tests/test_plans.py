@@ -282,3 +282,16 @@ def test_round8_queries_stay_jvm_and_shaped(spark):
         plan = _q(spark, name)._jdf.queryExecution().executedPlan().toString()
         # the window's Sorts must all be partition-local
         assert "global=true" not in plan, plan[:800]
+
+
+def test_sessionization_stacks_windows_on_one_shuffle(spark):
+    """user_session_stats' two windows (lag-gap mark, running session
+    number) and both rollups must share a single Exchange on the user
+    key — a second shuffle would mean the windows' partitioning wasn't
+    reused (the stacked-window contract of operators/eventstats.py)."""
+    df = _q(spark, "user_session_stats")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Exchange also rules out a global sort (that would add a
+    # rangepartitioning Exchange)
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
