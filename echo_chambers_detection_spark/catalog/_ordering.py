@@ -44,6 +44,7 @@ _REGISTRY_ORDER = [
     "minhash_jaccard_estimate_error",
     "token_pmi_collocations",
     "user_session_stats",
+    "chunk_dedup_scrubbed_docs",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in

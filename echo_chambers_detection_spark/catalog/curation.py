@@ -2206,3 +2206,101 @@ def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "chunk_dedup_scrubbed_docs",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+chunks AS (
+    -- parallel UNNESTs zip positionally in DuckDB: (chunk, pos) pairs
+    SELECT doc_id,
+           UNNEST([array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ')
+                   for i in generate_series(1, (len(t) + 9) // 10)]) AS chunk,
+           UNNEST(generate_series(1, (len(t) + 9) // 10)) AS pos
+    FROM toks
+),
+kept AS (
+    SELECT doc_id, chunk, pos
+    FROM (
+        SELECT doc_id, chunk, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, pos
+               ) AS rk
+        FROM chunks
+    ) WHERE rk = 1
+),
+rebuilt AS (
+    SELECT doc_id,
+           COUNT(*) AS n_kept_chunks,
+           md5(string_agg(chunk, ' ' ORDER BY pos)) AS scrubbed_md5
+    FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(r.n_kept_chunks, 0) AS n_kept_chunks,
+       COALESCE(r.scrubbed_md5, md5('')) AS scrubbed_md5
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+""",
+    doc="Chunk-level dedup as a document TRANSFORM, not just stats "
+    "(the C4 line-dedup rule applied to fixed 10-token chunks): every "
+    "chunk survives in exactly one place corpus-wide — the globally "
+    "first (doc_id, pos) occurrence — and each document is rebuilt "
+    "from its surviving chunks in original order (output as md5 so "
+    "the hash check pins the exact reassembled text). Scale shape: "
+    "posexplode -> ONE window partitioned by chunk text (the dedup "
+    "arbitration — a shuffle on the chunk key, no global sort) -> "
+    "order-preserving reassembly via sort_array over per-doc structs "
+    "-> anti-joined empties restored with a LEFT join. The same plan "
+    "C4/RefinedWeb-style pipelines run at corpus scale.",
+)
+def q_chunk_dedup_scrubbed_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    docs = _docs_spread(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") > 0,
+                F.expr(
+                    "transform(sequence(1, CAST((size(t) + 9) / 10 AS INT)),"
+                    " i -> array_join(slice(t, (i-1)*10 + 1, 10), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "chunk"),
+    ).select("doc_id", "chunk", (F.col("pos0") + 1).alias("pos"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        chunks.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("scrubbed_md5"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+        F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
+    )
