@@ -45,6 +45,7 @@ _REGISTRY_ORDER = [
     "token_pmi_collocations",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
+    "ktruss_planted",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in
@@ -166,6 +167,7 @@ _REGISTRY_ORDER = [
     "louvain_user_communities",  # (louvain_planted_recovery)
     "simhash64_near_pairs",  # (simhash64_md5_near_pairs)
     "density_clusters_lsh",  # (density_clusters_lsh_exhaustive)
+    "ktruss_user_graph",  # (ktruss_planted)
     "semantic_dedup_keep_list",  # (semantic_dedup_md5_keep)
 ]
 

@@ -1197,3 +1197,66 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").alias("min_deg"),
         F.max("deg").alias("max_deg"),
     )
+
+
+@register(
+    "ktruss_planted",
+    """
+SELECT 't0' || a.i AS u1, 't0' || b.i AS u2, CAST(4 AS BIGINT) AS support
+FROM range(6) a(i), range(6) b(i) WHERE a.i < b.i
+""",
+    doc="4-truss recovery on a closed-form fixture: a K6 clique (every "
+    "edge in 4 triangles — survives) welded to a 10-node triangle "
+    "strip (disjoint component) whose interior edges have support 2 but whose ends and "
+    "long chords do not — the strip unravels over TWO pruning rounds "
+    "(ends + chords fall first, the now-triangle-free interior falls "
+    "second), proving the operator iterates to fixpoint rather than "
+    "filtering once. Expected output is pure arithmetic: exactly the "
+    "15 clique edges, support 4. Mirrors gds.kTruss in the GDS "
+    "catalog family the reference drives "
+    "(project/metrics/community_detection.py).",
+)
+def q_ktruss_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+    )
+
+    a = spark.range(6).select(F.col("id").alias("i"))
+    b = spark.range(6).select(F.col("id").alias("j"))
+    clique = (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.concat(F.lit("t0"), F.col("i")).alias("u1"),
+            F.concat(F.lit("t0"), F.col("j")).alias("u2"),
+        )
+    )
+    rungs = spark.range(9).select(
+        F.concat(F.lit("s0"), F.col("id")).alias("u1"),
+        F.concat(F.lit("s0"), F.col("id") + 1).alias("u2"),
+    )
+    chords = spark.range(8).select(
+        F.concat(F.lit("s0"), F.col("id")).alias("u1"),
+        F.concat(F.lit("s0"), F.col("id") + 2).alias("u2"),
+    )
+    edges = clique.unionAll(rungs).unionAll(chords)
+    return ktruss_edges(edges, k=4)
+
+
+@register(
+    "ktruss_user_graph",
+    None,
+    doc="4-truss of the strong-tie backbone of the real co-engagement "
+    "graph (rows-only: the pruning fixpoint is iterative; the planted "
+    "twin ktruss_planted carries the hash signal). Support counts on "
+    "the surviving subgraph; edges outside any 4-truss are gone.",
+)
+def q_ktruss_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+        strong_tie_backbone,
+    )
+
+    return ktruss_edges(
+        strong_tie_backbone(_user_graph(spark, sf_dir), k=10), k=4
+    )

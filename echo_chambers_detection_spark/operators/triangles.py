@@ -197,3 +197,75 @@ def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
         .distinct()
     )
     return keep
+
+
+def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph in which
+    every edge participates in >= k-2 triangles (the edge-cohesion
+    sibling of k-core — `gds.kTruss` sits beside `gds.kcore` in the GDS
+    catalog family the reference drives, SURVEY.md G5). Returns the
+    surviving canonical edges with their in-truss support:
+    (u1, u2, support).
+
+    Iterative pruning: per round, enumerate triangles on the CURRENT
+    subgraph (degree-ordered apex orientation — each round is
+    O(m^1.5 / p) with no wedge explosion on hubs), count per-edge
+    support, drop edges below k-2, repeat to fixpoint. Dropping an edge
+    can destroy a neighbor's triangle, so pruning cascades — a
+    single-pass support filter is NOT a truss (pinned by a test whose
+    triangle strip unravels only over two rounds). Rounds are bounded
+    by the longest cascade chain; each materializes through
+    graph._materialize with dead-generation retirement, the standing
+    loop hygiene of the community detectors.
+    """
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _release_checkpoint,
+    )
+
+    cur = _materialize(edges.select("u1", "u2"))
+    n_cur = cur.count()
+    out = None
+    for _ in range(max_rounds):
+        tri = triangle_vertices(cur)
+        pairs = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u1"),
+                        F.greatest("a", "b").alias("u2"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u1"),
+                        F.greatest("a", "c").alias("u2"),
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("u1"),
+                        F.greatest("b", "c").alias("u2"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u1", "e.u2")
+        sup = pairs.groupBy("u1", "u2").agg(F.count("*").alias("support"))
+        keep = _materialize(
+            cur.join(sup, ["u1", "u2"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select(
+                "u1",
+                "u2",
+                F.coalesce("support", F.lit(0)).alias("support"),
+            )
+        )
+        n_keep = keep.count()
+        # `keep` is materialized: generation `cur` (and the previous
+        # round's keep frame it was selected from) is provably dead
+        _release_checkpoint(cur)
+        if out is not None:
+            _release_checkpoint(out)
+        out = keep
+        if n_keep == n_cur:
+            # fixpoint: no drops this round, so `support` was computed
+            # on exactly the surviving subgraph
+            break
+        cur, n_cur = keep.select("u1", "u2"), n_keep
+    return out

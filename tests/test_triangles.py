@@ -123,3 +123,50 @@ def test_strong_tie_backbone_keeps_topk_per_node(spark):
     }
     assert ("h", "l3") not in kept2 and ("h", "l4") not in kept2
     assert ("h", "l1") in kept2 and ("h", "l2") in kept2
+
+
+def _kt_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u1 string, u2 string")
+
+
+def test_ktruss_keeps_clique_drops_tail(spark):
+    from echo_chambers_detection_spark.operators.triangles import ktruss_edges
+
+    # K4 (every edge support 2) with a pendant triangle hanging off one
+    # vertex: the pendant triangle's edges have support 1 -> pruned at
+    # k=4, K4 survives with support 2
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant = [("d", "x"), ("d", "y"), ("x", "y")]
+    got = {
+        (r["u1"], r["u2"]): r["support"]
+        for r in ktruss_edges(_kt_edges(spark, k4 + pendant), k=4).collect()
+    }
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_cascades_require_iteration(spark):
+    from echo_chambers_detection_spark.operators.triangles import ktruss_edges
+
+    # triangle strip s0-s9: interior rungs have support 2, so a ONE-PASS
+    # support filter at k=4 would keep them — but the ends and chords
+    # (support 1) fall in round one, leaving the rungs triangle-free,
+    # and round two empties the graph. Fixpoint must be empty.
+    rungs = [(f"s{i}", f"s{i+1}") for i in range(9)]
+    chords = [(f"s{i}", f"s{i+2}") for i in range(8)]
+    out = ktruss_edges(_kt_edges(spark, rungs + chords), k=4)
+    assert out.count() == 0
+
+
+def test_ktruss_k3_is_triangle_support_filter(spark):
+    from echo_chambers_detection_spark.operators.triangles import ktruss_edges
+
+    # k=3 keeps every edge in at least one triangle (support >= 1);
+    # the bridge edge between two triangles is in none -> dropped
+    tri1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    tri2 = [("p", "q"), ("p", "r"), ("q", "r")]
+    bridge = [("c", "p")]
+    got = {
+        (r["u1"], r["u2"])
+        for r in ktruss_edges(_kt_edges(spark, tri1 + tri2 + bridge), k=3).collect()
+    }
+    assert got == set(tri1) | set(tri2)
