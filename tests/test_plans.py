@@ -295,3 +295,13 @@ def test_sessionization_stacks_windows_on_one_shuffle(spark):
     # rangepartitioning Exchange)
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_chunk_scrub_has_no_global_sort(spark):
+    """chunk_dedup_scrubbed_docs' dedup arbitration is a window on the
+    chunk key and the reassembly a per-doc sort_array — nothing may
+    plan a rangepartitioning (global sort) at any scale."""
+    df = _q(spark, "chunk_dedup_scrubbed_docs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    assert not has_python_stage(df)
