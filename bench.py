@@ -419,6 +419,75 @@ def _condense_scale_probe(spark, timings: dict) -> None:
 
 
 
+
+def _ktruss_scale_probe(spark, timings: dict) -> None:
+    """k-truss at representative scale with an exact planted oracle:
+    100k disjoint K6 cliques (1.5M edges, every edge support 4 —
+    survives k=4) plus 20k triangle strips (340k edges) that unravel
+    over exactly TWO distributed pruning rounds (ends/chords first,
+    the then-triangle-free interiors second). Asserts the fixpoint is
+    EXACTLY the clique edges with support uniformly 4 — a wrong
+    cascade, a lost edge, or a stale support count all fail integer
+    equality. All inputs are JVM expressions; assertions are
+    distributed aggregations (no driver rows)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+    )
+
+    N_CLIQUES, N_STRIPS = 100_000, 20_000
+    a = spark.range(6).select(F.col("id").alias("i"))
+    b = spark.range(6).select(F.col("id").alias("j"))
+    pair15 = a.crossJoin(b).where(F.col("i") < F.col("j"))
+    cliques = (
+        spark.range(0, N_CLIQUES, 1, 32)
+        .select(F.col("id").alias("cid"))
+        .crossJoin(pair15)
+        .select(
+            F.concat(F.lit("c"), "cid", F.lit("_"), "i").alias("u1"),
+            F.concat(F.lit("c"), "cid", F.lit("_"), "j").alias("u2"),
+        )
+    )
+    rung9 = spark.range(9).select(F.col("id").alias("p"))
+    chord8 = spark.range(8).select(F.col("id").alias("p"))
+    strip_ids = spark.range(0, N_STRIPS, 1, 16).select(
+        F.col("id").alias("sid")
+    )
+    rungs = strip_ids.crossJoin(rung9).select(
+        F.concat(F.lit("s"), "sid", F.lit("_"), "p").alias("u1"),
+        F.concat(F.lit("s"), "sid", F.lit("_"), F.col("p") + 1).alias("u2"),
+    )
+    chords = strip_ids.crossJoin(chord8).select(
+        F.concat(F.lit("s"), "sid", F.lit("_"), "p").alias("u1"),
+        F.concat(F.lit("s"), "sid", F.lit("_"), F.col("p") + 2).alias("u2"),
+    )
+    edges = cliques.unionAll(rungs).unionAll(chords).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    out = ktruss_edges(edges, k=4)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.min("support").alias("lo"),
+        F.max("support").alias("hi"),
+        F.sum(F.when(F.col("u1").startswith("s"), 1).otherwise(0)).alias(
+            "strip_survivors"
+        ),
+    ).collect()[0]
+    timings["bench_ktruss_planted_1m8"] = round(time.perf_counter() - t0, 3)
+    edges.unpersist()
+    if (
+        stats["n"] != N_CLIQUES * 15
+        or stats["lo"] != 4
+        or stats["hi"] != 4
+        or stats["strip_survivors"] != 0
+    ):
+        raise AssertionError(f"ktruss closed form violated: {stats}")
+
+
 def _interarrival_scale_probe(spark, timings: dict) -> None:
     """10M-event lag-window probe with a closed-form oracle — the
     window-function family's at-scale evidence row. 100k users x 100
@@ -666,6 +735,8 @@ def main() -> None:
     _skew_scale_probes(spark, timings)
     release_persisted()
     _interarrival_scale_probe(spark, timings)
+    release_persisted()
+    _ktruss_scale_probe(spark, timings)
     release_persisted()
     _condense_scale_probe(spark, timings)
 
