@@ -225,8 +225,11 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
 
     cur = _materialize(edges.select("u1", "u2"))
     n_cur = cur.count()
+    n_start = n_cur
     out = None
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         tri = triangle_vertices(cur)
         pairs = tri.select(
             F.explode(
@@ -266,6 +269,12 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         if n_keep == n_cur:
             # fixpoint: no drops this round, so `support` was computed
             # on exactly the surviving subgraph
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ktruss k=%d converged in %d rounds: %d -> %d edges",
+                k, rounds, n_start, n_keep,
+            )
             break
         cur, n_cur = keep.select("u1", "u2"), n_keep
     return out
