@@ -46,6 +46,7 @@ _REGISTRY_ORDER = [
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
     "ktruss_planted",
+    "event_type_theta_overlap",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in

@@ -427,3 +427,68 @@ def q_event_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap("p95_k", "p95_x").alias("p95_rel_value_gap"),
         "n",
     )
+
+
+@register(
+    "event_type_theta_overlap",
+    """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+common AS (
+    SELECT x.event_type AS t1, y.event_type AS t2, COUNT(*) AS c
+    FROM u x JOIN u y USING (user_id)
+    WHERE x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT s1.event_type AS t1, s2.event_type AS t2,
+       COALESCE(c.c, 0) AS n_common,
+       s1.n - COALESCE(c.c, 0) AS n_only_t1,
+       s2.n - COALESCE(c.c, 0) AS n_only_t2
+FROM sizes s1
+JOIN sizes s2 ON s1.event_type < s2.event_type
+LEFT JOIN common c ON c.t1 = s1.event_type AND c.t2 = s2.event_type
+""",
+    doc="Audience overlap between event types via THETA SET ALGEBRA "
+    "(theta_intersection / theta_difference on the per-type sketches) "
+    "— the operation HLL cannot do and the reason the theta family "
+    "exists: one sketch per segment, then intersections/differences "
+    "across any segment pair WITHOUT re-scanning the events. Same "
+    "regime-pinning as event_type_theta_users: below nominal capacity "
+    "(lg=14) a theta sketch retains every hash, and intersections/"
+    "differences of exact-mode sketches are exact set ops, so all "
+    "three counts hash-verify against the DuckDB distinct-join twin. "
+    "Scale shape: ONE pass builds the per-type sketches (mergeable "
+    "partial aggs); the pairwise algebra runs on a frame with one row "
+    "per type — segment-pair count, not data size.",
+)
+def q_event_type_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), 14).alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("t1"),
+        F.col("sk").alias("sk1"),
+        F.col("n").alias("n1"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("t2"),
+        F.col("sk").alias("sk2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(b, F.col("t1") < F.col("t2"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk1"), F.col("sk2"))
+    )
+    return pairs.select(
+        "t1",
+        "t2",
+        inter.cast("bigint").alias("n_common"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk1"), F.col("sk2"))
+        ).cast("bigint").alias("n_only_t1"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk2"), F.col("sk1"))
+        ).cast("bigint").alias("n_only_t2"),
+    )
