@@ -64,3 +64,43 @@ def test_kll_catalog_live_gap_small(spark):
         assert r["p50_rel_value_gap"] <= 0.03, r
         assert r["p95_rel_value_gap"] <= 0.03, r
         assert r["n"] > 0
+
+
+def test_theta_set_ops_exact_below_capacity(spark):
+    # two overlapping segments, both below 2^14: intersection and both
+    # differences must be EXACT set counts (the property
+    # event_type_theta_overlap's oracle relies on)
+    a = spark.range(0, 8_000).select(F.col("id").alias("v"))
+    b = spark.range(4_000, 10_000).select(F.col("id").alias("v"))
+    ska = a.agg(F.theta_sketch_agg(F.col("v"), 14).alias("s"))
+    skb = b.agg(F.theta_sketch_agg(F.col("v"), 14).alias("s2"))
+    row = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("s"), F.col("s2"))
+        ).alias("inter"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("s"), F.col("s2"))
+        ).alias("only_a"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("s2"), F.col("s"))
+        ).alias("only_b"),
+    ).first()
+    assert row["inter"] == 4_000
+    assert row["only_a"] == 4_000
+    assert row["only_b"] == 2_000
+
+
+def test_theta_intersection_sampling_regime_error_bounded(spark):
+    # 150k-vs-150k with a planted 100k overlap, both far above 2^14:
+    # intersection error compounds both sketches' sampling, so allow a
+    # wider (but still tight) 8% bar on this deterministic fixture
+    a = spark.range(0, 150_000).select(F.col("id").alias("v"))
+    b = spark.range(50_000, 200_000).select(F.col("id").alias("v"))
+    ska = a.agg(F.theta_sketch_agg(F.col("v"), 14).alias("s"))
+    skb = b.agg(F.theta_sketch_agg(F.col("v"), 14).alias("s2"))
+    est = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("s"), F.col("s2"))
+        ).alias("e")
+    ).first()["e"]
+    assert abs(est - 100_000) / 100_000 <= 0.08, est
