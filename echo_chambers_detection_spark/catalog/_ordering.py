@@ -47,6 +47,7 @@ _REGISTRY_ORDER = [
     "chunk_dedup_scrubbed_docs",
     "ktruss_planted",
     "event_type_theta_overlap",
+    "daily_hll_user_rollup",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in

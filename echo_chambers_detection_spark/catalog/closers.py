@@ -492,3 +492,50 @@ def q_event_type_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference(F.col("sk2"), F.col("sk1"))
         ).cast("bigint").alias("n_only_t2"),
     )
+
+
+@register(
+    "daily_hll_user_rollup",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+""",
+    doc="The mergeable-sketch rollup pattern: one HLL sketch per day "
+    "(a single pass over events), then the corpus total computed by "
+    "UNIONING THE DAILY SKETCHES — never re-scanning the events. This "
+    "is how a 100 TB pipeline maintains daily/monthly/all-time "
+    "distinct counts: materialize the daily sketches once, fold them "
+    "upward. Regime-pinned like the theta family: DataSketches HLL is "
+    "coupon-exact below its promotion threshold (measured in-container "
+    "at lg=16: exact through 5000 distinct, 3x the sf0.1 user "
+    "cardinality), so per-day AND rolled-up counts hash-verify against "
+    "exact COUNT(DISTINCT); the estimation regime's error is asserted "
+    "separately in tests/test_sketches.py.",
+)
+def q_daily_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id"), 16).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("day"), "n_users", "n_events")
+    return per_day.unionAll(total)
