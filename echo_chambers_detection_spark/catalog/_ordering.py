@@ -83,14 +83,15 @@ _REGISTRY_ORDER = [
     "knn_graph_topk",
     "doc_repetition_scores",
     "coengagement_top_pairs",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # (the window boundary moved down as round-8 additions grew to 21;
+    # these four round-6-stamped rows join the rotate-back-in-round-9
+    # group and are re-proven locally by tests/test_catalog_oracle.py)
     "embedding_similarity_join",
     "user_mean_embeddings",
     "conductance_sentinel",
     "connected_components_strong",
-    # -- TAIL (51+) ----------------------------------------------------
     # round-6-stamped overflow: first to rotate back in round 9
-    # (the four new round-8 queries above displaced these from the
-    # window; all are re-proven locally by tests/test_catalog_oracle.py)
     "scd2_current_membership",
     "scd2_membership_as_of",
     "community_catalog_save",
