@@ -48,6 +48,7 @@ _REGISTRY_ORDER = [
     "ktruss_planted",
     "event_type_theta_overlap",
     "daily_hll_user_rollup",
+    "priority_dedup_keep",
     # code touched this round (odd-dimension Y4M chroma fix)
     "multimodal_video_stats",
     # oldest stamps in the rotation: the oracled entries last stamped in

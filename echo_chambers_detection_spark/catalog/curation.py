@@ -2304,3 +2304,40 @@ def q_chunk_dedup_scrubbed_docs(
         F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
         F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "priority_dedup_keep",
+    """
+SELECT md5(text) AS fp,
+       MIN_BY(doc_id, CAST(substr(source, 4) AS BIGINT) * 1000000000
+                      + doc_id) AS keep_id,
+       MIN_BY(source, CAST(substr(source, 4) AS BIGINT) * 1000000000
+                      + doc_id) AS keep_source,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup with SOURCE-PRIORITY survivor selection (the "
+    "Dolma/RedPajama rule: when the same content appears in several "
+    "sources, keep the copy from the most-trusted one): arg-min "
+    "aggregation on a composite bigint key (source rank scaled above "
+    "the doc_id tiebreak), one map-side-combining groupBy — no window, "
+    "no join-back. Source rank here = the fixture's numeric suffix; a "
+    "production pipeline substitutes its trust table. Complements "
+    "exact_dedup_groups (plain min-id survivor).",
+)
+def q_priority_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        F.substring("source", 4, 10).cast("bigint") * F.lit(1000000000)
+        + F.col("doc_id")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min_by("doc_id", key).alias("keep_id"),
+            F.min_by("source", key).alias("keep_source"),
+            F.count("*").alias("group_size"),
+        )
+    )

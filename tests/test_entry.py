@@ -46,6 +46,7 @@ def test_registry_window_covers_unverified_queries():
         "token_pmi_collocations", "user_session_stats",
         "chunk_dedup_scrubbed_docs", "ktruss_planted",
         "event_type_theta_overlap", "daily_hll_user_rollup",
+        "priority_dedup_keep",
         "multimodal_video_stats",
         "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
         "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
@@ -57,7 +58,8 @@ def test_registry_window_covers_unverified_queries():
         "membership_with_labels", "top_orders", "customers_without_orders",
         "active_customers", "top3_orders_per_customer", "event_type_stats",
         "ann_extremes", "text_token_stats", "knn_graph_topk",
-        "doc_repetition_scores", "coengagement_top_pairs",
+        "doc_repetition_scores",
+        # coengagement_top_pairs /
         # embedding_similarity_join / user_mean_embeddings /
         # conductance_sentinel / connected_components_strong /
         # scd2_current_membership / scd2_membership_as_of /
