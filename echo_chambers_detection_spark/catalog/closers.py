@@ -463,19 +463,18 @@ LEFT JOIN common c ON c.t1 = s1.event_type AND c.t2 = s2.event_type
 )
 def q_event_type_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # sketches only — the exact per-type distinct the sketch replaces must
+    # NOT run alongside it (the n_only_* outputs come from theta_difference)
     sk = ev.groupBy("event_type").agg(
         F.theta_sketch_agg(F.col("user_id"), 14).alias("sk"),
-        F.count_distinct(F.col("user_id")).alias("n"),
     )
     a = sk.select(
         F.col("event_type").alias("t1"),
         F.col("sk").alias("sk1"),
-        F.col("n").alias("n1"),
     )
     b = sk.select(
         F.col("event_type").alias("t2"),
         F.col("sk").alias("sk2"),
-        F.col("n").alias("n2"),
     )
     pairs = a.join(b, F.col("t1") < F.col("t2"))
     inter = F.theta_sketch_estimate(

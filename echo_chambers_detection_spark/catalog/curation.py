@@ -1828,7 +1828,7 @@ freq AS (
 )
 SELECT chunks.doc_id,
        COUNT(*) AS n_chunks,
-       SUM(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+       CAST(SUM(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
 FROM chunks JOIN freq USING (chunk)
 GROUP BY chunks.doc_id
 """,
@@ -2195,9 +2195,13 @@ def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = dfq.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     d2 = dfq.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # no broadcast hint on the vocabulary frames: a web-scale corpus's
+    # distinct-token table can exceed broadcast limits, so let AQE pick
+    # broadcast-vs-shuffle from the measured size at runtime (the 1-row
+    # corpus count is the only always-broadcastable side)
     return (
-        pairs.join(F.broadcast(d1), "w1")
-        .join(F.broadcast(d2), "w2")
+        pairs.join(d1, "w1")
+        .join(d2, "w2")
         .crossJoin(F.broadcast(nd))
         .select(
             "w1", "w2", "c_ab", "c1", "c2",
@@ -2328,8 +2332,13 @@ GROUP BY 1
     "exact_dedup_groups (plain min-id survivor).",
 )
 def q_priority_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unbounded suffix (substring to end-of-string), matching the oracle's
+    # substr(source, 4) — a fixed-width window would silently truncate a
+    # rank suffix longer than it. The composite key assumes doc_id < 1e9
+    # (true for every fixture SF; a production run with wider ids should
+    # widen the scale factor or switch to a struct-ordered min_by).
     key = (
-        F.substring("source", 4, 10).cast("bigint") * F.lit(1000000000)
+        F.expr("substring(source, 4)").cast("bigint") * F.lit(1000000000)
         + F.col("doc_id")
     )
     return (

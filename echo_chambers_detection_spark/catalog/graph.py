@@ -1015,7 +1015,7 @@ tri AS (
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM g) AS n_edges,
        tri.n_triangles,
-       (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges
+       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
 FROM tri
 """,
     doc="Global transitivity summary of the co-engagement STRONG-TIE "
@@ -1044,9 +1044,9 @@ dpairs AS (
     SELECT u2 AS u1, u1 AS u2 FROM g
 )
 SELECT COUNT(*) AS m2,
-       SUM(da.deg) AS s_x,
-       SUM(da.deg * da.deg) AS s_xx,
-       SUM(da.deg * db.deg) AS s_xy
+       CAST(SUM(da.deg) AS BIGINT) AS s_x,
+       CAST(SUM(da.deg * da.deg) AS BIGINT) AS s_xx,
+       CAST(SUM(da.deg * db.deg) AS BIGINT) AS s_xy
 FROM dpairs
 JOIN deg da ON da.node = dpairs.u1
 JOIN deg db ON db.node = dpairs.u2

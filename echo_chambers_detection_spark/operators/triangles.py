@@ -207,30 +207,43 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     surviving canonical edges with their in-truss support:
     (u1, u2, support).
 
-    Iterative pruning: per round, enumerate triangles on the CURRENT
-    subgraph (degree-ordered apex orientation — each round is
-    O(m^1.5 / p) with no wedge explosion on hubs), count per-edge
-    support, drop edges below k-2, repeat to fixpoint. Dropping an edge
-    can destroy a neighbor's triangle, so pruning cascades — a
-    single-pass support filter is NOT a truss (pinned by a test whose
-    triangle strip unravels only over two rounds). Rounds are bounded
-    by the longest cascade chain; each materializes through
-    graph._materialize with dead-generation retirement, the standing
-    loop hygiene of the community detectors.
+    Incremental pruning: the expensive O(m^1.5) triangle ENUMERATION
+    (wedge + closure joins) runs ONCE, on the initial subgraph. The
+    triangle list is then maintained across rounds — dropping an edge
+    kills exactly the triangles containing it, so each round after the
+    first only (a) recounts support from the surviving triangle list
+    (one explode + map-side-combining groupBy, linear in |tri|) and
+    (b) anti-joins the list against the just-dropped edge set (small
+    side — AQE broadcasts it). A triangle survives iff all three of its
+    edges survive, so the maintained list is exactly the triangle set
+    of the current subgraph and support stays exact; the planted
+    cascade oracle (`ktruss_planted`) pins this. Dropping an edge can
+    destroy a neighbor's triangle, so pruning cascades — a single-pass
+    support filter is NOT a truss (pinned by a test whose triangle
+    strip unravels only over two rounds). Frames materialize through
+    graph._materialize with dead-generation retirement (including the
+    one-shot degree frame), the standing loop hygiene of the community
+    detectors.
     """
+    import logging
+
     from echo_chambers_detection_spark.operators.graph import (
         _materialize,
         _release_checkpoint,
     )
 
+    log = logging.getLogger(__name__)
     cur = _materialize(edges.select("u1", "u2"))
     n_cur = cur.count()
     n_start = n_cur
+    deg = _materialize(node_degrees(cur))
+    tri = _materialize(triangle_vertices(cur, deg))
+    _release_checkpoint(deg)
     out = None
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
-        tri = triangle_vertices(cur)
         pairs = tri.select(
             F.explode(
                 F.array(
@@ -260,21 +273,49 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             )
         )
         n_keep = keep.count()
-        # `keep` is materialized: generation `cur` (and the previous
-        # round's keep frame it was selected from) is provably dead
-        _release_checkpoint(cur)
-        if out is not None:
-            _release_checkpoint(out)
-        out = keep
         if n_keep == n_cur:
             # fixpoint: no drops this round, so `support` was computed
             # on exactly the surviving subgraph
-            import logging
-
-            logging.getLogger(__name__).info(
+            _release_checkpoint(cur)
+            if out is not None:
+                _release_checkpoint(out)
+            out = keep
+            converged = True
+            log.info(
                 "ktruss k=%d converged in %d rounds: %d -> %d edges",
                 k, rounds, n_start, n_keep,
             )
             break
+        # incremental maintenance: retire every triangle that contains a
+        # dropped edge (three anti-joins; the dropped set is the small,
+        # broadcastable side)
+        dropped = cur.join(
+            keep.select("u1", "u2"), ["u1", "u2"], "left_anti"
+        ).select(F.col("u1").alias("_du1"), F.col("u2").alias("_du2"))
+        tri_new = tri
+        for ca, cb in (("a", "b"), ("a", "c"), ("b", "c")):
+            tri_new = tri_new.join(
+                dropped,
+                (F.least(ca, cb) == F.col("_du1"))
+                & (F.greatest(ca, cb) == F.col("_du2")),
+                "left_anti",
+            )
+        tri_new = _materialize(tri_new)
+        # new generations (keep, tri_new) are materialized: the previous
+        # cur / out / tri frames are provably dead
+        _release_checkpoint(tri)
+        tri = tri_new
+        _release_checkpoint(cur)
+        if out is not None:
+            _release_checkpoint(out)
+        out = keep
         cur, n_cur = keep.select("u1", "u2"), n_keep
+    _release_checkpoint(tri)
+    if not converged:
+        log.warning(
+            "ktruss k=%d exhausted max_rounds=%d WITHOUT reaching fixpoint "
+            "(%d -> %d edges): the returned subgraph is NOT a k-truss and "
+            "its support column reflects the pre-drop subgraph",
+            k, max_rounds, n_start, n_cur,
+        )
     return out
