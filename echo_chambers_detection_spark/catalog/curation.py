@@ -1533,7 +1533,7 @@ agg AS (
 SELECT doc_id,
        16 AS width,
        8 AS height,
-       25.0 AS fps,
+       CAST(25.0 AS DOUBLE) AS fps,
        CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
        CAST(n_sampled AS BIGINT) AS n_sampled,
        mean_luma
