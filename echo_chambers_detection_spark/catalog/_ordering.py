@@ -26,13 +26,88 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 # every oracled query locally every round regardless of the window).
 
 _REGISTRY_ORDER = [
-    # -- ROUND-8 WINDOW (first 50 = the driver's stamp set) ------------
-    # new this round (never stamped)
-    "triangle_counts",
-    "triangle_counts_planted",
+    # -- ROUND-9 WINDOW (first 50 = the driver's stamp set) ------------
+    # code/oracle touched this round: the three HUGEINT-cast fixes the
+    # r8 verdict requires restamped green, plus the DECIMAL fps cast,
+    # the incremental-k-truss rewrite, and the three ADVICE edits
     "transitivity_stats",
     "degree_assortativity_moments",
     "chunk_dedup_stats",
+    "multimodal_video_stats",
+    "ktruss_planted",
+    "priority_dedup_keep",
+    "token_pmi_collocations",
+    "event_type_theta_overlap",
+    # oldest stamps in the rotation: last stamped in round 6
+    "embedding_similarity_join",
+    "user_mean_embeddings",
+    "conductance_sentinel",
+    "connected_components_strong",
+    "scd2_current_membership",
+    "scd2_membership_as_of",
+    "community_catalog_save",
+    "session_windows_by_type",
+    "coengagement_edges",
+    "community_membership_save",
+    "embedded_documents",
+    "scd2_membership_history",
+    "connected_components_planted",
+    "louvain_planted_recovery",
+    "modularity_opt_planted_recovery",
+    "leiden_planted_recovery",
+    "lpa_planted_recovery",
+    "kcore_planted_cores",
+    # stamped in round 7 (age 2), first 24 of the cohort; the rest
+    # rotate in round 10
+    "pagerank_planted",
+    "pagerank_personalized_planted",
+    "pagerank_user_graph",
+    "semantic_dedup_md5_keep",
+    "language_temperature_resample",
+    "bernoulli_lang_sample",
+    "hdbscan_planted_recovery",
+    "fastrp_step_recovery",
+    "graph_ann_planted_topk",
+    "multimodal_audio_stats",
+    "ann_ivf_probe_topk",
+    "ann_pq_probe_topk",
+    "knn_graph_ann_topk",
+    "ann_lsh_topk",
+    "kafka_producer_messages",
+    "simhash64_md5_near_pairs",
+    "train_val_test_split",
+    "token_pack_chunks",
+    "quality_head_per_lang",
+    "benchmark_contamination",
+    "corpus_manifest",
+    "source_mixture_rates",
+    "analysis_run_metrics",
+    "rfc4122_layout_ids",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # round-7-stamped remainder: first to rotate back in round 10
+    "exact_dedup_groups",
+    "event_value_percentiles",
+    "event_type_user_cube",
+    "order_stats_rollup",
+    "engaged_user_set_ops",
+    "user_profiles_cleaned",
+    "membership_asof_join",
+    "simhash_signatures",
+    "user_first_seen",
+    "user_running_totals",
+    "text_quality_scores",
+    "simhash_near_pairs",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "near_dup_keep_list",
+    "community_metrics_table",
+    "global_echo_metrics",
+    "ann_topk",
+    "multimodal_blob_stats",
+    # stamped green in round 8 (freshest stamps; rotate last)
+    "triangle_counts",
+    "triangle_counts_planted",
     "top_tokens_per_lang",
     "order_value_quartiles",
     "event_type_theta_users",
@@ -42,19 +117,9 @@ _REGISTRY_ORDER = [
     "event_interarrival_stats",
     "incremental_dedup_new_batch",
     "minhash_jaccard_estimate_error",
-    "token_pmi_collocations",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
-    "ktruss_planted",
-    "event_type_theta_overlap",
     "daily_hll_user_rollup",
-    "priority_dedup_keep",
-    # code touched this round (odd-dimension Y4M chroma fix)
-    "multimodal_video_stats",
-    # oldest stamps in the rotation: the oracled entries last stamped in
-    # round 6 (5 fixed-fixture planted-recovery rows overflow to the
-    # tail head — they read no testdata, so regeneration cannot move
-    # them, and the local oracle suite re-proves them every round)
     "density_clusters_lsh_exhaustive",
     "events_in_membership_intervals",
     "ann_ivf_topk",
@@ -84,74 +149,6 @@ _REGISTRY_ORDER = [
     "knn_graph_topk",
     "doc_repetition_scores",
     "coengagement_top_pairs",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    # (the window boundary moved down as round-8 additions grew to 21;
-    # these four round-6-stamped rows join the rotate-back-in-round-9
-    # group and are re-proven locally by tests/test_catalog_oracle.py)
-    "embedding_similarity_join",
-    "user_mean_embeddings",
-    "conductance_sentinel",
-    "connected_components_strong",
-    # round-6-stamped overflow: first to rotate back in round 9
-    "scd2_current_membership",
-    "scd2_membership_as_of",
-    "community_catalog_save",
-    "session_windows_by_type",
-    "coengagement_edges",
-    "community_membership_save",
-    "embedded_documents",
-    "scd2_membership_history",
-    "connected_components_planted",
-    "louvain_planted_recovery",
-    "modularity_opt_planted_recovery",
-    "leiden_planted_recovery",
-    "lpa_planted_recovery",
-    "kcore_planted_cores",
-    # stamped green in round 7 (age 1)
-    "pagerank_planted",
-    "pagerank_personalized_planted",
-    "pagerank_user_graph",
-    "semantic_dedup_md5_keep",
-    "language_temperature_resample",
-    "bernoulli_lang_sample",
-    "hdbscan_planted_recovery",
-    "fastrp_step_recovery",
-    "graph_ann_planted_topk",
-    "multimodal_audio_stats",
-    "ann_ivf_probe_topk",
-    "ann_pq_probe_topk",
-    "knn_graph_ann_topk",
-    "ann_lsh_topk",
-    "kafka_producer_messages",
-    "simhash64_md5_near_pairs",
-    "train_val_test_split",
-    "token_pack_chunks",
-    "quality_head_per_lang",
-    "benchmark_contamination",
-    "corpus_manifest",
-    "source_mixture_rates",
-    "analysis_run_metrics",
-    "rfc4122_layout_ids",
-    "exact_dedup_groups",
-    "event_value_percentiles",
-    "event_type_user_cube",
-    "order_stats_rollup",
-    "engaged_user_set_ops",
-    "user_profiles_cleaned",
-    "membership_asof_join",
-    "simhash_signatures",
-    "user_first_seen",
-    "user_running_totals",
-    "text_quality_scores",
-    "simhash_near_pairs",
-    "pricing_summary",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "near_dup_keep_list",
-    "community_metrics_table",
-    "global_echo_metrics",
-    "ann_topk",
-    "multimodal_blob_stats",
     # permanently below the window boundary: every rows-only entry
     # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
     # the hash signal, where one exists, in parentheses:

@@ -1191,6 +1191,10 @@ def _refine(
             "node",
             "k",
             "k_c",
+            # kept: round 0's per-sub outgoing weight IS w_vc (all subs
+            # are singletons), so the first round's target-gate skips
+            # the pairw scan entirely
+            "w_vc",
             (
                 F.col("w_vc")
                 >= gamma * F.col("k") * (F.col("k_c") - F.col("k")) / (2 * m)
@@ -1205,39 +1209,58 @@ def _refine(
         _release_checkpoint(intra, naux)
         return sub
 
+    # Incrementally-maintained SUB-PAIR weight frame (round 9, VERDICT
+    # r8 #4): pairw(s1, s2, w) = total intra-community weight between
+    # distinct subs s1 and s2, both directions present (intra is the
+    # symmetrized edge set). All loop aggregates factor through it:
+    #   w(S, C∖S)   = Σ_{s2} pairw(S, s2)      (target gate)
+    #   w(v, S)     = pairw(v, S) for singleton v  (candidate scores)
+    # At round 0 every sub is a singleton, so pairw IS the intra edge
+    # list — no join, no aggregation. After each round's merges, pairw
+    # is relabeled through the (small) moved map and re-grouped: one
+    # pairw-sized exchange replaces the TWO full intra double-joins the
+    # previous shape paid per round (w_out + the candidate join tree),
+    # and pairw only shrinks as subs grow. This is _coarsen's
+    # fold-the-graph trick applied per-round inside refinement.
+    pairw = intra.select(
+        F.col("src").alias("s1"), F.col("dst").alias("s2"),
+        F.col("weight").alias("w"),
+    )
+    own_pairw = False  # round-0 pairw aliases `intra`; never release it
     prev_holder = sub
-    nstate = None
+    import logging
+    import time as _time
+
+    _log = logging.getLogger(__name__)
     for rnd in range(max_rounds):
-        # per-node frame for this round: sub assignment + invariants
-        prev_nstate = nstate
-        nstate = _materialize(sub.join(hint(naux), "node"))
-        # sub ids are member-node ids and every member shares the sub's
-        # community, so per-sub state (size, k_S, k_C, target gate)
-        # resolves by joining the sub id back against naux
-        w_out = (
-            intra.join(
-                hint(
-                    nstate.select(
-                        F.col("node").alias("src"), F.col("sub").alias("s1")
-                    )
-                ),
-                "src",
+        _t0 = _time.perf_counter()
+        # per-sub state: size n, degree mass k_S, community mass k_C
+        # (sub id = a member node id, every member shares the sub's
+        # community, so k_C resolves via naux), outgoing weight w_sc
+        # from pairw, and the γ-well-connectedness target gate. Round 0
+        # reads w_sc straight off naux (singleton subs ⇒ w_sc = w_vc) —
+        # no pairw scan.
+        if rnd == 0:
+            w_out = naux.select(
+                F.col("node").alias("sub"), F.col("w_vc").alias("w_sc")
             )
-            .join(
-                hint(
-                    nstate.select(
-                        F.col("node").alias("dst"), F.col("sub").alias("s2")
-                    )
-                ),
-                "dst",
+        else:
+            w_out = pairw.groupBy(F.col("s1").alias("sub")).agg(
+                F.sum("w").alias("w_sc")
             )
-            .where(F.col("s1") != F.col("s2"))
-            .groupBy(F.col("s1").alias("sub"))
-            .agg(F.sum("weight").alias("w_sc"))
-        )
         substate = _materialize(
-            nstate.groupBy("sub")
-            .agg(F.count("*").alias("n"), F.sum("k").alias("k_s"))
+            sub.join(hint(naux.select("node", "k")), "node")
+            .groupBy("sub")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").alias("k_s"),
+                # for singleton subs this is THE member node — which can
+                # differ from the sub id after a chain move (v joins u
+                # while w joins v's now-vacated sub): node-level lookups
+                # (k, is_mover, the applied-join key) must go through
+                # the member, not the sub id
+                F.max("node").alias("rep"),
+            )
             .join(
                 hint(naux.select(F.col("node").alias("sub"), "k_c")), "sub"
             )
@@ -1247,7 +1270,7 @@ def _refine(
                 "sub",
                 "n",
                 "k_s",
-                # target gate: S γ-well-connected to its community
+                "rep",
                 (
                     F.col("w_sc")
                     >= gamma
@@ -1257,78 +1280,48 @@ def _refine(
                 ).alias("ok"),
             )
         )
-        # rounds >= 1: only still-singleton movers can move (subs never
-        # shrink, so singleton-hood is monotone) — semi-join the edge
-        # frame down to their rows BEFORE the wide candidate join, so
-        # later rounds scan the shrinking frontier instead of re-joining
-        # all intra edges (round 7; the post-join is_mover/n_own filter
-        # below is unchanged and makes this a pure plan optimization)
-        intra_r = intra
-        if rnd > 0:
-            active = (
-                nstate.where(F.col("is_mover"))
-                .join(
-                    substate.where(F.col("n") == 1).select("sub"),
-                    "sub",
-                    "leftsemi",
-                )
-                .select(F.col("node").alias("src"))
-            )
-            intra_r = intra.join(hint(active), "src", "leftsemi")
-        # singleton v -> adjacent sub S: w(v,S), gain w_vS − k_v·k_S/(2m).
-        # One wide exchange (hash(src) from the repartition serves the
-        # aggregation, the window, and the final groupBy); tgt-side
-        # constants ride the aggregation like sigma in _local_moves.
+        # singleton v -> adjacent sub S: w(v,S) = pairw(v,S), gain
+        # w_vS − k_v·k_S/(2m). Every join below is sub-level state on
+        # the small side (hinted); pairw itself is never re-joined
+        # against the edge frame.
         cand = (
-            intra_r.join(
+            pairw.join(
                 hint(
-                    nstate.select(
-                        F.col("node").alias("src"),
-                        F.col("sub").alias("own"),
-                        "k",
-                        "is_mover",
+                    substate.where(F.col("n") == 1).select(
+                        F.col("sub").alias("s1"), F.col("rep")
                     )
                 ),
-                "src",
+                "s1",
             )
             .join(
                 hint(
-                    nstate.select(
-                        F.col("node").alias("dst"), F.col("sub").alias("tgt")
+                    naux.select(
+                        F.col("node").alias("rep"), "k", "is_mover"
                     )
                 ),
-                "dst",
+                "rep",
             )
-            .where(F.col("tgt") != F.col("own"))
-            .join(
-                hint(
-                    substate.select(F.col("sub").alias("own"), F.col("n").alias("n_own"))
-                ),
-                "own",
-            )
+            .where(F.col("is_mover"))
             .join(
                 hint(
                     substate.select(
-                        F.col("sub").alias("tgt"),
+                        F.col("sub").alias("s2"),
                         F.col("n").alias("n_tgt"),
                         "k_s",
                         "ok",
                     )
                 ),
-                "tgt",
+                "s2",
             )
-            .where(F.col("is_mover") & (F.col("n_own") == 1) & F.col("ok"))
-            .repartition("src")
-            .groupBy(F.col("src").alias("node"), F.col("own"), F.col("tgt"))
-            .agg(
-                F.sum("weight").alias("w_vs"),
-                F.max("k").alias("k"),
-                F.max("k_s").alias("k_s"),
-                F.max("n_tgt").alias("n_tgt"),
-            )
-            .withColumn(
-                "score",
-                F.col("w_vs") - F.col("k") * F.col("k_s") / (2 * m),
+            .where(F.col("ok"))
+            .select(
+                F.col("rep").alias("node"),
+                F.col("s1").alias("own"),
+                F.col("s2").alias("tgt"),
+                (
+                    F.col("w") - F.col("k") * F.col("k_s") / (2 * m)
+                ).alias("score"),
+                "n_tgt",
             )
             .where(F.col("score") > 0)
             # singleton↔singleton symmetric swap guard: a singleton may
@@ -1344,7 +1337,13 @@ def _refine(
             cand.withColumn("best", F.max("score").over(wnode))
             .where(F.col("score") == F.col("best"))
             .groupBy("node")
-            .agg(F.max("tgt").alias("new_sub"))
+            .agg(
+                F.max("tgt").alias("new_sub"),
+                # own is constant per node; carried for the pairw relabel
+                # (pairw is keyed by SUB id, which can differ from the
+                # member node id after a chain move)
+                F.max("own").alias("old_sub"),
+            )
         )
         parity = F.pmod(F.xxhash64(F.col("node")) + F.lit(rnd), F.lit(2)) == 0
         applied = _materialize(
@@ -1354,22 +1353,87 @@ def _refine(
                 .otherwise(F.col("sub"))
                 .alias("sub"),
                 (parity & F.col("new_sub").isNotNull()).alias("moved"),
+                # old sub id rides along so the pairw fold below can read
+                # the moved map off THIS checkpoint instead of re-deriving
+                # the whole cand→window→best pipeline for the broadcast
+                # build (measured: 8 jobs/fold → ~4)
+                F.col("old_sub"),
             )
         )
         moves = int(
             applied.agg(F.sum(F.col("moved").cast("long")).alias("mv")).first()["mv"]
             or 0
         )
-        _release_checkpoint(prev_holder, prev_nstate, substate)
+        _t_moves = _time.perf_counter()
+        # substate is NOT released yet: the pairw relabel below reads the
+        # moved map through `best`, whose plan still references it
+        _release_checkpoint(prev_holder)
         prev_holder = applied
         sub = applied.select("node", "sub")
         if moves == 0:
+            _release_checkpoint(substate)
+            _log.info(
+                "refine round %d: moves=0, %.2fs", rnd, _t_moves - _t0
+            )
             break
+        if rnd < max_rounds - 1:
+            # fold this round's merges into pairw: relabel both ends
+            # through the moved map (small, hinted), drop now-internal
+            # pairs, re-group. hash(s1) from the repartition serves the
+            # (s1, s2) aggregation (s1 is a prefix of the grouping).
+            # moved-sub map keyed by the OLD SUB ID (not the node id —
+            # see the rep/chain-move note on substate), read off the
+            # checkpointed `applied` leaf
+            moved_map = applied.where(F.col("moved")).select(
+                F.col("old_sub").alias("_mv"),
+                F.col("sub").alias("_mvsub"),
+            )
+            relabeled = (
+                pairw.join(
+                    hint(moved_map.withColumnRenamed("_mv", "s1")),
+                    "s1",
+                    "left",
+                )
+                .withColumn("s1n", F.coalesce("_mvsub", F.col("s1")))
+                .drop("_mvsub")
+                .join(
+                    hint(moved_map.withColumnRenamed("_mv", "s2")),
+                    "s2",
+                    "left",
+                )
+                .withColumn("s2n", F.coalesce("_mvsub", F.col("s2")))
+                .where(F.col("s1n") != F.col("s2n"))
+                .repartition("s1n")
+                .groupBy(
+                    F.col("s1n").alias("s1"), F.col("s2n").alias("s2")
+                )
+                .agg(F.sum("w").alias("w"))
+            )
+            new_pairw = _materialize_wide(relabeled)
+            if own_pairw:
+                _release_checkpoint(pairw)
+            pairw = new_pairw
+            own_pairw = True
+            _release_checkpoint(substate)
+            _log.info(
+                "refine round %d: moves=%d, move-phase %.2fs, "
+                "pairw-fold %.2fs",
+                rnd, moves, _t_moves - _t0,
+                _time.perf_counter() - _t_moves,
+            )
+        else:
+            _release_checkpoint(substate)
+            _log.info(
+                "refine round %d (last): moves=%d, %.2fs",
+                rnd, moves, _t_moves - _t0,
+            )
     # transfer block ownership to the returned projection; the graph
     # scaffolding of this refinement is dead
     sub._ckpt_rdd_ids = getattr(prev_holder, "_ckpt_rdd_ids", [])
     prev_holder._ckpt_rdd_ids = []
-    _release_checkpoint(intra, naux, nstate)
+    if own_pairw:
+        _release_checkpoint(pairw)
+    _release_checkpoint(intra, naux)
     return sub
 
 

@@ -30,45 +30,39 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r8 = {
-        # round-8 window intent: this round's new oracle-backed queries,
-        # the code-touched video query, and the oracled entries last
-        # stamped in round 6 (see catalog/_ordering.py; 5 fixed-fixture
-        # planted-recovery rows overflow to the tail head, and every
-        # rows-only entry is pinned below the window boundary)
-        "triangle_counts", "triangle_counts_planted",
+    must_stamp_r9 = {
+        # round-9 window intent (see catalog/_ordering.py): the three
+        # HUGEINT-cast fixes the r8 verdict requires restamped, the
+        # other code-touched queries, every oracled entry last stamped
+        # in round 6, and the first 24 of the round-7-stamped cohort;
+        # every rows-only entry stays pinned below the window boundary
         "transitivity_stats", "degree_assortativity_moments",
-        "chunk_dedup_stats", "top_tokens_per_lang",
-        "order_value_quartiles", "event_type_theta_users",
-        "pagerank_factored_planted", "tfidf_top_terms",
-        "degree_histogram", "event_interarrival_stats",
-        "incremental_dedup_new_batch", "minhash_jaccard_estimate_error",
-        "token_pmi_collocations", "user_session_stats",
-        "chunk_dedup_scrubbed_docs", "ktruss_planted",
-        "event_type_theta_overlap", "daily_hll_user_rollup",
-        "priority_dedup_keep",
-        "multimodal_video_stats",
-        "density_clusters_lsh_exhaustive", "events_in_membership_intervals",
-        "ann_ivf_topk", "ann_pq_topk", "embedding_lsh_near_dup",
-        "revenue_by_nation", "doc_fingerprints", "language_id_pred",
-        "embedding_near_dup", "tumbling_event_counts", "engagement_union",
-        "sliding_event_counts", "language_id_trigram_pred",
-        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
-        "c4_quality_flags", "winnowing_fingerprints",
-        "membership_with_labels", "top_orders", "customers_without_orders",
-        "active_customers", "top3_orders_per_customer", "event_type_stats",
-        "ann_extremes", "text_token_stats", "knn_graph_topk",
-        "doc_repetition_scores",
-        # coengagement_top_pairs /
-        # embedding_similarity_join / user_mean_embeddings /
-        # conductance_sentinel / connected_components_strong /
-        # scd2_current_membership / scd2_membership_as_of /
-        # community_catalog_save / session_windows_by_type /
-        # coengagement_edges were displaced to the tail head by the
-        # five new round-8 queries — all are round-6-stamped and
-        # re-proven locally by tests/test_catalog_oracle.py every round.
+        "chunk_dedup_stats", "multimodal_video_stats", "ktruss_planted",
+        "priority_dedup_keep", "token_pmi_collocations",
+        "event_type_theta_overlap",
+        "embedding_similarity_join", "user_mean_embeddings",
+        "conductance_sentinel", "connected_components_strong",
+        "scd2_current_membership", "scd2_membership_as_of",
+        "community_catalog_save", "session_windows_by_type",
+        "coengagement_edges", "community_membership_save",
+        "embedded_documents", "scd2_membership_history",
+        "connected_components_planted", "louvain_planted_recovery",
+        "modularity_opt_planted_recovery", "leiden_planted_recovery",
+        "lpa_planted_recovery", "kcore_planted_cores",
+        "pagerank_planted", "pagerank_personalized_planted",
+        "pagerank_user_graph", "semantic_dedup_md5_keep",
+        "language_temperature_resample", "bernoulli_lang_sample",
+        "hdbscan_planted_recovery", "fastrp_step_recovery",
+        "graph_ann_planted_topk", "multimodal_audio_stats",
+        "ann_ivf_probe_topk", "ann_pq_probe_topk",
+        "knn_graph_ann_topk", "ann_lsh_topk",
+        "kafka_producer_messages", "simhash64_md5_near_pairs",
+        "train_val_test_split", "token_pack_chunks",
+        "quality_head_per_lang", "benchmark_contamination",
+        "corpus_manifest", "source_mixture_rates",
+        "analysis_run_metrics", "rfc4122_layout_ids",
     }
-    missing = must_stamp_r8 - set(window)
+    missing = must_stamp_r9 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # every window slot must carry a hash oracle — a no_oracle stamp is
     # a wasted slot (VERDICT r6 what's-wrong #3)
