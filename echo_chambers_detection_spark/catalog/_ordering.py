@@ -27,6 +27,9 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 
 _REGISTRY_ORDER = [
     # -- ROUND-9 WINDOW (first 50 = the driver's stamp set) ------------
+    # new this round (never stamped)
+    "token_rarity_scores",
+    "url_curation_stats",
     # code/oracle touched this round: the three HUGEINT-cast fixes the
     # r8 verdict requires restamped green, plus the DECIMAL fps cast,
     # the incremental-k-truss rewrite, and the three ADVICE edits
@@ -81,10 +84,12 @@ _REGISTRY_ORDER = [
     "benchmark_contamination",
     "corpus_manifest",
     "source_mixture_rates",
-    "analysis_run_metrics",
-    "rfc4122_layout_ids",
     # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-7-stamped remainder: first to rotate back in round 10
+    # (analysis_run_metrics / rfc4122_layout_ids displaced by the two
+    # round-9 additions)
+    "analysis_run_metrics",
+    "rfc4122_layout_ids",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",

@@ -2350,3 +2350,152 @@ def q_priority_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("group_size"),
         )
     )
+
+
+@register(
+    "token_rarity_scores",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS w
+    FROM documents
+),
+freq AS (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(length(bin(freq.c)) - 1) AS BIGINT) AS sum_rarity,
+       CAST(MAX(length(bin(freq.c)) - 1) AS BIGINT) AS max_rarity
+FROM toks JOIN freq USING (w)
+GROUP BY toks.doc_id
+""",
+    doc="Corpus-frequency token rarity scoring (M6 text analysis): the "
+    "CCNet/perplexity-filter idea — score each document by how "
+    "surprising its tokens are under the corpus unigram distribution "
+    "— with the surprisal quantized to INTEGER log2 buckets "
+    "(floor(log2(count)) = binary-representation length - 1) so the "
+    "whole pass is integer arithmetic and hash-exact: a true -ln(p) "
+    "average is order-dependent float summation that no two engines "
+    "reproduce bit-for-bit. Low sum_rarity/n_tokens = rare-token-heavy "
+    "(junk or exotic) documents, high = stopword soup; both tails get "
+    "cut in a curation pipeline. Scale shape: one vocab groupBy "
+    "(map-side combine), one token->vocab join (AQE "
+    "broadcast-or-shuffle; the vocab frame is the classic dimension "
+    "side), one per-doc groupBy. No Python anywhere.",
+)
+def q_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    toks = _docs_spread(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize("text")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    rarity = F.length(F.bin("c")) - F.lit(1)
+    return (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rarity).cast("bigint").alias("sum_rarity"),
+            F.max(rarity).cast("bigint").alias("max_rarity"),
+        )
+    )
+
+
+_URL_BLOCKLIST = ("cdn13.example.org", "cdn42.example.org", "cdn77.example.org")
+
+
+@register(
+    "url_curation_stats",
+    f"""
+WITH urls AS (
+    SELECT doc_id, source,
+           'HTTPS://' ||
+           CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
+           'cdn' || (doc_id % 97) || '.Example.Org/p/' || (doc_id % 1000) ||
+           CASE doc_id % 3 WHEN 0 THEN '?utm=x' WHEN 1 THEN '/' ELSE '' END
+           AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id, source,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+                   '[?#].*$', ''),
+               '/$', '') AS curl
+    FROM urls
+),
+hosts AS (
+    SELECT doc_id, source, curl,
+           regexp_extract(curl, '^[^/]+') AS host
+    FROM canon
+),
+bl(bhost) AS (VALUES {", ".join(f"('{h}')" for h in _URL_BLOCKLIST)})
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN bl.bhost IS NOT NULL THEN 1 END) AS n_blocked,
+       COUNT(CASE WHEN bl.bhost IS NULL THEN 1 END) AS n_kept,
+       COUNT(DISTINCT CASE WHEN bl.bhost IS NULL THEN curl END)
+           AS n_distinct_kept_urls
+FROM hosts LEFT JOIN bl ON hosts.host = bl.bhost
+GROUP BY source
+""",
+    doc="URL canonicalization + host-blocklist curation (M6): the "
+    "refined-web/C4 pre-dedup step — lowercase, strip scheme and "
+    "leading www., drop query/fragment, drop trailing slash, then "
+    "extract the host and anti-match it against a blocklist TABLE "
+    "(not a hardcoded predicate: production swaps in the UT1/Blacklist "
+    "feeds). URLs are synthesized deterministically from doc_id "
+    "(documents carry no URL column), the multimodal-family pattern: "
+    "fake data, REAL plumbing. Per-source output: total, blocked, "
+    "kept, and distinct canonical URLs among kept (the URL-level dedup "
+    "cardinality). Scale shape: JVM regex chain, blocklist "
+    "broadcast-joined (a genuinely bounded dimension — the legit "
+    "broadcast case), one groupBy(source) with map-side combine; the "
+    "count_distinct is per-source partial-aggregated.",
+)
+def q_url_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("cdn"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".Example.Org/p/"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "^https?://(www\\.)?", ""),
+            "[?#].*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    hosts = docs.select(
+        "source",
+        curl.alias("curl"),
+        F.regexp_extract(curl, "^[^/]+", 0).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [(h,) for h in _URL_BLOCKLIST], "bhost string"
+    )
+    joined = hosts.join(
+        F.broadcast(bl), hosts.host == bl.bhost, "left"
+    )
+    blocked = F.col("bhost").isNotNull()
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(blocked, 1)).alias("n_blocked"),
+        F.count(F.when(~blocked, 1)).alias("n_kept"),
+        F.count_distinct(F.when(~blocked, F.col("curl"))).alias(
+            "n_distinct_kept_urls"
+        ),
+    )

@@ -36,6 +36,7 @@ def test_registry_window_covers_unverified_queries():
         # other code-touched queries, every oracled entry last stamped
         # in round 6, and the first 24 of the round-7-stamped cohort;
         # every rows-only entry stays pinned below the window boundary
+        "token_rarity_scores", "url_curation_stats",
         "transitivity_stats", "degree_assortativity_moments",
         "chunk_dedup_stats", "multimodal_video_stats", "ktruss_planted",
         "priority_dedup_keep", "token_pmi_collocations",
@@ -60,7 +61,6 @@ def test_registry_window_covers_unverified_queries():
         "train_val_test_split", "token_pack_chunks",
         "quality_head_per_lang", "benchmark_contamination",
         "corpus_manifest", "source_mixture_rates",
-        "analysis_run_metrics", "rfc4122_layout_ids",
     }
     missing = must_stamp_r9 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
