@@ -67,6 +67,17 @@ def get_spark(
         # sessions were measured degrading 2-3x on loop-heavy queries
         # purely from this accumulation.
         .config("spark.cleaner.periodicGC.interval", "45s")
+        # The app-status store retains per-job/stage/task rows even with
+        # the UI disabled (defaults: 1000 jobs / 1000 stages, each with
+        # task summaries). A 133-query catalog pass mints thousands of
+        # jobs, so the live store + its listener churn grow for the
+        # whole session — one contributor to the measured end-of-run
+        # drift (BENCH drift_post vs drift, VERDICT r8 #7). Keep only a
+        # small tail; nothing in the engine reads the store.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if master != "external":

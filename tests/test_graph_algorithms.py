@@ -509,3 +509,58 @@ def test_pagerank_factored_excludes_isolated_users(spark):
         r["node"] for r in pagerank_coengagement(eng, max_iter=2).collect()
     }
     assert nodes == {"a", "b"}
+
+
+def test_refine_chain_move_resolves_through_rep(spark):
+    """Pin the chain-move corner of the pairw-based refinement (round 9):
+    in one synchronous round, v merges into u while w merges into v's
+    now-vacated sub — the singleton sub keeps id v but its only member
+    is w. Later rounds must resolve node-level state (k, is_mover, the
+    applied-join key) through the MEMBER (rep), not the sub id; a
+    sub-id lookup silently no-ops the w move and strands it. Fixture:
+    path w—v—u plus x—u, unit weights (m=3). Ids chosen so (a) string
+    order is w < v < u=zz and x < zz, (b) w and v have EVEN xxhash
+    parity (move at round 0: w→v gain 2/3, v's tie between u and w
+    breaks to max id = u, gain 1/3), (c) x has ODD parity (moves at
+    round 1 into the grown sub zz, gain 1/3 — keeping the loop alive
+    across the zero-parity round for w). Round 2: w escapes sub v into
+    zz (gain 1/6) — THE move that only resolves through rep. Expected
+    fixpoint: one sub containing all four nodes."""
+    from echo_chambers_detection_spark.operators.graph import _refine
+
+    pool = [f"n{i:02d}" for i in range(40)]
+    par = {
+        r["id"]: r["p"]
+        for r in spark.createDataFrame(
+            [(x,) for x in pool], "id string"
+        ).select("id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("p")).collect()
+    }
+    evens = sorted(x for x in pool if par[x] == 0)
+    odds = sorted(x for x in pool if par[x] == 1)
+    assert len(evens) >= 2 and len(odds) >= 1, "parity pool too small"
+    w_id, v_id = evens[0], evens[1]
+    x_id = odds[0]
+    u_id = "zz"  # lexically above every pool id
+
+    sym = spark.createDataFrame(
+        [
+            (w_id, v_id, 1.0), (v_id, w_id, 1.0),
+            (v_id, u_id, 1.0), (u_id, v_id, 1.0),
+            (x_id, u_id, 1.0), (u_id, x_id, 1.0),
+        ],
+        "src string, dst string, weight double",
+    )
+    nodes = [u_id, v_id, w_id, x_id]
+    selfw = spark.createDataFrame(
+        [(n, 0.0) for n in nodes], "node string, w_self double"
+    )
+    comm = spark.createDataFrame(
+        [(n, "C") for n in nodes], "node string, community string"
+    )
+    out = _refine(sym, selfw, comm, m=3.0, small_state=True)
+    subs = {r["node"]: r["sub"] for r in out.collect()}
+    assert set(subs) == set(nodes)
+    assert len(set(subs.values())) == 1, (
+        f"chain move did not resolve through rep: {subs} "
+        f"(w={w_id}, v={v_id}, u={u_id}, x={x_id})"
+    )
