@@ -843,10 +843,20 @@ def _local_moves(
     total_moves = 0
     prev_applied = None
     for rnd in range(max_rounds):
-        # per-node state: (node, community, k, sigma_tot of own community)
+        # per-node state: (node, community, k, sigma_tot of own community).
+        # sigma as an unbounded window sum over the community partition:
+        # ONE exchange produces both the per-node rows and their
+        # community mass, replacing the groupBy + broadcast-join-back
+        # (round 9; two fewer jobs per round, and exact — k is an
+        # integral-valued double on every real input, so the sum is
+        # order-insensitive)
         ck = comm.join(hint(k_i), "node")
-        sigma = ck.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
-        state = _materialize(ck.join(hint(sigma), "community"))
+        state = _materialize(
+            ck.withColumn(
+                "sigma_tot",
+                F.sum("k").over(Window.partitionBy("community")),
+            )
+        )
         # Zero-weight self-edges guarantee every node an own-community
         # row in w_nc — the stay option falls out of the same aggregation
         # (score 0 - k*(sigma_own-k)/2m for isolated-in-community nodes)
