@@ -343,7 +343,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             connected_components_local,
         )
 
-        rows = sym.toPandas()
+        # collect each undirected edge ONCE (src <= dst keeps self-loop
+        # nodes in the id set): halves the driver transfer, and the
+        # union-find mirror only walks the src < dst half anyway
+        rows = sym.where(F.col("src") <= F.col("dst")).toPandas()
         _release_checkpoint(sym)
         result = connected_components_local(rows)
         return edges.sparkSession.createDataFrame(
