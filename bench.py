@@ -637,16 +637,19 @@ def main() -> None:
         iterative queries mid-run were measured 2-3x slower than solo
         purely from that accumulation.
 
-        Locally-checkpointed RDDs are EXEMPT from the sweep (VERDICT r2
-        #2): the iterative operators retire their own dead generations
-        via graph._release_checkpoint, so what remains here is only the
-        final result leaf of the just-finished query — tiny, and
-        reclaimed by the ContextCleaner once the Python reference dies
-        at the next loop iteration (System.gc below accelerates that)."""
+        The sweep now includes locally-checkpointed RDDs (round 9;
+        reverses the r2 exemption): the iterative operators retire their
+        dead generations in-loop AND release/transfer their final frames
+        at return, but any frame that slips through (measured: leiden
+        left 5 pinned frames per call before its round-9 finalize) would
+        otherwise survive the whole session — nothing in the engine
+        reuses Spark-storage blocks across query boundaries (standing
+        ANN indexes are disk-parquet + driver-resident numpy), so
+        between queries every persisted block is garbage by
+        construction."""
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
-            if not rdd.rdd().isLocallyCheckpointed():
-                rdd.unpersist()
+            rdd.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

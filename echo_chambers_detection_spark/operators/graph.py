@@ -643,7 +643,11 @@ def pagerank(
         if delta <= tol:
             break
     _release_checkpoint(shares)
-    return ranks.select("node", "rank")
+    out = ranks.select("node", "rank")
+    # transfer block ownership so callers can release the final frame
+    out._ckpt_rdd_ids = getattr(ranks, "_ckpt_rdd_ids", [])
+    ranks._ckpt_rdd_ids = []
+    return out
 
 
 def pagerank_coengagement(
@@ -759,7 +763,10 @@ def pagerank_coengagement(
         if delta <= tol:
             break
     _release_checkpoint(B)
-    return ranks.select("node", "rank")
+    out = ranks.select("node", "rank")
+    out._ckpt_rdd_ids = getattr(ranks, "_ckpt_rdd_ids", [])
+    ranks._ckpt_rdd_ids = []
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1037,6 +1044,7 @@ def louvain(
     mapping = _materialize(nodes.withColumn("community", F.col("node")))
     small = _probe_small(mapping)
     hint = _state_hint(small)
+    base_mapping = None  # set on the local-finish path; released at exit
 
     for _level in range(max_levels):
         comm0 = (
@@ -1066,7 +1074,7 @@ def louvain(
         new_selfw = _materialize(new_selfw)
         # the previous level's generation is dead: every live plan now
         # reads the freshly-materialized leaves
-        _release_checkpoint(mapping, sym, comm)
+        _release_checkpoint(mapping, sym, comm, selfw)
         mapping, sym, selfw = new_mapping, new_sym, new_selfw
         n_sym = sym.count()
         if n_sym == 0:
@@ -1089,17 +1097,23 @@ def louvain(
             coarse_df = spark.createDataFrame(
                 list(coarse.items()), "community string, _next string"
             )
-            mapping = mapping.join(F.broadcast(coarse_df), "community").select(
-                "node", F.col("_next").alias("community")
-            )
+            base_mapping = mapping  # keep the checkpoint ref for release
+            mapping = base_mapping.join(
+                F.broadcast(coarse_df), "community"
+            ).select("node", F.col("_next").alias("community"))
             break
-    # canonicalize ids to min member node; the result reads only the
-    # mapping leaf, so the last coarsened graph is dead
-    _release_checkpoint(sym)
+    # canonicalize ids to min member node, materialize the result, and
+    # release every internal generation (round 9: the lazy return used
+    # to leak the final mapping/selfw checkpoints to the session; the
+    # returned frame carries its own _ckpt_rdd_ids for callers)
     canon = mapping.groupBy("community").agg(F.min("node").alias("_canon"))
-    return mapping.join(hint(canon), "community").select(
-        "node", F.col("_canon").alias("community")
+    out = _materialize(
+        mapping.join(hint(canon), "community").select(
+            "node", F.col("_canon").alias("community")
+        )
     )
+    _release_checkpoint(sym, mapping, selfw, base_mapping)
+    return out
 
 
 def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
@@ -1497,6 +1511,7 @@ def leiden(
     selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
     mapping = _materialize(nodes.withColumn("agg", F.col("node")))
     comm0 = _materialize(nodes.withColumn("community", F.col("node")))
+    comm0_init = comm0  # comm0 is rebound per level; release the blocks at exit
     small = _probe_small(mapping)
     hint = _state_hint(small)
     sub2comm = comm0.select(F.col("node").alias("sub"), "community")
@@ -1555,10 +1570,10 @@ def leiden(
             refined.select("node", F.col("sub").alias("community")),
             small_state=small,
         )
-        prev_sym = sym
+        prev_sym, prev_selfw = sym, selfw
         sym = _materialize_wide(_symmetrize(new_edges))
         selfw = _materialize(new_selfw)
-        _release_checkpoint(refined)
+        _release_checkpoint(refined, prev_selfw)
         if prev_sym is not sym0:
             _release_checkpoint(prev_sym)
         comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
@@ -1605,18 +1620,25 @@ def leiden(
     unit_final = comps_u.join(comp_min, "component").select(
         F.col("node").alias("agg"), "cmin"
     )
-    out = (
+    out = _materialize(
         mapping.join(hint(unit_final), "agg", "left")
         .join(hint(unit_min), "agg")
         .select(
             "node", F.coalesce("cmin", F.col("umin")).alias("community")
         )
     )
-    # comps_u is materialized inside connected_components, so every
-    # graph leaf is dead here; `out` reads only mapping + CC results
+    # `out` is on storage: EVERY internal generation is now dead. Release
+    # them all here rather than leaking them to the session — bench's
+    # between-query sweep used to exempt locally-checkpointed blocks, so
+    # each leiden call left ~5 pinned frames (comm0, the last selfw,
+    # mapping, sub2comm, comps_u, the owned unit_edges) for the rest of
+    # the session (round 9; the returned frame carries its own
+    # _ckpt_rdd_ids so callers can release it too).
     if sym is not sym0:
         _release_checkpoint(sym)
-    _release_checkpoint(sym0)
+    _release_checkpoint(
+        sym0, mapping, sub2comm, comps_u, comm0_init, selfw, unit_edges
+    )
     return out
 
 

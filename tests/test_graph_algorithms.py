@@ -564,3 +564,50 @@ def test_refine_chain_move_resolves_through_rep(spark):
         f"chain move did not resolve through rep: {subs} "
         f"(w={w_id}, v={v_id}, u={u_id}, x={x_id})"
     )
+
+
+def test_loop_operators_release_all_checkpoints(spark):
+    """Checkpoint-leak regression (round 9): the flagship loop operators
+    must leave ZERO pinned RDD blocks behind once the caller releases
+    the returned frame — before the round-9 finalize, one distributed
+    leiden call leaked 5 frames (comm0, last selfw, mapping, sub2comm,
+    comps_u) for the life of the session, and bench's between-query
+    sweep exempted locally-checkpointed blocks so they accumulated
+    across all 133 queries. Forces the distributed path on a small
+    planted graph and asserts the pinned-RDD set returns to baseline
+    after _release_checkpoint(result)."""
+    import echo_chambers_detection_spark.operators.graph as G
+    from echo_chambers_detection_spark.operators.graph import (
+        _release_checkpoint,
+    )
+    from echo_chambers_detection_spark.operators.planted import (
+        planted_partition_edges,
+    )
+
+    def pinned():
+        return {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
+    e = planted_partition_edges(spark, 4, 60, 5, bridges=True, partitions=4)
+    old = G.LOCAL_GRAPH_EDGE_LIMIT
+    G.LOCAL_GRAPH_EDGE_LIMIT = 0  # force the distributed loops
+    try:
+        for name, fn in [
+            ("louvain", lambda: G.louvain(e, max_levels=2, max_rounds=2)),
+            ("leiden", lambda: G.leiden(e, max_levels=2, max_rounds=2)),
+            ("pagerank", lambda: G.pagerank(
+                e.select("u1", "u2"), max_iter=3, tol=0.0
+            )),
+        ]:
+            base = pinned()
+            out = fn()
+            out.count()  # materialize like a caller would
+            _release_checkpoint(out)
+            leaked = pinned() - base
+            assert not leaked, f"{name} leaked pinned RDDs: {sorted(leaked)}"
+    finally:
+        G.LOCAL_GRAPH_EDGE_LIMIT = old
