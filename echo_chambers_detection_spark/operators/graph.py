@@ -1147,9 +1147,13 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     # partition are dead
     _release_checkpoint(sym, comm0)
     canon = comm.groupBy("community").agg(F.min("node").alias("_canon"))
-    return comm.join(_state_hint(small)(canon), "community").select(
+    out = comm.join(_state_hint(small)(canon), "community").select(
         "node", F.col("_canon").alias("community")
     )
+    # transfer block ownership so callers can release the final frame
+    out._ckpt_rdd_ids = getattr(comm, "_ckpt_rdd_ids", [])
+    comm._ckpt_rdd_ids = []
+    return out
 
 
 def _refine(
