@@ -305,3 +305,29 @@ def test_chunk_scrub_has_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan, plan
     assert not has_python_stage(df)
+
+
+def test_url_curation_broadcasts_blocklist_and_prunes_scan(spark):
+    """The blocklist is a bounded dimension -> broadcast join; the
+    documents scan must read only doc_id + source (the url is derived
+    from doc_id, text/lang/n_chars never touched)."""
+    df = _q(spark, "url_curation_stats")
+    assert count_operator(df, "BroadcastHashJoin") >= 1
+    schemas = read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all("text" not in s and "n_chars" not in s for s in schemas), (
+        f"url_curation_stats reads more than doc_id/source: {schemas}"
+    )
+    assert not has_python_stage(df)
+
+
+def test_token_rarity_partial_aggregates_and_stays_jvm(spark):
+    """Vocab groupBy and per-doc groupBy must both partial-aggregate
+    map-side (two-phase HashAggregate), and the whole pass is JVM-only
+    (tokenize + bin-length are codegen expressions)."""
+    df = _q(spark, "token_rarity_scores")
+    assert count_operator(df, "HashAggregate") >= 4, (
+        "expected partial+final HashAggregate pairs for vocab and doc "
+        "aggregations"
+    )
+    assert not has_python_stage(df)
