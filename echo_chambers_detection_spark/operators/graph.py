@@ -1534,11 +1534,13 @@ def leiden(
             # community, so sub2comm∘mapping == comm either way, and the
             # units stay connected for the CC check below) — skip the
             # whole refinement pass (round 7; 20% of the 6M-edge row)
-            sub2comm = _materialize(
-                comm.select(F.col("node").alias("sub"), "community")
-            )
+            # a pure projection of the already-checkpointed comm — no
+            # extra materialization; comm's blocks transfer to sub2comm
+            # and are released with it at exit (round 9)
+            sub2comm = comm.select(F.col("node").alias("sub"), "community")
+            sub2comm._ckpt_rdd_ids = getattr(comm, "_ckpt_rdd_ids", [])
+            comm._ckpt_rdd_ids = []
             # mapping is NOT replaced on this path — keep its blocks
-            _release_checkpoint(comm)
             if prev_sub2comm is not comm0:
                 _release_checkpoint(prev_sub2comm)
             break
