@@ -30,6 +30,7 @@ _REGISTRY_ORDER = [
     # new this round (never stamped)
     "token_rarity_scores",
     "url_curation_stats",
+    "corpus_snapshot_diff",
     # code/oracle touched this round: the three HUGEINT-cast fixes the
     # r8 verdict requires restamped green, plus the DECIMAL fps cast,
     # the incremental-k-truss rewrite, and the three ADVICE edits
@@ -83,11 +84,11 @@ _REGISTRY_ORDER = [
     "quality_head_per_lang",
     "benchmark_contamination",
     "corpus_manifest",
-    "source_mixture_rates",
     # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-7-stamped remainder: first to rotate back in round 10
-    # (analysis_run_metrics / rfc4122_layout_ids displaced by the two
-    # round-9 additions)
+    # (source_mixture_rates / analysis_run_metrics / rfc4122_layout_ids
+    # displaced by the three round-9 additions)
+    "source_mixture_rates",
     "analysis_run_metrics",
     "rfc4122_layout_ids",
     "exact_dedup_groups",

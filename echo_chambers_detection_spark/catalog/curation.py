@@ -2499,3 +2499,85 @@ def q_url_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_kept_urls"
         ),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+WITH a AS (
+    SELECT doc_id, md5(text) AS h, length(text) AS len FROM documents
+),
+b AS (
+    SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
+                ELSE doc_id END AS doc_id,
+           md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h,
+           length(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS len
+    FROM documents WHERE doc_id % 13 != 0
+),
+j AS (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h != b.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(b.len, 0) AS len_b
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len_b) AS BIGINT) AS n_chars_b
+FROM j GROUP BY status
+""",
+    doc="Corpus SNAPSHOT DIFF (dataset versioning, the Hugging-Face-"
+    "datasets / DVC revision-compare op a production corpus needs "
+    "before retraining): snapshot B is synthesized deterministically "
+    "from the documents table (doc_id%13 dropped = removed, doc_id%7 "
+    "text-modified = changed, doc_id%11 re-keyed = added — fake data, "
+    "real plumbing, the multimodal-family pattern), and the diff is "
+    "ONE full-outer join on the id key comparing CONTENT HASHES, never "
+    "shipping full texts through the shuffle (md5 + length computed "
+    "scan-side). Per-status doc and byte counts. Scale shape: with "
+    "both snapshots bucketed by doc_id the join is co-located and "
+    "shuffle-free; unbucketed it is a single hash-partitioned "
+    "exchange; the aggregation is 4-key map-side combine.",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.length("text").alias("len"),
+    )
+    btxt = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            F.when(F.col("doc_id") % 11 == 0, F.col("doc_id") + 1000000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.md5(btxt).alias("h"),
+            F.length(btxt).alias("len"),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.len"), F.lit(0)).alias("len_b"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("len_b").cast("bigint").alias("n_chars_b"),
+        )
+    )

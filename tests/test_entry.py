@@ -37,6 +37,7 @@ def test_registry_window_covers_unverified_queries():
         # in round 6, and the first 24 of the round-7-stamped cohort;
         # every rows-only entry stays pinned below the window boundary
         "token_rarity_scores", "url_curation_stats",
+        "corpus_snapshot_diff",
         "transitivity_stats", "degree_assortativity_moments",
         "chunk_dedup_stats", "multimodal_video_stats", "ktruss_planted",
         "priority_dedup_keep", "token_pmi_collocations",
@@ -60,7 +61,7 @@ def test_registry_window_covers_unverified_queries():
         "kafka_producer_messages", "simhash64_md5_near_pairs",
         "train_val_test_split", "token_pack_chunks",
         "quality_head_per_lang", "benchmark_contamination",
-        "corpus_manifest", "source_mixture_rates",
+        "corpus_manifest",
     }
     missing = must_stamp_r9 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
