@@ -1727,6 +1727,8 @@ def fastrp(
     cur = _materialize(init)
 
     terms: list[DataFrame] = []
+    _gens: list[DataFrame] = [cur]  # every checkpointed generation stays
+    # live until the caller materializes (terms reference them all)
     for t, wt in enumerate(iteration_weights):
         if t > 0:
             propagated = (
@@ -1745,7 +1747,7 @@ def fastrp(
             # frame which is scanned every round of an inner loop; the
             # propagation join re-shuffles cur anyway, so frozen-narrow
             # checkpoints don't serialize the next round's work here).
-            cur = _materialize(
+            cur = _materialize(  # appended to _gens below
                 propagated.select(
                     "node",
                     "dim",
@@ -1754,6 +1756,8 @@ def fastrp(
                     .alias("val"),
                 )
             )
+        if t > 0:
+            _gens.append(cur)
         if wt != 0.0:
             terms.append(
                 cur.select("node", "dim", (F.col("val") * F.lit(wt)).alias("val"))
@@ -1770,21 +1774,31 @@ def fastrp(
         .na.fill({"val": 0.0})
     )
     if not assemble:
-        return dense.select("node", "dim", "val")
-    return (
-        dense.groupBy("node")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "val"))
-            ).alias("_pairs")
+        out = dense.select("node", "dim", "val")
+    else:
+        out = (
+            dense.groupBy("node")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "val"))
+                ).alias("_pairs")
+            )
+            .select(
+                "node",
+                F.transform(
+                    F.col("_pairs"), lambda s: s["val"].cast("float")
+                ).alias("embedding"),
+            )
         )
-        .select(
-            "node",
-            F.transform(
-                F.col("_pairs"), lambda s: s["val"].cast("float")
-            ).alias("embedding"),
-        )
-    )
+    # transfer ownership of every live internal checkpoint (sym feeds
+    # the final dense crossJoin via nodes; trans and all generations
+    # feed the term union) so callers can release the whole chain
+    ids: list[int] = []
+    for f in [sym, trans] + _gens:
+        ids += getattr(f, "_ckpt_rdd_ids", [])
+        f._ckpt_rdd_ids = []
+    out._ckpt_rdd_ids = ids
+    return out
 
 
 # ---------------------------------------------------------------------------

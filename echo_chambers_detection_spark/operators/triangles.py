@@ -69,8 +69,11 @@ def triangle_vertices(edges: DataFrame, deg: DataFrame | None = None) -> DataFra
     needs degrees: Catalyst does not reuse common subplans, so a lazy
     deg referenced from both orientation joins and the caller's output
     would re-run its groupBy per reference."""
+    own_deg = None
     if deg is None:
-        deg = node_degrees(edges).localCheckpoint(eager=True)
+        from echo_chambers_detection_spark.operators.graph import _materialize
+
+        deg = own_deg = _materialize(node_degrees(edges))
     oe = _oriented(edges, deg)
     l = oe.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
@@ -85,7 +88,12 @@ def triangle_vertices(edges: DataFrame, deg: DataFrame | None = None) -> DataFra
         | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
     )
     closure = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    return wedges.join(closure, ["b", "c"]).select("a", "b", "c")
+    out = wedges.join(closure, ["b", "c"]).select("a", "b", "c")
+    if own_deg is not None:
+        # transfer block ownership so callers can release the frame
+        out._ckpt_rdd_ids = getattr(own_deg, "_ckpt_rdd_ids", [])
+        own_deg._ckpt_rdd_ids = []
+    return out
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -94,7 +102,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     clustering coefficient is triangles/wedges, left as an exact
     integer pair so comparisons stay float-free. Nodes in no triangle
     appear with triangles = 0."""
-    deg = node_degrees(edges).localCheckpoint(eager=True)
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    deg = _materialize(node_degrees(edges))
     tri = triangle_vertices(edges, deg)
     # one explode, not a 3-way unionAll of tri: Catalyst does not reuse
     # common subplans across union branches, so the union form would
@@ -106,19 +116,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
-    return deg.join(per_node, "node", "left").select(
+    out = deg.join(per_node, "node", "left").select(
         "node",
         F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
         "deg",
         F.expr("deg * (deg - 1) DIV 2").alias("wedges"),
     )
+    out._ckpt_rdd_ids = getattr(deg, "_ckpt_rdd_ids", [])
+    deg._ckpt_rdd_ids = []
+    return out
 
 
 def transitivity_stats(edges: DataFrame) -> DataFrame:
     """One-row global summary: n_nodes, n_edges, n_triangles, n_wedges
     (global transitivity = 3*n_triangles/n_wedges, derivable from the
     exact integers)."""
-    deg = node_degrees(edges).localCheckpoint(eager=True)
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    deg = _materialize(node_degrees(edges))
     tri_n = triangle_vertices(edges, deg).agg(
         F.count("*").alias("n_triangles")
     )
@@ -127,9 +142,12 @@ def transitivity_stats(edges: DataFrame) -> DataFrame:
         F.expr("CAST(sum(deg) AS BIGINT) DIV 2").alias("n_edges"),
         F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
     )
-    return base.crossJoin(tri_n).select(
+    out = base.crossJoin(tri_n).select(
         "n_nodes", "n_edges", "n_triangles", "n_wedges"
     )
+    out._ckpt_rdd_ids = getattr(deg, "_ckpt_rdd_ids", [])
+    deg._ckpt_rdd_ids = []
+    return out
 
 
 def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
@@ -141,7 +159,9 @@ def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
     (m2*s_xy - s_x^2) / (m2*s_xx - s_x^2) — a driver-side division over
     exact bigints, so the distributed part (this one aggregation pass)
     never touches a float."""
-    deg = node_degrees(edges).localCheckpoint(eager=True)
+    from echo_chambers_detection_spark.operators.graph import _materialize
+
+    deg = _materialize(node_degrees(edges))
     both = edges.select("u1", "u2").unionAll(
         edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
     )
@@ -149,12 +169,15 @@ def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
         both.join(deg.withColumnRenamed("node", "u1").withColumnRenamed("deg", "dx"), "u1")
         .join(deg.withColumnRenamed("node", "u2").withColumnRenamed("deg", "dy"), "u2")
     )
-    return e.agg(
+    out = e.agg(
         F.count("*").alias("m2"),
         F.sum("dx").alias("s_x"),
         F.sum(F.expr("dx * dx")).alias("s_xx"),
         F.sum(F.expr("dx * dy")).alias("s_xy"),
     )
+    out._ckpt_rdd_ids = getattr(deg, "_ckpt_rdd_ids", [])
+    deg._ckpt_rdd_ids = []
+    return out
 
 
 def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
