@@ -142,13 +142,19 @@ def q_modularity_optimization_communities(
     "harnesses can hash it; fastrp(assemble=True) is the array API.",
 )
 def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        fastrp,
+    )
 
     exploded = fastrp(_post_graph(spark, sf_dir), dim=128, assemble=False)
-    return exploded.select(
-        "node",
-        F.col("dim").cast("long").alias("dim"),
-        F.round("val", 6).alias("val"),
+    return carry_ckpt(
+        exploded.select(
+            "node",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        ),
+        exploded,
     )
 
 
@@ -392,14 +398,20 @@ def q_fastrp_step_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("id") + 1).cast("string"), 6, "0").alias("u2"),
         F.lit(1.0).alias("weight"),
     )
-    return fastrp(
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    exploded = fastrp(
         edges,
         dim=16,
         iteration_weights=(0.0, 1.0),
         seed=2,
         assemble=False,
         hash_mod6=fastrp_md5_mod6,
-    ).select("node", "dim", F.round("val", 6).alias("val"))
+    )
+    return carry_ckpt(
+        exploded.select("node", "dim", F.round("val", 6).alias("val")),
+        exploded,
+    )
 
 
 @register(
