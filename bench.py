@@ -488,6 +488,76 @@ def _ktruss_scale_probe(spark, timings: dict) -> None:
         raise AssertionError(f"ktruss closed form violated: {stats}")
 
 
+def _snapshot_diff_scale_probe(spark, timings: dict) -> None:
+    """corpus_snapshot_diff at 2M docs per snapshot, CLOSED-FORM exact:
+    A = 2M synthetic docs (text = md5(id)); B drops id%13, modifies
+    id%7 texts, re-keys id%11 to id+10M (the catalog query's rules with
+    a collision-free offset). Expected per-status counts follow from
+    modular arithmetic over [0, 2M) — computed independently below and
+    asserted equal, so the full-outer hash-diff is integer-verified at
+    scale. The diff is one hash-partitioned exchange on the id key;
+    md5+length compute scan-side (texts never shuffle)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    N, OFF = 2_000_000, 10_000_000
+    base = spark.range(0, N, 1, 64)
+    text = F.md5(F.col("id").cast("string"))  # the synthetic doc body
+    a = base.select(
+        F.col("id").alias("doc_id"),
+        F.md5(text).alias("h"),
+    )
+    btxt = F.when(
+        F.col("id") % 7 == 0, F.concat(text, F.lit(" v2"))
+    ).otherwise(text)
+    b = base.where(F.col("id") % 13 != 0).select(
+        F.when(F.col("id") % 11 == 0, F.col("id") + OFF)
+        .otherwise(F.col("id"))
+        .alias("doc_id"),
+        F.md5(btxt).alias("h"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    t0 = time.perf_counter()
+    got = {
+        r["status"]: r["n"]
+        for r in j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    timings["bench_snapshot_diff_2m"] = round(time.perf_counter() - t0, 3)
+    # independent expected counts from modular arithmetic
+    removed = added = changed = unchanged = 0
+    for r in range(1001):  # lcm(7,11,13)=1001 residue classes
+        cnt = N // 1001 + (1 if r < N % 1001 else 0)
+        if r % 13 == 0:
+            removed += cnt
+        elif r % 11 == 0:
+            removed += cnt  # old id vanishes...
+            added += cnt    # ...new id appears
+        elif r % 7 == 0:
+            changed += cnt
+        else:
+            unchanged += cnt
+    want = {
+        "removed": removed, "added": added,
+        "changed": changed, "unchanged": unchanged,
+    }
+    if got != want:
+        raise AssertionError(
+            f"bench_snapshot_diff_2m: got {got} want {want}"
+        )
+
+
 def _interarrival_scale_probe(spark, timings: dict) -> None:
     """10M-event lag-window probe with a closed-form oracle — the
     window-function family's at-scale evidence row. 100k users x 100
@@ -744,6 +814,8 @@ def main() -> None:
     _skew_scale_probes(spark, timings)
     release_persisted()
     _interarrival_scale_probe(spark, timings)
+    release_persisted()
+    _snapshot_diff_scale_probe(spark, timings)
     release_persisted()
     _ktruss_scale_probe(spark, timings)
     release_persisted()
