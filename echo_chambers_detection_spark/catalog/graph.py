@@ -423,13 +423,13 @@ def q_fastrp_step_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
         density_cluster,
         fastrp,
     )
 
-    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
-        "embedding", "vector"
-    )
+    rp = fastrp(_post_graph(spark, sf_dir), dim=32)
+    emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
     return density_cluster(emb, min_sim=0.6, min_pts=2)
 
 
@@ -445,13 +445,13 @@ def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
         density_cluster,
         fastrp,
     )
 
-    emb = fastrp(_post_graph(spark, sf_dir), dim=32).withColumnRenamed(
-        "embedding", "vector"
-    )
+    rp = fastrp(_post_graph(spark, sf_dir), dim=32)
+    emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
     return density_cluster(
         emb, min_sim=0.6, min_pts=2, use_lsh=True,
         lsh_num_planes=16, lsh_band_bits=4, dim=32,

@@ -1913,8 +1913,12 @@ def density_cluster(
     )
 
     labeled = core_clusters.unionByName(border)
-    return (
+    out = (
         embeddings.select("node")
         .join(labeled, "node", "left")
         .select("node", F.coalesce("cluster", F.lit("-1")).alias("cluster"))
     )
+    # nbrs/comps (and any checkpoints riding on the input embeddings —
+    # e.g. the fastrp chain) stay live inside the returned plan; carry
+    # their block ownership so one caller-side release frees the chain
+    return carry_ckpt(out, nbrs, comps, embeddings)
