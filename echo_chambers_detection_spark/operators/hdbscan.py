@@ -2005,17 +2005,22 @@ def hdbscan_cluster(
                 c_edges, c_nodes, min_cluster_size
             )
         if lab_sn_df is not None:
+            from echo_chambers_detection_spark.operators.graph import (
+                carry_ckpt,
+            )
+
             _release_checkpoint(forest, knn, c_edges, c_nodes)
             lab_df = member_map.join(lab_sn_df, "snode").select(
                 F.col("member").alias(id_col), "_lab"
             )
-            return (
+            return carry_ckpt(
                 embeddings.select(id_col)
                 .join(lab_df, id_col, "left")
                 .select(
                     id_col,
                     F.coalesce("_lab", F.lit("-1")).alias("cluster"),
-                )
+                ),
+                member_map, lab_sn_df, embeddings,
             )
         f_rows = [
             (r["u1"], r["u2"], float(r["w"])) for r in c_edges.collect()
@@ -2036,6 +2041,10 @@ def hdbscan_cluster(
         # and the final join both stay distributed. No broadcast hint:
         # lab_sn is a LocalRelation sized by the cluster-tree, AQE
         # broadcasts it when small.
+        from echo_chambers_detection_spark.operators.graph import (
+            carry_ckpt,
+        )
+
         if labels:
             lab_sn = spark.createDataFrame(
                 list(labels.items()), "snode string, _lab string"
@@ -2043,16 +2052,18 @@ def hdbscan_cluster(
             lab_df = member_map.join(lab_sn, "snode").select(
                 F.col("member").alias(id_col), "_lab"
             )
-            return (
+            return carry_ckpt(
                 embeddings.select(id_col)
                 .join(lab_df, id_col, "left")
                 .select(
                     id_col,
                     F.coalesce("_lab", F.lit("-1")).alias("cluster"),
-                )
+                ),
+                member_map, embeddings,
             )
-        return embeddings.select(id_col).withColumn(
-            "cluster", F.lit("-1")
+        return carry_ckpt(
+            embeddings.select(id_col).withColumn("cluster", F.lit("-1")),
+            member_map, embeddings,
         )
     f_rows = [
         (r["u1"], r["u2"], float(r["w"])) for r in forest.collect()
@@ -2060,15 +2071,21 @@ def hdbscan_cluster(
     _release_checkpoint(forest, knn)
     in_forest = sorted({u for e in f_rows for u in (e[0], e[1])})
     labels = condense_and_select(in_forest, f_rows, min_cluster_size)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     if labels:
         lab_df = spark.createDataFrame(
             list(labels.items()), f"{id_col} string, _lab string"
         )
-        return (
+        return carry_ckpt(
             embeddings.select(id_col)
             .join(lab_df, id_col, "left")  # AQE picks broadcast when small
             .select(
                 id_col, F.coalesce("_lab", F.lit("-1")).alias("cluster")
-            )
+            ),
+            embeddings,
         )
-    return embeddings.select(id_col).withColumn("cluster", F.lit("-1"))
+    return carry_ckpt(
+        embeddings.select(id_col).withColumn("cluster", F.lit("-1")),
+        embeddings,
+    )
