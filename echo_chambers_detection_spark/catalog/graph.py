@@ -45,10 +45,15 @@ def _user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         coengagement_edges_bitmap,
     )
 
-    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
-        eager=True
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
     )
-    return coengagement_edges_bitmap(eng, num_slots=None)
+
+    eng = tracked_checkpoint(
+        engagements_from_events(_t(spark, sf_dir, "events"))
+    )
+    return carry_ckpt(coengagement_edges_bitmap(eng, num_slots=None), eng)
 
 
 def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,11 +64,19 @@ def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint the parsed engagement relation: the bitmap path reads it
     # twice (max-key probe + mask build), and JSON extraction over the
     # events scan is the expensive part of this query at any scale.
-    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
-        eager=True
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
     )
-    return coengagement_edges_bitmap(
-        eng, user_col="post_uri", post_col="user_did", num_slots=None
+
+    eng = tracked_checkpoint(
+        engagements_from_events(_t(spark, sf_dir, "events"))
+    )
+    return carry_ckpt(
+        coengagement_edges_bitmap(
+            eng, user_col="post_uri", post_col="user_did", num_slots=None
+        ),
+        eng,
     )
 
 
@@ -74,9 +87,10 @@ def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference gds.kcore.stream; SURVEY.md G4). Invariants in tests.",
 )
 def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import kcore
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt, kcore
 
-    return kcore(_user_graph(spark, sf_dir).select("u1", "u2"))
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(kcore(g.select("u1", "u2")), g)
 
 
 @register(
@@ -86,9 +100,10 @@ def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gds.louvain.stream; SURVEY.md G7). Deterministic min-node community ids.",
 )
 def q_louvain_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import louvain
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt, louvain
 
-    return louvain(_user_graph(spark, sf_dir), max_levels=2, max_rounds=4)
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(louvain(g, max_levels=2, max_rounds=4), g)
 
 
 @register(
@@ -98,9 +113,13 @@ def q_louvain_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gds.labelPropagation.stream (SURVEY.md G5)",
 )
 def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import label_propagation
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        label_propagation,
+    )
 
-    return label_propagation(_post_graph(spark, sf_dir).select("u1", "u2"))
+    g = _post_graph(spark, sf_dir)
+    return carry_ckpt(label_propagation(g.select("u1", "u2")), g)
 
 
 @register(
@@ -110,9 +129,10 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     "gds.leiden.stream; SURVEY.md G6, documented substitution)",
 )
 def q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import leiden
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt, leiden
 
-    return leiden(_post_graph(spark, sf_dir), max_levels=2, max_rounds=4)
+    g = _post_graph(spark, sf_dir)
+    return carry_ckpt(leiden(g, max_levels=2, max_rounds=4), g)
 
 
 @register(
@@ -128,7 +148,10 @@ def q_modularity_optimization_communities(
         modularity_optimization,
     )
 
-    return modularity_optimization(_post_graph(spark, sf_dir), max_rounds=4)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _post_graph(spark, sf_dir)
+    return carry_ckpt(modularity_optimization(g, max_rounds=4), g)
 
 
 @register(
@@ -147,7 +170,9 @@ def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         fastrp,
     )
 
-    exploded = fastrp(_post_graph(spark, sf_dir), dim=128, assemble=False)
+    g = _post_graph(spark, sf_dir)
+    exploded = fastrp(g, dim=128, assemble=False)
+    exploded = carry_ckpt(exploded, g)
     return carry_ckpt(
         exploded.select(
             "node",
@@ -428,7 +453,10 @@ def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fastrp,
     )
 
-    rp = fastrp(_post_graph(spark, sf_dir), dim=32)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt as _cc
+
+    g = _post_graph(spark, sf_dir)
+    rp = _cc(fastrp(g, dim=32), g)
     emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
     return density_cluster(emb, min_sim=0.6, min_pts=2)
 
@@ -450,7 +478,10 @@ def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         fastrp,
     )
 
-    rp = fastrp(_post_graph(spark, sf_dir), dim=32)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt as _cc
+
+    g = _post_graph(spark, sf_dir)
+    rp = _cc(fastrp(g, dim=32), g)
     emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
     return density_cluster(
         emb, min_sim=0.6, min_pts=2, use_lsh=True,
@@ -1009,8 +1040,11 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
-    return triangle_counts(
-        strong_tie_backbone(_user_graph(spark, sf_dir), k=10)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        triangle_counts(strong_tie_backbone(g, k=10)), g
     )
 
 
@@ -1041,8 +1075,11 @@ def q_transitivity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         transitivity_stats,
     )
 
-    return transitivity_stats(
-        strong_tie_backbone(_user_graph(spark, sf_dir), k=10)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        transitivity_stats(strong_tie_backbone(g, k=10)), g
     )
 
 
@@ -1075,8 +1112,11 @@ def q_degree_assortativity_moments(
         degree_assortativity_moments,
     )
 
-    return degree_assortativity_moments(
-        _user_graph(spark, sf_dir).select("u1", "u2")
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        degree_assortativity_moments(g.select("u1", "u2")), g
     )
 
 
@@ -1201,13 +1241,19 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_degrees,
     )
 
-    deg = node_degrees(_user_graph(spark, sf_dir).select("u1", "u2"))
-    return deg.groupBy(
-        F.length(F.bin(F.col("deg"))).cast("long").alias("bucket")
-    ).agg(
-        F.count("*").alias("n_nodes"),
-        F.min("deg").alias("min_deg"),
-        F.max("deg").alias("max_deg"),
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    deg = node_degrees(g.select("u1", "u2"))
+    return carry_ckpt(
+        deg.groupBy(
+            F.length(F.bin(F.col("deg"))).cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        ),
+        g,
     )
 
 
@@ -1269,6 +1315,9 @@ def q_ktruss_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         strong_tie_backbone,
     )
 
-    return ktruss_edges(
-        strong_tie_backbone(_user_graph(spark, sf_dir), k=10), k=4
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        ktruss_edges(strong_tie_backbone(g, k=10), k=4), g
     )

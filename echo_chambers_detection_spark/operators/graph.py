@@ -192,6 +192,24 @@ def _materialize_wide(df: DataFrame) -> DataFrame:
     return _materialize(df.repartition(n))
 
 
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with its block ids recorded on the result
+    (so `_release_checkpoint`/`carry_ckpt` can free it), but WITHOUT
+    `_materialize`'s stats-free leaf rebuild — for one-shot frames whose
+    Catalyst size estimate should keep steering downstream join
+    planning. Loops must keep using `_materialize` (the stats rebuild is
+    what stops checkpoint-stat compounding there)."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    out._ckpt_rdd_ids = [
+        int(i)
+        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if int(i) not in before
+    ]
+    return out
+
+
 def carry_ckpt(out: DataFrame, *inners: DataFrame) -> DataFrame:
     """Transfer checkpoint-block ownership from internal frames onto the
     frame a function RETURNS, so a caller's single
