@@ -822,21 +822,27 @@ def main() -> None:
     _condense_scale_probe(spark, timings)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "drift": drift,
-                "drift_probes": drift_raw,
-                "drift_post": drift_post,
-                "drift_post_probes": drift_post_raw,
-            }
-        )
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "drift": drift,
+        "drift_probes": drift_raw,
+        "drift_post": drift_post,
+        "drift_post_probes": drift_post_raw,
+    }
+    # the driver archives only the last ~2000 chars of stdout, which
+    # truncates the per-query rows (BENCH_r09 lost half the record) —
+    # persist the full payload as its own artifact too
+    timings_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_timings.json"
     )
+    with open(timings_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"full timings written to {timings_path}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -1241,13 +1241,23 @@ def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     shingles = doc_shingles(_docs_spread(spark, sf_dir))
-    pairs = jaccard_pairs(shingles, threshold=0.5).select(
-        F.col("d1").alias("u1"), F.col("d2").alias("u2")
+    raw_pairs = jaccard_pairs(shingles, threshold=0.5)
+    pairs = carry_ckpt(
+        raw_pairs.select(
+            F.col("d1").alias("u1"), F.col("d2").alias("u2")
+        ),
+        raw_pairs,
     )
     comps = connected_components(pairs)
-    return comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+    return carry_ckpt(
+        comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("keeper")
+        ),
+        comps,
+        pairs,
     )
 
 
@@ -1295,10 +1305,11 @@ def q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs_banded,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     sigs = simhash64(_docs_spread(spark, sf_dir))
-    return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
-        "d1", "d2"
-    )
+    pairs = simhash_candidate_pairs_banded(sigs, max_hamming=3)
+    return carry_ckpt(pairs.orderBy("d1", "d2"), pairs)
 
 
 @register(
@@ -1347,10 +1358,11 @@ def q_simhash64_md5_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs_banded,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     sigs = simhash64(_docs_spread(spark, sf_dir), vote_hash=md5_vote64)
-    return simhash_candidate_pairs_banded(sigs, max_hamming=3).orderBy(
-        "d1", "d2"
-    )
+    pairs = simhash_candidate_pairs_banded(sigs, max_hamming=3)
+    return carry_ckpt(pairs.orderBy("d1", "d2"), pairs)
 
 
 @register(
@@ -2090,15 +2102,22 @@ def q_minhash_jaccard_estimate_error(
     # keep AQE stats live for the downstream joins (a LAZY checkpoint
     # here measured 3x slower: the unknown-stats barrier forces
     # sort-merge plans).
-    sh = doc_shingles(_docs_spread(spark, sf_dir)).coalesce(
-        8
-    ).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, num_perm=16).coalesce(4).localCheckpoint(
-        eager=True
+    # tracked_checkpoint = the same plain eager localCheckpoint (stats
+    # stay live for AQE, unlike _materialize's stats-free rebuild — the
+    # 3x sort-merge regression noted above) but with block ids recorded
+    # so the result frame can carry ownership (leak census r10)
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
     )
-    cand = lsh_candidate_pairs(
-        lsh_band_keys(sig, rows_per_band=4)
-    ).coalesce(1).localCheckpoint(eager=True)
+
+    sh = tracked_checkpoint(
+        doc_shingles(_docs_spread(spark, sf_dir)).coalesce(8)
+    )
+    sig = tracked_checkpoint(minhash_signatures(sh, num_perm=16).coalesce(4))
+    cand = tracked_checkpoint(
+        lsh_candidate_pairs(lsh_band_keys(sig, rows_per_band=4)).coalesce(1)
+    )
     sa = sig.select(
         F.col("doc_id").alias("d1"), "perm",
         F.col("minhash").alias("mh1"),
@@ -2127,7 +2146,7 @@ def q_minhash_jaccard_estimate_error(
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     c = F.coalesce(F.col("c"), F.lit(0))
-    return (
+    return carry_ckpt(
         est.join(shared, ["d1", "d2"], "left")
         .join(s1, "d1")
         .join(s2, "d2")
@@ -2137,7 +2156,10 @@ def q_minhash_jaccard_estimate_error(
             F.round(
                 c * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - c), 6
             ).alias("exact_jaccard"),
-        )
+        ),
+        sh,
+        sig,
+        cand,
     )
 
 

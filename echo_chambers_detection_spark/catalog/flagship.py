@@ -72,13 +72,19 @@ def q_coengagement_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         coengagement_edges_bitmap,
     )
 
-    eng = engagements_from_events(_t(spark, sf_dir, "events")).localCheckpoint(
-        eager=True
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
     )
-    return (
+
+    eng = tracked_checkpoint(
+        engagements_from_events(_t(spark, sf_dir, "events"))
+    )
+    return carry_ckpt(
         coengagement_edges_bitmap(eng, num_slots=None)
         .orderBy(F.desc("weight"), "u1", "u2")
-        .limit(20)
+        .limit(20),
+        eng,
     )
 
 

@@ -458,7 +458,7 @@ def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _post_graph(spark, sf_dir)
     rp = _cc(fastrp(g, dim=32), g)
     emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
-    return density_cluster(emb, min_sim=0.6, min_pts=2)
+    return density_cluster(emb, min_sim=0.6, min_pts=2, carry_input_ckpt=True)
 
 
 @register(
@@ -486,6 +486,7 @@ def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_cluster(
         emb, min_sim=0.6, min_pts=2, use_lsh=True,
         lsh_num_planes=16, lsh_band_bits=4, dim=32,
+        carry_input_ckpt=True,
     )
 
 
@@ -573,7 +574,10 @@ def q_density_clusters_lsh_exhaustive(
     "(blobs end-to-end, hand-computed condense cases, MST parity).",
 )
 def q_hdbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        fastrp,
+    )
     from echo_chambers_detection_spark.operators.hdbscan import (
         hdbscan_cluster,
     )
@@ -581,10 +585,12 @@ def q_hdbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim=128 matches the reference's FastRP parameters exactly
     # (embeddingDimension=128 — BASELINE.md; gds.fastRP.mutate at
     # project/metrics/community_detection.py:42-44) before HDBSCAN
-    emb = fastrp(_post_graph(spark, sf_dir), dim=128).withColumnRenamed(
-        "embedding", "vector"
+    g = _post_graph(spark, sf_dir)
+    rp = carry_ckpt(fastrp(g, dim=128), g)
+    emb = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp)
+    return hdbscan_cluster(
+        emb, min_pts=3, min_cluster_size=3, k=10, carry_input_ckpt=True
     )
-    return hdbscan_cluster(emb, min_pts=3, min_cluster_size=3, k=10)
 
 
 @register(
@@ -662,12 +668,15 @@ SELECT src, dst, dist FROM ranked WHERE rn <= 5
 def q_knn_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.hdbscan import knn_graph_ann
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     # iters=1: with every cell probed the result is quantizer-
     # independent, so extra Lloyd rounds only buy bench time here
-    return knn_graph_ann(
+    g = knn_graph_ann(
         _emb(spark, sf_dir), k=5, n_cells=4, nprobe=4, iters=1,
         id_col="post_cid", vec_col="vector",
-    ).select(F.col("src"), F.col("dst"), F.col("dist"))
+    )
+    return carry_ckpt(g.select(F.col("src"), F.col("dst"), F.col("dist")), g)
 
 
 @register(
@@ -703,12 +712,14 @@ def q_connected_components_strong(spark: SparkSession, sf_dir: str) -> DataFrame
         connected_components,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     pg = _post_graph(spark, sf_dir)
     thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
     strong = pg.crossJoin(F.broadcast(thr)).where(
         F.col("weight") >= F.col("t")
     ).select("u1", "u2")
-    return connected_components(strong)
+    return carry_ckpt(connected_components(strong), pg)
 
 
 
@@ -866,12 +877,17 @@ def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_coengagement,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     eng = engagements_from_events(_t(spark, sf_dir, "events"))
     ranks = pagerank_coengagement(
         eng, damping=0.85, max_iter=3, tol=0.0
     )
-    return ranks.select(
-        F.col("node").alias("user_did"), F.round("rank", 9).alias("rank")
+    return carry_ckpt(
+        ranks.select(
+            F.col("node").alias("user_did"), F.round("rank", 9).alias("rank")
+        ),
+        ranks,
     )
 
 
@@ -1206,6 +1222,8 @@ def q_pagerank_factored_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_coengagement,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     ranks = pagerank_coengagement(
         _factored_star_engagements(spark),
         damping=1.0,
@@ -1213,9 +1231,14 @@ def q_pagerank_factored_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol=0.0,
         seeds=["hub"],
     )
-    return ranks.select(
-        "node",
-        (F.col("rank") * F.lit(16777216.0)).cast("long").alias("rank_scaled"),
+    return carry_ckpt(
+        ranks.select(
+            "node",
+            (F.col("rank") * F.lit(16777216.0))
+            .cast("long")
+            .alias("rank_scaled"),
+        ),
+        ranks,
     )
 
 

@@ -29,9 +29,14 @@ from echo_chambers_detection_spark.catalog.graph import (
 
 
 def _metric_world(spark: SparkSession, sf_dir: str):
+    from echo_chambers_detection_spark.operators.graph import (
+        _release_checkpoint,
+        tracked_checkpoint,
+    )
     from echo_chambers_detection_spark.operators.metrics import restrict_to_members
 
-    edges = _post_graph(spark, sf_dir).select("u1", "u2")
+    pg = _post_graph(spark, sf_dir)
+    edges = pg.select("u1", "u2")
     raw = _t(spark, sf_dir, "embeddings")
     labels = (
         raw.select(
@@ -55,8 +60,12 @@ def _metric_world(spark: SparkSession, sf_dir: str):
     # thousands even when the raw data is 100 TB), so compact them to one
     # partition: every downstream branch join becomes a single-task
     # broadcast instead of 32 near-empty tasks per stage (23s -> 13s).
-    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
-    members = members.coalesce(1).localCheckpoint(eager=True)
+    edges_m = tracked_checkpoint(edges_m.coalesce(1))
+    members = tracked_checkpoint(members.coalesce(1))
+    # the eager checkpoints above truncated lineage, so the projection's
+    # engagement checkpoint (owned by pg) is now dead — free it here
+    # instead of leaking it for the session (leak census r10)
+    _release_checkpoint(pg)
     return edges_m, members, emb
 
 
@@ -167,9 +176,11 @@ LEFT JOIN varc USING (label), tot t
 def q_community_metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.metrics import community_metrics
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     edges_m, members, emb = _metric_world(spark, sf_dir)
     t = community_metrics(edges_m, members, emb)
-    return t.select(
+    return carry_ckpt(t.select(
         "label",
         "size",
         F.round("cohesion", 6).alias("cohesion"),
@@ -180,7 +191,7 @@ def q_community_metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("homophily", 6).alias("homophily"),
         F.round("density_internal", 6).alias("density_internal"),
         "internal_edge_count",
-    )
+    ), t, edges_m, members)
 
 
 @register(
@@ -231,6 +242,8 @@ def q_global_echo_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         modularity,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     edges_m, members, emb = _metric_world(spark, sf_dir)
     g = global_metrics(edges_m, members, emb).select(
         F.round("homophily", 6).alias("homophily"),
@@ -241,7 +254,7 @@ def q_global_echo_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = modularity(edges_m, members).select(
         F.round("modularity", 6).alias("modularity")
     )
-    return g.crossJoin(m)
+    return carry_ckpt(g.crossJoin(m), edges_m, members)
 
 
 @register(
@@ -273,9 +286,15 @@ def q_conductance_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         conductance_with_sentinel,
     )
 
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
     edges_m, members, _ = _metric_world(spark, sf_dir)
-    return conductance_with_sentinel(edges_m, members).select(
-        "label", F.round("conductance", 6).alias("conductance")
+    return carry_ckpt(
+        conductance_with_sentinel(edges_m, members).select(
+            "label", F.round("conductance", 6).alias("conductance")
+        ),
+        edges_m,
+        members,
     )
 
 
@@ -294,17 +313,30 @@ def _mint_and_metrics(
     (metrics_interface.py:95-108), the save-step identity mint
     (deterministic community_id/run_id standing in for the reference's
     uuid4 appends), and the per-community metrics table keyed by the
-    minted ids."""
+    minted ids.
+
+    Checkpoint hygiene: edges/labels are consumed here and never used
+    again — once the eager coalesced checkpoints below truncate the
+    lineage, any checkpoint blocks the CALLER threaded onto edges/labels
+    (the projection's engagement frame, fastrp/hdbscan/CC internals) are
+    dead and released immediately; the result carries only its own two
+    compacted frames."""
+    from echo_chambers_detection_spark.operators.graph import (
+        _release_checkpoint,
+        carry_ckpt,
+        tracked_checkpoint,
+    )
     from echo_chambers_detection_spark.operators.metrics import (
         community_metrics,
         restrict_to_members,
     )
 
     edges_m, members = restrict_to_members(edges, labels, emb)
-    edges_m = edges_m.coalesce(1).localCheckpoint(eager=True)
-    members = members.coalesce(1).localCheckpoint(eager=True)
+    edges_m = tracked_checkpoint(edges_m.coalesce(1))
+    members = tracked_checkpoint(members.coalesce(1))
+    _release_checkpoint(edges, labels)
     t = community_metrics(edges_m, members, emb)
-    return t.select(
+    return carry_ckpt(t.select(
         F.md5(F.concat(F.lit("community:"), F.col("label"))).alias(
             "community_id"
         ),
@@ -319,7 +351,7 @@ def _mint_and_metrics(
         F.round("density_internal", 6).alias("density_internal"),
         "internal_edge_count",
         F.md5(F.lit(run_key)).alias("run_id"),
-    )
+    ), t, edges_m, members)
 
 
 
@@ -449,20 +481,23 @@ LEFT JOIN varc USING (label), tot t
 )
 def q_analysis_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
         connected_components,
     )
 
     # stage 1: graph projection (reference produce_graph_projection)
     pg = _post_graph(spark, sf_dir)
     thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
-    strong = (
+    strong = carry_ckpt(
         pg.crossJoin(F.broadcast(thr))
         .where(F.col("weight") >= F.col("t"))
-        .select("u1", "u2")
+        .select("u1", "u2"),
+        pg,
     )
     # stage 2: community algorithm (deterministic min-label components)
-    labels = connected_components(strong).select(
-        "node", F.col("component").alias("label")
+    comps = connected_components(strong)
+    labels = carry_ckpt(
+        comps.select("node", F.col("component").alias("label")), comps
     )
     # stages 3-4: member discipline + identity mint + metrics table
     return _mint_and_metrics(
@@ -484,17 +519,29 @@ def q_analysis_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and analysis_run_metrics for the chain shape itself).",
 )
 def q_analysis_run_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from echo_chambers_detection_spark.operators.graph import fastrp
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        fastrp,
+    )
     from echo_chambers_detection_spark.operators.hdbscan import (
         hdbscan_cluster,
     )
 
     pg = _post_graph(spark, sf_dir)
-    frp = fastrp(pg, dim=128).withColumnRenamed("embedding", "vector")
-    clusters = hdbscan_cluster(frp, min_pts=3, min_cluster_size=3, k=10)
+    rp = fastrp(pg, dim=128)
+    # thread checkpoint ownership down the chain (projection -> fastrp ->
+    # hdbscan -> noise filter) so _mint_and_metrics can release it all
+    # once its compacted frames are checkpointed (leak census r10)
+    frp = carry_ckpt(rp.withColumnRenamed("embedding", "vector"), rp, pg)
+    clusters = hdbscan_cluster(
+        frp, min_pts=3, min_cluster_size=3, k=10, carry_input_ckpt=True
+    )
     # reference noise filter: result_df[label != -1]
-    labels = clusters.where(F.col("cluster") != "-1").select(
-        F.col("node"), F.col("cluster").alias("label")
+    labels = carry_ckpt(
+        clusters.where(F.col("cluster") != "-1").select(
+            F.col("node"), F.col("cluster").alias("label")
+        ),
+        clusters,
     )
     return _mint_and_metrics(
         pg.select("u1", "u2"),

@@ -310,6 +310,12 @@ def lsh_near_dup_pairs(
     scores the whole set, so this is for verification scale only."""
     import pandas as pd
 
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
+    )
+
+    sigs = None
     if band_bits == 0:
         bands = embeddings.select(
             F.col(id_col),
@@ -321,10 +327,13 @@ def lsh_near_dup_pairs(
         mask = (1 << band_bits) - 1
         # materialize: the signature frame feeds every band expansion
         # below — without this the per-plane projection folds run once
-        # per reference
-        sigs = hyperplane_signatures(
-            embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
-        ).localCheckpoint(eager=True)
+        # per reference. Tracked so the result carries block ownership
+        # (leak census r10: this was the last untracked ann checkpoint).
+        sigs = tracked_checkpoint(
+            hyperplane_signatures(
+                embeddings, dim, num_planes, id_col=id_col, vec_col=vec_col
+            )
+        )
         bands = sigs.select(
             F.col(id_col),
             F.explode(
@@ -368,10 +377,11 @@ def lsh_near_dup_pairs(
         return pd.DataFrame({"v1": v1, "v2": v2, "score": sc})
 
     id_type = dict(embeddings.dtypes)[id_col]
-    return (
+    return carry_ckpt(
         withvec.groupBy("band", "bval")
         .applyInPandas(bucket_gemm, schema=f"v1 {id_type}, v2 {id_type}, score double")
-        .distinct()
+        .distinct(),
+        sigs,
     )
 
 
@@ -876,10 +886,17 @@ def pq_topk(
         embeddings, m=m, k=n_centroids, iters=iters,
         id_col=id_col, vec_col=vec_col, train_cap=train_cap,
     )
-    return _pq_adc_rerank(
-        embeddings, books, codes, query,
-        k_results=k_results, refine=refine,
-        id_col=id_col, vec_col=vec_col, query_col=query_col,
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    # codes rides the pq_train build checkpoint (norm leaf); carry it
+    # so a caller-side release frees the build blocks
+    return carry_ckpt(
+        _pq_adc_rerank(
+            embeddings, books, codes, query,
+            k_results=k_results, refine=refine,
+            id_col=id_col, vec_col=vec_col, query_col=query_col,
+        ),
+        codes,
     )
 
 
@@ -1078,10 +1095,17 @@ def ivf_topk(
         id_col,
         "leftsemi",
     )
-    return cosine_topk(
-        pruned,
-        query.select(F.col(query_col).alias("qvec")),
-        k=k_results,
-        vec_col=vec_col,
-        id_col=id_col,
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    # assignments rides the ivf_index build checkpoint (norm leaf);
+    # carry it so a caller-side release frees the build blocks
+    return carry_ckpt(
+        cosine_topk(
+            pruned,
+            query.select(F.col(query_col).alias("qvec")),
+            k=k_results,
+            vec_col=vec_col,
+            id_col=id_col,
+        ),
+        assignments,
     )

@@ -431,11 +431,16 @@ def simhash_candidate_pairs_banded(
         .select("d1", "d2", "s1", "s2")
         .distinct()
     )
-    return cands.select(
-        "d1",
-        "d2",
-        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    return carry_ckpt(
+        cands.select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+        ).where(F.col("hamming") <= max_hamming),
+        signatures,
+    )
 
 
 def simhash_candidate_pairs(
@@ -478,7 +483,11 @@ def simhash_candidate_pairs(
         "d2",
         F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
     )
-    return verified.where(F.col("hamming") <= max_hamming)
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    return carry_ckpt(
+        verified.where(F.col("hamming") <= max_hamming), signatures
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -508,9 +517,10 @@ def semantic_clusters(
     equals the exact GEMM self-join."""
     if mode == "kmeans":
         from echo_chambers_detection_spark.operators.ann import ivf_index
+        from echo_chambers_detection_spark.operators.graph import carry_ckpt
 
         assign, _ = ivf_index(embeddings, k=k, id_col=id_col)
-        return assign.select(id_col, "cluster")
+        return carry_ckpt(assign.select(id_col, "cluster"), assign)
     if mode == "md5":
         if not 1 <= k <= 16:
             raise ValueError(f"md5 mode uses one nibble: k in 1..16, got {k}")
@@ -592,6 +602,12 @@ def semantic_dedup_keep_list(
     )
 
     comps = connected_components(pairs)
-    return comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col), F.col("component").alias("keeper")
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    return carry_ckpt(
+        comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col), F.col("component").alias("keeper")
+        ),
+        comps,
+        cl,
     )

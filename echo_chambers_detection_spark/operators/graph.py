@@ -1856,6 +1856,7 @@ def density_cluster(
     lsh_num_planes: int = 16,
     lsh_band_bits: int = 4,
     dim: int | None = None,
+    carry_input_ckpt: bool = False,
 ) -> DataFrame:
     """DBSCAN-flavored clustering over (node, vector).
 
@@ -1873,6 +1874,11 @@ def density_cluster(
       /root/reference/hdbscan_clusters.csv).
 
     Returns (node, cluster) with cluster = min member node id or '-1'.
+
+    carry_input_ckpt=True additionally transfers checkpoint-block
+    ownership of the caller-supplied `embeddings` frame onto the result
+    (one release frees the whole fastrp->cluster chain). Leave False if
+    the caller will reuse `embeddings` after releasing a result.
     """
     from echo_chambers_detection_spark.operators.ann import (
         lsh_near_dup_pairs,
@@ -1900,6 +1906,9 @@ def density_cluster(
     nbrs = _materialize(
         pairs.select(F.col("v1").alias("na"), F.col("v2").alias("nb"))
     )
+    # nbrs is now a checkpointed leaf; the pair generator's internal
+    # checkpoint (LSH signature frame) is dead — free it here
+    _release_checkpoint(pairs)
     sym_nbrs = nbrs.unionAll(
         nbrs.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
     )
@@ -1936,7 +1945,13 @@ def density_cluster(
         .join(labeled, "node", "left")
         .select("node", F.coalesce("cluster", F.lit("-1")).alias("cluster"))
     )
-    # nbrs/comps (and any checkpoints riding on the input embeddings —
-    # e.g. the fastrp chain) stay live inside the returned plan; carry
-    # their block ownership so one caller-side release frees the chain
-    return carry_ckpt(out, nbrs, comps, embeddings)
+    # nbrs/comps stay live inside the returned plan; carry their block
+    # ownership so one caller-side release frees the chain. The INPUT's
+    # checkpoints transfer only on explicit opt-in (carry_input_ckpt):
+    # silently stealing a caller-supplied frame's blocks means a caller
+    # that releases one result and then reuses the same embeddings frame
+    # hits unrecoverable block-not-found failures (ADVICE r9).
+    out = carry_ckpt(out, nbrs, comps)
+    if carry_input_ckpt:
+        out = carry_ckpt(out, embeddings)
+    return out

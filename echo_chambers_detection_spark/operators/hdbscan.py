@@ -231,9 +231,16 @@ def knn_graph_ann(
     # centroids only — membership is recomputed as probe rank 0 below,
     # which agrees with ivf_index's final argmax assignment by
     # construction and saves the assignments join.
-    _, cent = ivf_index(
+    _assign, cent = ivf_index(
         embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    # the discarded assignments frame carries the build checkpoint
+    # (norm leaf); nothing here reads it again — free it now
+    from echo_chambers_detection_spark.operators.graph import (
+        _release_checkpoint as _rel,
+    )
+
+    _rel(_assign)
     bcast = spark.sparkContext.broadcast(cent)
 
     base = embeddings.select(
@@ -1909,6 +1916,7 @@ def hdbscan_cluster(
     id_col: str = "node",
     vec_col: str = "vector",
     condense_mode: str = "auto",
+    carry_input_ckpt: bool = False,
 ) -> DataFrame:
     """Full pipeline: k-NN graph -> core distances -> mutual
     reachability -> spanning forest -> condensed-tree stability
@@ -1934,11 +1942,39 @@ def hdbscan_cluster(
     constant ~TWO_LEVEL_DRIVER_ROWS budget — VERDICT r5 #3), or "auto"
     (two_level once the contracted forest exceeds TWO_LEVEL_MIN_EDGES,
     else driver; two_level quietly falls back to driver when no
-    feasible θ exists)."""
+    feasible θ exists).
+
+    carry_input_ckpt=True transfers checkpoint-block ownership of the
+    caller-supplied `embeddings` frame onto the result (opt-in, ADVICE
+    r9); leave False if the caller reuses the input after a release."""
     from echo_chambers_detection_spark.operators.graph import (
         _materialize,
         _release_checkpoint,
     )
+
+    if carry_input_ckpt:
+        # Explicit opt-in for input ownership transfer (ADVICE r9): run
+        # the pipeline normally, then move the CALLER frame's checkpoint
+        # blocks onto the result so one caller-side release frees the
+        # whole fastrp->hdbscan chain. Never implicit — a caller that
+        # reuses `embeddings` after releasing one result would hit
+        # unrecoverable block-not-found failures.
+        from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+        out = hdbscan_cluster(
+            embeddings,
+            min_pts=min_pts,
+            min_cluster_size=min_cluster_size,
+            k=k,
+            num_blocks=num_blocks,
+            knn_mode=knn_mode,
+            n_cells=n_cells,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            condense_mode=condense_mode,
+        )
+        return carry_ckpt(out, embeddings)
 
     if k is None:
         k = max(min_pts + 1, 10)

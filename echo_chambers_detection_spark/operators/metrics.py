@@ -177,7 +177,17 @@ def community_metrics(
       (metrics.py:173), unlike the standalone 10000 sentinel;
     - per-community homophily is defined as cohesion (metrics.py:183).
     """
-    we = _labeled_edges(edges_m, members, embeddings).cache()
+    # tracked eager checkpoint instead of a bare .cache(): we feeds the
+    # internal/external branches below, and a cache's pinned RDD has no
+    # recorded id, so callers could never release it (leak census r10).
+    # The frame is community-graph sized (edges_m is already compacted),
+    # so the eager materialization costs what the first cache fill did.
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
+    )
+
+    we = tracked_checkpoint(_labeled_edges(edges_m, members, embeddings))
 
     g_nodes = (
         edges_m.select(F.col("u1").alias("node"))
@@ -247,20 +257,24 @@ def community_metrics(
     )
     min_vol = F.least(F.col("vol_c"), F.col("total_deg") - F.col("vol_c"))
     possible = F.col("size") * (F.col("size") - 1) / 2
-    return out.select(
-        "label",
-        "size",
-        "cohesion",
-        (1 - F.col("_mean_ext_sim")).alias("separation"),
-        (F.col("cohesion") * (1 - F.col("_mean_ext_sim"))).alias("ecs"),
-        F.when(min_vol > 0, F.col("cut_edges") / min_vol).alias("conductance"),
-        "variance",
-        F.col("cohesion").alias("homophily"),
-        F.when(possible > 0, F.col("internal_edge_count") / possible).alias(
-            "density_internal"
-        ),
-        "internal_edge_count",
-    ).orderBy(F.desc_nulls_last("ecs"), "label")
+    return carry_ckpt(
+        out.select(
+            "label",
+            "size",
+            "cohesion",
+            (1 - F.col("_mean_ext_sim")).alias("separation"),
+            (F.col("cohesion") * (1 - F.col("_mean_ext_sim"))).alias("ecs"),
+            F.when(min_vol > 0, F.col("cut_edges") / min_vol).alias(
+                "conductance"
+            ),
+            "variance",
+            F.col("cohesion").alias("homophily"),
+            F.when(possible > 0, F.col("internal_edge_count") / possible)
+            .alias("density_internal"),
+            "internal_edge_count",
+        ).orderBy(F.desc_nulls_last("ecs"), "label"),
+        we,
+    )
 
 
 def conductance_with_sentinel(edges_m: DataFrame, members: DataFrame) -> DataFrame:

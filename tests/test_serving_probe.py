@@ -1,0 +1,97 @@
+"""Driver-side IVF probe (serving.IvfProbe): parity with the batch
+ANN path and sub-second repeat-query latency without a Spark job.
+
+Closes the reference's single-query low-latency seam (Qdrant HNSW,
+project/qdrant/consumer_post.py:42-49, post_distance_test.py:26-31):
+the batch side persists the index once; the probe answers point
+queries from resident numpy."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+EMB_PARQUET = SF + "/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from echo_chambers_detection_spark.catalog import _emb
+
+    return _emb(spark, SF).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def query(spark):
+    from echo_chambers_detection_spark.catalog import _query_vec
+
+    return _query_vec(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def index_dir(emb, tmp_path_factory):
+    from echo_chambers_detection_spark.operators.ann import ivf_index_build
+
+    idx = str(tmp_path_factory.mktemp("serve") / "ivf")
+    ivf_index_build(emb, idx, n_cells=16, iters=2)
+    return idx
+
+
+def _qvec():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(EMB_PARQUET, columns=["vec_id", "embedding"])
+    for rid, v in zip(t.column("vec_id").to_pylist(),
+                      t.column("embedding").to_pylist()):
+        if str(rid) == "0":
+            return v
+    raise AssertionError("vec_id=0 missing from test embeddings")
+
+
+def test_probe_one_parity_with_batch_ivf_topk(emb, query, index_dir):
+    """Exhaustive probe (nprobe = n_cells) must reproduce ann_ivf_topk's
+    exact top-10 — ids AND 6-digit-rounded scores."""
+    from echo_chambers_detection_spark.operators.ann import ivf_topk
+    from echo_chambers_detection_spark.serving import IvfProbe
+
+    batch = [
+        (r["post_cid"], r["score"])
+        for r in ivf_topk(
+            emb, query, k_results=10, n_cells=16, nprobe=16, iters=2
+        ).collect()
+    ]
+    probe = IvfProbe(index_dir, EMB_PARQUET)
+    served = probe.probe_one(_qvec(), k=10, nprobe=16)
+    assert served == batch
+
+
+def test_probe_one_pruned_subset_of_exhaustive(index_dir):
+    """Pruned probing returns results drawn from the exhaustive set and
+    keeps the (score desc, id) order contract."""
+    from echo_chambers_detection_spark.serving import IvfProbe
+
+    probe = IvfProbe(index_dir, EMB_PARQUET)
+    qv = _qvec()
+    full = probe.probe_one(qv, k=50, nprobe=probe.n_cells)
+    pruned = probe.probe_one(qv, k=10, nprobe=4)
+    full_ids = {i for i, _ in full}
+    assert all(i in full_ids for i, _ in pruned)
+    scores = [s for _, s in pruned if s is not None]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_probe_one_repeat_latency_subsecond(index_dir):
+    """After the one-time load, repeat queries are numpy-only: 50
+    queries must finish well under a second total (no Spark jobs)."""
+    from echo_chambers_detection_spark.serving import IvfProbe
+
+    probe = IvfProbe(index_dir, EMB_PARQUET)
+    qv = _qvec()
+    probe.probe_one(qv, k=10, nprobe=4)  # warm any lazy numpy paths
+    t0 = time.perf_counter()
+    for _ in range(50):
+        probe.probe_one(qv, k=10, nprobe=4)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"50 repeat probes took {dt:.3f}s"
