@@ -1621,6 +1621,51 @@ def leiden(
         comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
         if sym.isEmpty():
             break
+        remaining = max_levels - _level - 1
+        if remaining > 0 and _local_path_ok(
+            edges, max(sym.count(), sub2comm.count())
+        ):
+            # aggregation crossed the local threshold (louvain's
+            # mid-loop crossover, VERDICT r9 #3): finish the remaining
+            # levels AND the split-only connectivity pass driver-side
+            # on the coarse unit graph with the seeded numpy mirror,
+            # then compose through the distributed mapping. Exact: the
+            # kernels are the bit-for-bit local mirrors, and the
+            # connectivity pass over ENTRY units equals the node-level
+            # pass because every unit is connected by construction.
+            from echo_chambers_detection_spark.operators.localgraph import (
+                leiden_local_continue,
+            )
+
+            unit_min_rows = (
+                mapping.groupBy("agg")
+                .agg(F.min("node").alias("umin"))
+                .toPandas()
+            )
+            labels = leiden_local_continue(
+                sym.toPandas(),
+                selfw.toPandas(),
+                sub2comm.toPandas(),
+                unit_min_rows,
+                m,
+                remaining,
+                max_rounds,
+                gamma=gamma,
+            )
+            lab_df = edges.sparkSession.createDataFrame(
+                list(labels.items()), "agg string, community string"
+            )
+            out = _materialize(
+                mapping.join(F.broadcast(lab_df), "agg").select(
+                    "node", "community"
+                )
+            )
+            if sym is not sym0:
+                _release_checkpoint(sym)
+            _release_checkpoint(
+                sym0, mapping, sub2comm, comm0_init, selfw
+            )
+            return out
 
     if unit_edges is None:
         # normal exit: the latest coarsened graph IS the unit-level
@@ -1641,6 +1686,40 @@ def leiden(
     # minima — identical labels to the node-level pass, thousands of
     # times smaller at scale.
     unit_min = mapping.groupBy("agg").agg(F.min("node").alias("umin"))
+    if _local_path_ok(edges, max(unit_edges.count(), sub2comm.count())):
+        # unit graph fits the driver: run the split-only connectivity
+        # pass as one union-find instead of the distributed CC loop
+        # (~15 serialized jobs of pure overhead at unit scale —
+        # VERDICT r9 #3). leiden_local_continue with max_levels=0 IS
+        # this tail, labels = min original member via unit_min.
+        from echo_chambers_detection_spark.operators.localgraph import (
+            leiden_local_continue,
+        )
+
+        labels = leiden_local_continue(
+            unit_edges.toPandas(),
+            [],
+            sub2comm.toPandas(),
+            unit_min.toPandas(),
+            m,
+            0,
+            max_rounds,
+            gamma=gamma,
+        )
+        lab_df = edges.sparkSession.createDataFrame(
+            list(labels.items()), "agg string, community string"
+        )
+        out = _materialize(
+            mapping.join(F.broadcast(lab_df), "agg").select(
+                "node", "community"
+            )
+        )
+        if sym is not sym0:
+            _release_checkpoint(sym)
+        _release_checkpoint(
+            sym0, mapping, sub2comm, comm0_init, selfw, unit_edges
+        )
+        return out
     lab_u1 = sub2comm.select(
         F.col("sub").alias("u1"), F.col("community").alias("c1")
     )

@@ -549,6 +549,127 @@ def leiden_local(sym_rows, m, max_levels, max_rounds, gamma=1.0):
     return {s: comp_min[find(i)] for i, s in enumerate(ids)}
 
 
+def _row_pairs(rows):
+    """(a, b) string pairs from a pandas DataFrame's first two columns
+    or an iterable of 2-tuples."""
+    if hasattr(rows, "itertuples"):
+        return [(str(r[0]), r[1]) for r in rows.itertuples(index=False)]
+    return [(str(a), b) for a, b in rows]
+
+
+def leiden_local_continue(
+    sym_rows,
+    selfw_rows,
+    seed_rows,
+    unit_min_rows,
+    m,
+    max_levels,
+    max_rounds,
+    gamma=1.0,
+):
+    """Finish graph.leiden's remaining levels DRIVER-SIDE from mid-loop
+    state: the coarse UNIT graph (aggregated by the previous level's
+    refined partition), its self-weights, the seeded communities
+    (sub2comm — Traag's aggregate-by-P_ref, seed-with-P), and each
+    unit's min ORIGINAL member id. Mirrors the distributed continuation:
+    the same local_moves_np / refine_np / coarsen_np kernels leiden_local
+    uses, then the split-only connectivity pass over the ENTRY unit
+    graph — exact because every unit is connected by construction, so
+    contracting units preserves node-level components, and each
+    component's label is the min original member via unit_min.
+
+    max_levels=0 runs ONLY the connectivity pass — the local form of
+    graph.leiden's distributed tail.
+
+    Returns {entry_unit_id: final_community_label(min original member)}.
+    """
+    np = _np()
+    seed = {a: str(b) for a, b in _row_pairs(seed_rows)}
+    umin = {a: str(b) for a, b in _row_pairs(unit_min_rows)}
+    ids, e_src, e_dst, e_w = _edge_arrays(sym_rows)
+    extra = sorted(set(seed) - set(ids))
+    if extra:
+        # edgeless units (isolated aggregates) exist in seed/unit_min
+        # but not in the edge frame; re-index with the union
+        old = ids
+        ids = sorted(set(old) | set(extra))
+        if len(old):
+            remap = np.searchsorted(
+                np.array(ids, dtype=object), np.array(old, dtype=object)
+            )
+            e_src, e_dst = remap[e_src], remap[e_dst]
+    pos = {s: i for i, s in enumerate(ids)}
+    selfw = np.zeros(len(ids))
+    for s, w in _row_pairs(selfw_rows):
+        if s in pos:
+            selfw[pos[s]] = float(w)
+
+    e_src0, e_dst0 = e_src, e_dst
+    cur_ids = ids
+    mapping = {s: s for s in ids}  # entry unit -> current refined sub
+    sub2comm = dict(seed)  # current sub -> community label
+    comm0_ids = sorted(set(sub2comm.values()))
+    cpos = {c: i for i, c in enumerate(comm0_ids)}
+    comm0 = np.array(
+        [cpos[sub2comm[s]] for s in cur_ids], dtype=np.int64
+    )
+    for _level in range(max_levels):
+        n = len(cur_ids)
+        h = _hash_arr(cur_ids)
+        comm, moves = local_moves_np(
+            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds, h
+        )
+        refined = refine_np(
+            n, e_src, e_dst, e_w, selfw, comm, m, h, gamma=gamma
+        )
+        sub2comm = {
+            cur_ids[int(refined[i])]: comm0_ids[int(comm[i])]
+            for i in range(n)
+        }
+        remap2 = {cur_ids[i]: cur_ids[int(refined[i])] for i in range(n)}
+        mapping = {s: remap2[a] for s, a in mapping.items()}
+        if moves == 0:
+            break
+        cur_ids2, e_src, e_dst, e_w, selfw = coarsen_np(
+            e_src, e_dst, e_w, selfw, cur_ids, refined, n
+        )
+        e_src, e_dst, e_w = _symmetrize_np(e_src, e_dst, e_w)
+        cur_ids = cur_ids2
+        new_comm0_ids = sorted({sub2comm[s] for s in cur_ids})
+        cpos = {s: i for i, s in enumerate(new_comm0_ids)}
+        comm0 = np.array(
+            [cpos[sub2comm[s]] for s in cur_ids], dtype=np.int64
+        )
+        comm0_ids = new_comm0_ids
+        if len(e_src) == 0:
+            break
+
+    base = {s: sub2comm[mapping[s]] for s in ids}
+    # split-only connectivity over the ENTRY unit graph
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    half = e_src0 < e_dst0
+    for a, b in zip(e_src0[half], e_dst0[half]):
+        a, b = int(a), int(b)
+        if base[ids[a]] == base[ids[b]]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    comp_min: dict[int, str] = {}
+    for i, s in enumerate(ids):
+        r = find(i)
+        u = umin[s]
+        if r not in comp_min or u < comp_min[r]:
+            comp_min[r] = u
+    return {s: comp_min[find(i)] for i, s in enumerate(ids)}
+
+
 def pagerank_local(sym_rows, damping, max_iter, tol, seeds=None):
     """numpy mirror of graph.pagerank over a DIRECTED (src, dst, w)
     edge frame (the symmetrized frame for undirected inputs): same

@@ -116,6 +116,51 @@ def test_louvain_midrun_switch(spark, monkeypatch):
     assert mixed == dist
 
 
+def _leiden_mixed_vs_dist(spark, monkeypatch, edges, max_levels):
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
+    dist = {(r["node"], r["community"])
+            for r in G.leiden(edges, max_levels=max_levels,
+                              max_rounds=8).collect()}
+    monkeypatch.undo()
+
+    calls = {"n": 0}
+    real = G._local_path_ok
+
+    def level_boundary_only(e, n_rows):
+        calls["n"] += 1
+        return calls["n"] > 1 and real(e, n_rows)  # refuse the entry probe
+
+    monkeypatch.setattr(G, "_local_path_ok", level_boundary_only)
+    mixed = {(r["node"], r["community"])
+             for r in G.leiden(edges, max_levels=max_levels,
+                               max_rounds=8).collect()}
+    monkeypatch.undo()
+    assert calls["n"] >= 2  # a post-entry probe actually fired
+    return mixed, dist
+
+
+@pytest.mark.parametrize("name", ["cliques", "random"])
+def test_leiden_midrun_switch(spark, monkeypatch, name):
+    """Leiden's mid-loop crossover (VERDICT r9 #3): distributed level 0,
+    then the seeded leiden_local_continue finishes the remaining levels
+    AND the connectivity pass driver-side — must equal the partition of
+    staying distributed the whole way."""
+    edges = _fixtures(spark)[name]
+    mixed, dist = _leiden_mixed_vs_dist(spark, monkeypatch, edges, 3)
+    assert mixed == dist
+
+
+@pytest.mark.parametrize("name", ["cliques", "random"])
+def test_leiden_local_connectivity_tail(spark, monkeypatch, name):
+    """max_levels=1 skips every level boundary, so the only post-entry
+    probe is the TAIL's: the union-find connectivity pass
+    (leiden_local_continue with max_levels=0) must equal the
+    distributed CC tail."""
+    edges = _fixtures(spark)[name]
+    mixed, dist = _leiden_mixed_vs_dist(spark, monkeypatch, edges, 1)
+    assert mixed == dist
+
+
 def test_kcore_parity_and_star_orphan(spark, monkeypatch):
     """kcore local path == distributed peel, including the star-center
     orphan case: when all a node's neighbors peel at level k, the node
