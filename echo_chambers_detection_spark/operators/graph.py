@@ -65,6 +65,13 @@ BROADCAST_NODE_LIMIT = 1_000_000
 # Set to 0 to force the distributed path (tests do).
 LOCAL_GRAPH_EDGE_LIMIT = 4_000_000
 
+# Leiden refinement group-parallel gate: when NO community's intra edge
+# list exceeds this, refinement runs as one cogroup shuffle with a
+# per-community numpy kernel (see _refine). Sized like
+# LOCAL_GRAPH_EDGE_LIMIT but per EXECUTOR TASK, not per driver. 0
+# forces the distributed round loop (tests do).
+REFINE_GROUP_EDGE_LIMIT = 4_000_000
+
 
 def _local_path_ok(edges: DataFrame, sym_rows: int) -> bool:
     from pyspark.sql.types import StringType
@@ -1075,9 +1082,15 @@ def louvain(
             list(result.items()), "node string, community string"
         )
 
-    nodes = _nodes_of_sym(sym)
-    selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
-    mapping = _materialize(nodes.withColumn("community", F.col("node")))
+    # one distinct over the edge frame: selfw shares mapping's
+    # checkpoint leaf instead of re-executing the 2|E|-row distinct per
+    # lazy consumer (k_i build + coarsen); safe because the level
+    # boundary releases the old mapping only after the new sym/selfw
+    # generation is materialized — every selfw consumer has run by then
+    mapping = _materialize(
+        _nodes_of_sym(sym).withColumn("community", F.col("node"))
+    )
+    selfw = mapping.select("node", F.lit(0.0).alias("w_self"))
     small = _probe_small(mapping)
     hint = _state_hint(small)
     base_mapping = None  # set on the local-finish path; released at exit
@@ -1192,6 +1205,70 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     return out
 
 
+def _refine_group_kernel(m: float, gamma: float, max_rounds: int):
+    """Per-community refinement kernel for the cogroup path: runs the
+    parity-tested numpy mirror (localgraph.refine_np) on one community's
+    intra edges + member list. k comes precomputed from the nodes side
+    (members carry degree from inter-community edges the group cannot
+    see). Index order inside the group is the community's sorted member
+    list; all tie-breaks compare members of the SAME community, so
+    community-local index order equals the global order restricted —
+    bit-identical decisions to the whole-graph kernel."""
+
+    def fn(key, edges_pdf, nodes_pdf):
+        import numpy as np
+        import pandas as pd
+
+        from echo_chambers_detection_spark.operators.localgraph import (
+            _hash_arr,
+            refine_np,
+        )
+
+        if nodes_pdf.empty:
+            return pd.DataFrame({"node": [], "sub": [], "community": []})
+        ids = np.sort(nodes_pdf["node"].astype(str).to_numpy())
+        n = len(ids)
+        if edges_pdf.empty or n < 2:
+            sub = ids
+        else:
+            pos = {s: i for i, s in enumerate(ids)}
+            k_arr = np.zeros(n)
+            for s, kv in zip(
+                nodes_pdf["node"].astype(str), nodes_pdf["k"]
+            ):
+                k_arr[pos[s]] = float(kv)
+            e_src = np.fromiter(
+                (pos[s] for s in edges_pdf["src"].astype(str)),
+                dtype=np.int64,
+                count=len(edges_pdf),
+            )
+            e_dst = np.fromiter(
+                (pos[s] for s in edges_pdf["dst"].astype(str)),
+                dtype=np.int64,
+                count=len(edges_pdf),
+            )
+            e_w = edges_pdf["weight"].to_numpy(dtype="float64")
+            subi = refine_np(
+                n,
+                e_src,
+                e_dst,
+                e_w,
+                np.zeros(n),
+                np.zeros(n, dtype=np.int64),
+                m,
+                _hash_arr(ids),
+                gamma=gamma,
+                max_rounds=max_rounds,
+                k=k_arr,
+            )
+            sub = ids[subi]
+        return pd.DataFrame(
+            {"node": ids, "sub": sub, "community": str(key[0])}
+        )
+
+    return fn
+
+
 def _refine(
     sym: DataFrame,
     selfw: DataFrame,
@@ -1219,25 +1296,65 @@ def _refine(
     randomly ∝ exp(Δ/θ) for the asymptotic guarantees; we take the θ→0
     limit (max-gain, ties to the largest sub id) so results are
     deterministic and testable — the reference's GDS runs are
-    nondeterministic anyway. Returns (node, sub).
+    nondeterministic anyway. Returns (node, sub) — plus a `community`
+    column on the group-parallel path (below), which callers may use to
+    skip the sub→community re-join.
+
+    Physical strategy (round 10): refinement NEVER crosses a community,
+    so it is embarrassingly parallel across communities — when no
+    community's intra edge list exceeds REFINE_GROUP_EDGE_LIMIT, ONE
+    cogroup shuffle keyed by community runs the bit-identical numpy
+    kernel (localgraph.refine_np, the parity-tested mirror) per
+    community in parallel Arrow tasks, replacing the global round loop
+    (~6 jobs/round over the full edge frame). The round-loop path
+    remains for the giant-community regime, where one group would not
+    fit an executor task.
     """
     hint = _state_hint(small_state)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.sum("weight").alias("k_adj")
     )
+    csrc = comm.select(F.col("node").alias("src"), F.col("community").alias("c1"))
+    cdst = comm.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
+    intra0 = _materialize(
+        sym.join(hint(csrc), "src")
+        .join(hint(cdst), "dst")
+        .where(F.col("c1") == F.col("c2"))
+        .select("src", "dst", "weight", F.col("c1").alias("community"))
+    )
+    max_intra = (
+        intra0.groupBy("community")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+        or 0
+    )
+    if REFINE_GROUP_EDGE_LIMIT > 0 and max_intra <= REFINE_GROUP_EDGE_LIMIT:
+        k_i_lazy = (
+            selfw.join(deg, "node", "outer")
+            .na.fill({"w_self": 0.0, "k_adj": 0.0})
+            .select(
+                "node", (F.col("k_adj") + 2 * F.col("w_self")).alias("k")
+            )
+        )
+        nodesc = comm.join(k_i_lazy, "node")  # (node, community, k)
+        out = _materialize(
+            intra0.groupBy("community")
+            .cogroup(nodesc.groupBy("community"))
+            .applyInPandas(
+                _refine_group_kernel(m, gamma, max_rounds),
+                "node string, sub string, community string",
+            )
+        )
+        _release_checkpoint(intra0)
+        return out
     k_i = _materialize(
         selfw.join(deg, "node", "outer")
         .na.fill({"w_self": 0.0, "k_adj": 0.0})
         .select("node", (F.col("k_adj") + 2 * F.col("w_self")).alias("k"))
     )
-    csrc = comm.select(F.col("node").alias("src"), F.col("community").alias("c1"))
-    cdst = comm.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
-    intra = _materialize_wide(
-        sym.join(hint(csrc), "src")
-        .join(hint(cdst), "dst")
-        .where(F.col("c1") == F.col("c2"))
-        .select("src", "dst", "weight")
-    )
+    intra = _materialize_wide(intra0.select("src", "dst", "weight"))
+    _release_checkpoint(intra0)
     k_c = comm.join(hint(k_i), "node").groupBy("community").agg(
         F.sum("k").alias("k_c")
     )
@@ -1299,6 +1416,11 @@ def _refine(
     import time as _time
 
     _log = logging.getLogger(__name__)
+    # two-consecutive-zero-round termination: the hash-parity schedule
+    # alternates with rnd, so one zero-move round is not a fixpoint —
+    # see the refine_np mirror's comment (this rule is also what makes
+    # the per-community group kernel bit-identical to this loop)
+    zero_rounds = 0
     for rnd in range(max_rounds):
         _t0 = _time.perf_counter()
         # per-sub state: size n, degree mass k_S, community mass k_C
@@ -1438,11 +1560,16 @@ def _refine(
         prev_holder = applied
         sub = applied.select("node", "sub")
         if moves == 0:
+            zero_rounds += 1
             _release_checkpoint(substate)
             _log.info(
-                "refine round %d: moves=0, %.2fs", rnd, _t_moves - _t0
+                "refine round %d: moves=0 (zero_rounds=%d), %.2fs",
+                rnd, zero_rounds, _t_moves - _t0,
             )
-            break
+            if zero_rounds >= 2:
+                break
+            continue  # pairw unchanged — nothing merged this round
+        zero_rounds = 0
         if rnd < max_rounds - 1:
             # fold this round's merges into pairw: relabel both ends
             # through the moved map (small, hinted), drop now-internal
@@ -1547,11 +1674,15 @@ def leiden(
         )
 
     sym0 = sym
-    nodes = _nodes_of_sym(sym)
-    selfw = nodes.select("node", F.lit(0.0).alias("w_self"))
-    mapping = _materialize(nodes.withColumn("agg", F.col("node")))
-    comm0 = _materialize(nodes.withColumn("community", F.col("node")))
-    comm0_init = comm0  # comm0 is rebound per level; release the blocks at exit
+    # ONE distinct over the edge frame: selfw/comm0/mapping are all
+    # projections of (or derived from) this checkpointed node list —
+    # the old shape re-executed the 2|E|-row distinct once per lazy
+    # consumer (selfw alone fed three: both k_i builds and the coarsen)
+    nodes_m = _materialize(_nodes_of_sym(sym))
+    selfw = nodes_m.select("node", F.lit(0.0).alias("w_self"))
+    mapping = nodes_m.withColumn("agg", F.col("node"))
+    comm0 = nodes_m.withColumn("community", F.col("node"))
+    comm0_init = nodes_m  # leaf shared by all of the above; release at exit
     small = _probe_small(mapping)
     hint = _state_hint(small)
     sub2comm = comm0.select(F.col("node").alias("sub"), "community")
@@ -1581,11 +1712,18 @@ def leiden(
                 _release_checkpoint(prev_sub2comm)
             break
         refined = _refine(sym, selfw, comm, m, small_state=small, gamma=gamma)
-        sub2comm = _materialize(
-            refined.join(comm, "node")
-            .select(F.col("sub"), "community")
-            .distinct()
-        )
+        if "community" in refined.columns:
+            # group-parallel refine already carries each sub's community
+            # (the cogroup key) — skip the node-level re-join
+            sub2comm = _materialize(
+                refined.select("sub", "community").distinct()
+            )
+        else:
+            sub2comm = _materialize(
+                refined.join(comm, "node")
+                .select(F.col("sub"), "community")
+                .distinct()
+            )
         mapping = _materialize(
             mapping.join(
                 hint(refined.select(F.col("node").alias("agg"), "sub")), "agg"
@@ -1613,59 +1751,69 @@ def leiden(
             small_state=small,
         )
         prev_sym, prev_selfw = sym, selfw
-        sym = _materialize_wide(_symmetrize(new_edges))
+        remaining = max_levels - _level - 1
+        coarse = None
+        if remaining > 0 and _local_path_ok(edges, sub2comm.count()):
+            # aggregation may have crossed the local threshold
+            # (louvain's mid-loop crossover, VERDICT r9 #3): checkpoint
+            # the coarse DIRECTED edge list compactly first — the wide
+            # repartition below only pays off for further distributed
+            # rounds, not for a driver-side finish
+            coarse = _materialize(new_edges)
+            if _local_path_ok(
+                edges, max(2 * coarse.count(), sub2comm.count())
+            ):
+                # finish the remaining levels AND the split-only
+                # connectivity pass driver-side on the coarse unit
+                # graph with the seeded numpy mirror, composed through
+                # the distributed mapping. Exact: the kernels are the
+                # bit-for-bit local mirrors, and the connectivity pass
+                # over ENTRY units equals the node-level pass because
+                # every unit is connected by construction.
+                from echo_chambers_detection_spark.operators.localgraph import (  # noqa: E501
+                    leiden_local_continue,
+                )
+
+                unit_min_rows = (
+                    mapping.groupBy("agg")
+                    .agg(F.min("node").alias("umin"))
+                    .toPandas()
+                )
+                labels = leiden_local_continue(
+                    _symmetrize(coarse).toPandas(),
+                    new_selfw.toPandas(),
+                    sub2comm.toPandas(),
+                    unit_min_rows,
+                    m,
+                    remaining,
+                    max_rounds,
+                    gamma=gamma,
+                )
+                lab_df = edges.sparkSession.createDataFrame(
+                    list(labels.items()), "agg string, community string"
+                )
+                out = _materialize(
+                    mapping.join(F.broadcast(lab_df), "agg").select(
+                        "node", "community"
+                    )
+                )
+                _release_checkpoint(refined, coarse, prev_selfw)
+                if prev_sym is not sym0:
+                    _release_checkpoint(prev_sym)
+                _release_checkpoint(sym0, mapping, sub2comm, comm0_init)
+                return out
+        sym = _materialize_wide(
+            _symmetrize(coarse if coarse is not None else new_edges)
+        )
         selfw = _materialize(new_selfw)
         _release_checkpoint(refined, prev_selfw)
+        if coarse is not None:
+            _release_checkpoint(coarse)
         if prev_sym is not sym0:
             _release_checkpoint(prev_sym)
         comm0 = sub2comm.select(F.col("sub").alias("node"), "community")
         if sym.isEmpty():
             break
-        remaining = max_levels - _level - 1
-        if remaining > 0 and _local_path_ok(
-            edges, max(sym.count(), sub2comm.count())
-        ):
-            # aggregation crossed the local threshold (louvain's
-            # mid-loop crossover, VERDICT r9 #3): finish the remaining
-            # levels AND the split-only connectivity pass driver-side
-            # on the coarse unit graph with the seeded numpy mirror,
-            # then compose through the distributed mapping. Exact: the
-            # kernels are the bit-for-bit local mirrors, and the
-            # connectivity pass over ENTRY units equals the node-level
-            # pass because every unit is connected by construction.
-            from echo_chambers_detection_spark.operators.localgraph import (
-                leiden_local_continue,
-            )
-
-            unit_min_rows = (
-                mapping.groupBy("agg")
-                .agg(F.min("node").alias("umin"))
-                .toPandas()
-            )
-            labels = leiden_local_continue(
-                sym.toPandas(),
-                selfw.toPandas(),
-                sub2comm.toPandas(),
-                unit_min_rows,
-                m,
-                remaining,
-                max_rounds,
-                gamma=gamma,
-            )
-            lab_df = edges.sparkSession.createDataFrame(
-                list(labels.items()), "agg string, community string"
-            )
-            out = _materialize(
-                mapping.join(F.broadcast(lab_df), "agg").select(
-                    "node", "community"
-                )
-            )
-            if sym is not sym0:
-                _release_checkpoint(sym)
-            _release_checkpoint(
-                sym0, mapping, sub2comm, comm0_init, selfw
-            )
-            return out
 
     if unit_edges is None:
         # normal exit: the latest coarsened graph IS the unit-level

@@ -417,14 +417,20 @@ def connected_components_local(sym_rows):
 
 
 def refine_np(n, e_src, e_dst, e_w, selfw, comm, m, h,
-              gamma=1.0, max_rounds=4):
+              gamma=1.0, max_rounds=4, k=None):
     """Mirror of graph._refine: grow γ-well-connected sub-communities
     from singletons, moves restricted to intra-community edges. `comm`
     holds indices into a community-id space whose ORDER is consistent
     (only equality is used here). Returns sub (indices into node space:
-    sub ids are member node ids)."""
+    sub ids are member node ids).
+
+    `k` (optional): precomputed per-node degree mass. The per-community
+    group kernel passes it because a community's members carry degree
+    from INTER-community edges the group does not see; computing k from
+    the group's intra edges alone would understate the γ-gates."""
     np = _np()
-    k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
+    if k is None:
+        k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
     n_comm = int(comm.max()) + 1 if n else 0
     k_c = np.bincount(comm, weights=k, minlength=n_comm)
     intra_mask = comm[e_src] == comm[e_dst]
@@ -434,6 +440,16 @@ def refine_np(n, e_src, e_dst, e_w, selfw, comm, m, h,
     sub = np.arange(n, dtype=np.int64)
     if not is_mover.any():
         return sub
+    # Termination: a round whose candidate set is empty is a true
+    # fixpoint (candidates depend only on `sub`). A round with
+    # candidates but zero APPLIED moves is not — the hash-parity
+    # schedule alternates with rnd, so the next round may move; only
+    # TWO consecutive zero-move rounds prove a fixpoint for both
+    # parities. This also makes refinement exactly community-local:
+    # one community's round-r stall can't be masked (or unmasked) by
+    # another community's moves, so the per-community group kernel in
+    # graph._refine is bit-identical to this whole-graph loop.
+    zero_rounds = 0
     for rnd in range(max_rounds):
         sizes = np.bincount(sub, minlength=n)
         k_s = np.bincount(sub, weights=k, minlength=n)
@@ -470,7 +486,11 @@ def refine_np(n, e_src, e_dst, e_w, selfw, comm, m, h,
         sub = sub.copy()
         sub[nodes_[do]] = new_sub[do]
         if moves == 0:
-            break
+            zero_rounds += 1
+            if zero_rounds >= 2:
+                break
+        else:
+            zero_rounds = 0
     return sub
 
 

@@ -335,10 +335,16 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         cur, n_cur = keep.select("u1", "u2"), n_keep
     _release_checkpoint(tri)
     if not converged:
-        log.warning(
-            "ktruss k=%d exhausted max_rounds=%d WITHOUT reaching fixpoint "
-            "(%d -> %d edges): the returned subgraph is NOT a k-truss and "
-            "its support column reflects the pre-drop subgraph",
-            k, max_rounds, n_start, n_cur,
+        # connected_components raises in the analogous case for the
+        # same reason (ADVICE r9): a silently-partial result corrupts
+        # downstream contracts, and callers have no programmatic way to
+        # detect it from the returned frame
+        if out is not None:
+            _release_checkpoint(out)
+        raise RuntimeError(
+            f"ktruss k={k} exhausted max_rounds={max_rounds} WITHOUT "
+            f"reaching a fixpoint ({n_start} -> {n_cur} edges): the "
+            f"subgraph at this point is not a k-truss. Raise max_rounds "
+            f"(each round is one support recount + one anti-join)."
         )
     return out

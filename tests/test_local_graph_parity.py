@@ -161,6 +161,33 @@ def test_leiden_local_connectivity_tail(spark, monkeypatch, name):
     assert mixed == dist
 
 
+@pytest.mark.parametrize("name", ["cliques", "random"])
+def test_refine_group_vs_round_loop_parity(spark, monkeypatch, name):
+    """The per-community cogroup refinement (graph._refine's group
+    path) must be bit-identical to the distributed round loop — the
+    two-consecutive-zero-round termination rule is what guarantees a
+    community's stall can't be masked by another community's moves."""
+    from pyspark.sql import functions as F
+
+    edges = _fixtures(spark)[name]
+    sym = G._materialize_wide(G._symmetrize(edges))
+    m = float(sym.agg((F.sum("weight") / 2).alias("m")).first()["m"])
+    nodes_m = G._materialize(G._nodes_of_sym(sym))
+    selfw = nodes_m.select("node", F.lit(0.0).alias("w_self"))
+    comm0 = nodes_m.withColumn("community", F.col("node"))
+    comm, _ = G._local_moves(sym, selfw, comm0, m, 8, small_state=True)
+
+    grp = {(r["node"], r["sub"])
+           for r in G._refine(sym, selfw, comm, m, small_state=True)
+           .collect()}
+    monkeypatch.setattr(G, "REFINE_GROUP_EDGE_LIMIT", 0)
+    loop = {(r["node"], r["sub"])
+            for r in G._refine(sym, selfw, comm, m, small_state=True)
+            .collect()}
+    monkeypatch.undo()
+    assert grp == loop
+
+
 def test_kcore_parity_and_star_orphan(spark, monkeypatch):
     """kcore local path == distributed peel, including the star-center
     orphan case: when all a node's neighbors peel at level k, the node

@@ -157,6 +157,21 @@ def test_ktruss_cascades_require_iteration(spark):
     assert out.count() == 0
 
 
+def test_ktruss_raises_on_max_rounds_exhaustion(spark):
+    """A partial (non-fixpoint) result must raise like
+    connected_components does, not return a non-truss with a stale
+    support column (ADVICE r9). The strip fixture needs two pruning
+    rounds; max_rounds=1 must therefore fail loudly."""
+    import pytest as _pytest
+
+    from echo_chambers_detection_spark.operators.triangles import ktruss_edges
+
+    rungs = [(f"s{i}", f"s{i+1}") for i in range(9)]
+    chords = [(f"s{i}", f"s{i+2}") for i in range(8)]
+    with _pytest.raises(RuntimeError, match="k-truss"):
+        ktruss_edges(_kt_edges(spark, rungs + chords), k=4, max_rounds=1)
+
+
 def test_ktruss_k3_is_triangle_support_filter(spark):
     from echo_chambers_detection_spark.operators.triangles import ktruss_edges
 
