@@ -26,111 +26,51 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 # every oracled query locally every round regardless of the window).
 
 _REGISTRY_ORDER = [
-    # -- ROUND-9 WINDOW (first 50 = the driver's stamp set) ------------
-    # new this round (never stamped)
-    "token_rarity_scores",
-    "url_curation_stats",
-    "corpus_snapshot_diff",
-    # code/oracle touched this round: the three HUGEINT-cast fixes the
-    # r8 verdict requires restamped green, plus the DECIMAL fps cast,
-    # the incremental-k-truss rewrite, and the three ADVICE edits
-    "transitivity_stats",
-    "degree_assortativity_moments",
-    "chunk_dedup_stats",
-    "multimodal_video_stats",
+    # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
+    # code/oracle touched this round and therefore requiring a fresh
+    # stamp: the leiden/louvain refinement-termination + crossover work,
+    # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
+    # (metric world, pagerank wrappers, simhash/minhash/keep-list/ANN
+    # carries), and the density/hdbscan carry_input_ckpt opt-in
+    "leiden_planted_recovery",
+    "louvain_planted_recovery",
     "ktruss_planted",
-    "priority_dedup_keep",
-    "token_pmi_collocations",
-    "event_type_theta_overlap",
-    # oldest stamps in the rotation: last stamped in round 6
-    "embedding_similarity_join",
-    "user_mean_embeddings",
+    "hdbscan_planted_recovery",
     "conductance_sentinel",
     "connected_components_strong",
-    "scd2_current_membership",
-    "scd2_membership_as_of",
-    "community_catalog_save",
-    "session_windows_by_type",
-    "coengagement_edges",
-    "community_membership_save",
-    "embedded_documents",
-    "scd2_membership_history",
-    "connected_components_planted",
-    "louvain_planted_recovery",
-    "modularity_opt_planted_recovery",
-    "leiden_planted_recovery",
-    "lpa_planted_recovery",
-    "kcore_planted_cores",
-    # stamped in round 7 (age 2), first 24 of the cohort; the rest
-    # rotate in round 10
-    "pagerank_planted",
-    "pagerank_personalized_planted",
-    "pagerank_user_graph",
-    "semantic_dedup_md5_keep",
-    "language_temperature_resample",
-    "bernoulli_lang_sample",
-    "hdbscan_planted_recovery",
-    "fastrp_step_recovery",
-    "graph_ann_planted_topk",
-    "multimodal_audio_stats",
-    "ann_ivf_probe_topk",
-    "ann_pq_probe_topk",
-    "knn_graph_ann_topk",
-    "ann_lsh_topk",
-    "kafka_producer_messages",
-    "simhash64_md5_near_pairs",
-    "train_val_test_split",
-    "token_pack_chunks",
-    "quality_head_per_lang",
-    "benchmark_contamination",
-    "corpus_manifest",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    # round-7-stamped remainder: first to rotate back in round 10
-    # (source_mixture_rates / analysis_run_metrics / rfc4122_layout_ids
-    # displaced by the three round-9 additions)
-    "source_mixture_rates",
-    "analysis_run_metrics",
-    "rfc4122_layout_ids",
-    "exact_dedup_groups",
-    "event_value_percentiles",
-    "event_type_user_cube",
-    "order_stats_rollup",
-    "engaged_user_set_ops",
-    "user_profiles_cleaned",
-    "membership_asof_join",
-    "simhash_signatures",
-    "user_first_seen",
-    "user_running_totals",
-    "text_quality_scores",
-    "simhash_near_pairs",
-    "pricing_summary",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "near_dup_keep_list",
     "community_metrics_table",
     "global_echo_metrics",
-    "ann_topk",
-    "multimodal_blob_stats",
-    # stamped green in round 8 (freshest stamps; rotate last)
+    "analysis_run_metrics",
+    "pagerank_user_graph",
+    "pagerank_factored_planted",
+    "coengagement_top_pairs",
+    "knn_graph_ann_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_lsh_near_dup",
+    "simhash_near_pairs",
+    "simhash64_md5_near_pairs",
+    "near_dup_keep_list",
+    "minhash_jaccard_estimate_error",
+    "semantic_dedup_md5_keep",
+    "density_clusters_lsh_exhaustive",
+    # oldest stamps in the rotation: the round-7 remainder displaced by
+    # the round-9 additions, then the round-8-stamped cohort
+    "source_mixture_rates",
+    "rfc4122_layout_ids",
     "triangle_counts",
     "triangle_counts_planted",
     "top_tokens_per_lang",
     "order_value_quartiles",
     "event_type_theta_users",
-    "pagerank_factored_planted",
     "tfidf_top_terms",
     "degree_histogram",
     "event_interarrival_stats",
     "incremental_dedup_new_batch",
-    "minhash_jaccard_estimate_error",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
     "daily_hll_user_rollup",
-    "density_clusters_lsh_exhaustive",
     "events_in_membership_intervals",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "embedding_lsh_near_dup",
     "revenue_by_nation",
     "doc_fingerprints",
     "language_id_pred",
@@ -144,6 +84,25 @@ _REGISTRY_ORDER = [
     "ann_int8_topk",
     "c4_quality_flags",
     "winnowing_fingerprints",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # round-7-stamped remainder (next to rotate in round 11)
+    "exact_dedup_groups",
+    "event_value_percentiles",
+    "event_type_user_cube",
+    "order_stats_rollup",
+    "engaged_user_set_ops",
+    "user_profiles_cleaned",
+    "membership_asof_join",
+    "simhash_signatures",
+    "user_first_seen",
+    "user_running_totals",
+    "text_quality_scores",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "multimodal_blob_stats",
+    # round-8-stamped remainder
     "membership_with_labels",
     "top_orders",
     "customers_without_orders",
@@ -154,7 +113,47 @@ _REGISTRY_ORDER = [
     "text_token_stats",
     "knn_graph_topk",
     "doc_repetition_scores",
-    "coengagement_top_pairs",
+    # stamped green in round 9 (freshest stamps; rotate last)
+    "token_rarity_scores",
+    "url_curation_stats",
+    "corpus_snapshot_diff",
+    "transitivity_stats",
+    "degree_assortativity_moments",
+    "chunk_dedup_stats",
+    "multimodal_video_stats",
+    "priority_dedup_keep",
+    "token_pmi_collocations",
+    "event_type_theta_overlap",
+    "embedding_similarity_join",
+    "user_mean_embeddings",
+    "scd2_current_membership",
+    "scd2_membership_as_of",
+    "community_catalog_save",
+    "session_windows_by_type",
+    "coengagement_edges",
+    "community_membership_save",
+    "embedded_documents",
+    "scd2_membership_history",
+    "connected_components_planted",
+    "modularity_opt_planted_recovery",
+    "lpa_planted_recovery",
+    "kcore_planted_cores",
+    "pagerank_planted",
+    "pagerank_personalized_planted",
+    "language_temperature_resample",
+    "bernoulli_lang_sample",
+    "fastrp_step_recovery",
+    "graph_ann_planted_topk",
+    "multimodal_audio_stats",
+    "ann_ivf_probe_topk",
+    "ann_pq_probe_topk",
+    "ann_lsh_topk",
+    "kafka_producer_messages",
+    "train_val_test_split",
+    "token_pack_chunks",
+    "quality_head_per_lang",
+    "benchmark_contamination",
+    "corpus_manifest",
     # permanently below the window boundary: every rows-only entry
     # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
     # the hash signal, where one exists, in parentheses:

@@ -30,40 +30,39 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r9 = {
-        # round-9 window intent (see catalog/_ordering.py): the three
-        # HUGEINT-cast fixes the r8 verdict requires restamped, the
-        # other code-touched queries, every oracled entry last stamped
-        # in round 6, and the first 24 of the round-7-stamped cohort;
-        # every rows-only entry stays pinned below the window boundary
-        "token_rarity_scores", "url_curation_stats",
-        "corpus_snapshot_diff",
-        "transitivity_stats", "degree_assortativity_moments",
-        "chunk_dedup_stats", "multimodal_video_stats", "ktruss_planted",
-        "priority_dedup_keep", "token_pmi_collocations",
-        "event_type_theta_overlap",
-        "embedding_similarity_join", "user_mean_embeddings",
+    must_stamp_r10 = {
+        # round-10 window intent (see catalog/_ordering.py): every
+        # query whose code/oracle the round touched (leiden/louvain
+        # termination + crossover, ktruss raise, checkpoint-ownership
+        # rollout), then the oldest stamps (round-7 remainder + the
+        # round-8 cohort); every rows-only entry stays pinned below
+        # the window boundary
+        "leiden_planted_recovery", "louvain_planted_recovery",
+        "ktruss_planted", "hdbscan_planted_recovery",
         "conductance_sentinel", "connected_components_strong",
-        "scd2_current_membership", "scd2_membership_as_of",
-        "community_catalog_save", "session_windows_by_type",
-        "coengagement_edges", "community_membership_save",
-        "embedded_documents", "scd2_membership_history",
-        "connected_components_planted", "louvain_planted_recovery",
-        "modularity_opt_planted_recovery", "leiden_planted_recovery",
-        "lpa_planted_recovery", "kcore_planted_cores",
-        "pagerank_planted", "pagerank_personalized_planted",
-        "pagerank_user_graph", "semantic_dedup_md5_keep",
-        "language_temperature_resample", "bernoulli_lang_sample",
-        "hdbscan_planted_recovery", "fastrp_step_recovery",
-        "graph_ann_planted_topk", "multimodal_audio_stats",
-        "ann_ivf_probe_topk", "ann_pq_probe_topk",
-        "knn_graph_ann_topk", "ann_lsh_topk",
-        "kafka_producer_messages", "simhash64_md5_near_pairs",
-        "train_val_test_split", "token_pack_chunks",
-        "quality_head_per_lang", "benchmark_contamination",
-        "corpus_manifest",
+        "community_metrics_table", "global_echo_metrics",
+        "analysis_run_metrics", "pagerank_user_graph",
+        "pagerank_factored_planted", "coengagement_top_pairs",
+        "knn_graph_ann_topk", "ann_ivf_topk", "ann_pq_topk",
+        "embedding_lsh_near_dup", "simhash_near_pairs",
+        "simhash64_md5_near_pairs", "near_dup_keep_list",
+        "minhash_jaccard_estimate_error", "semantic_dedup_md5_keep",
+        "density_clusters_lsh_exhaustive",
+        "source_mixture_rates", "rfc4122_layout_ids",
+        "triangle_counts", "triangle_counts_planted",
+        "top_tokens_per_lang", "order_value_quartiles",
+        "event_type_theta_users", "tfidf_top_terms",
+        "degree_histogram", "event_interarrival_stats",
+        "incremental_dedup_new_batch", "user_session_stats",
+        "chunk_dedup_scrubbed_docs", "daily_hll_user_rollup",
+        "events_in_membership_intervals", "revenue_by_nation",
+        "doc_fingerprints", "language_id_pred", "embedding_near_dup",
+        "tumbling_event_counts", "engagement_union",
+        "sliding_event_counts", "language_id_trigram_pred",
+        "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
+        "c4_quality_flags", "winnowing_fingerprints",
     }
-    missing = must_stamp_r9 - set(window)
+    missing = must_stamp_r10 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # every window slot must carry a hash oracle — a no_oracle stamp is
     # a wasted slot (VERDICT r6 what's-wrong #3)
