@@ -1262,6 +1262,64 @@ def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_novelty_scores",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh JOIN first f ON f.s = sh.s
+    GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(FLOOR(n_novel * 1000000.0 / n_shingles) AS BIGINT) AS novelty_ppm
+FROM per
+""",
+    doc="Corpus-order n-gram novelty per document: the fraction of a "
+    "doc's distinct 3-gram shingles FIRST seen in that doc (min doc_id "
+    "over the corpus), the standard memorization-risk / dedup-pressure "
+    "signal a pretraining pipeline tracks as data is appended — a "
+    "revision whose novelty histogram collapses is re-crawling what the "
+    "corpus already holds. Scale shape: the same distinct-shingle "
+    "explode the MinHash chain starts with, ONE map-side-combining "
+    "groupBy on the shingle key (the dedup-index shuffle), one join "
+    "back on that same key, one per-doc agg — no new machinery, no "
+    "pairwise anything. Novelty is emitted as floor-ppm (an exact "
+    "integer in both engines) because a ratio of small integers can "
+    "land exactly on a 6th-decimal .5 boundary where Spark's HALF_UP "
+    "and DuckDB's HALF_EVEN disagree (e.g. 1/128).",
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import doc_shingles
+
+    shingles = doc_shingles(_docs_spread(spark, sf_dir))
+    first = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per = (
+        shingles.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.floor(F.col("n_novel") * 1000000.0 / F.col("n_shingles"))
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
+@register(
     "simhash_signatures",
     f"""
 WITH {_ORACLE_TOKS_CTE},
