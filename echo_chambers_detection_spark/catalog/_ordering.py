@@ -29,6 +29,7 @@ _REGISTRY_ORDER = [
     # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
     "ngram_novelty_scores",
+    "shingle_containment_pairs",
     # code/oracle touched this round and therefore requiring a fresh
     # stamp: the leiden/louvain refinement-termination + crossover work,
     # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
@@ -84,7 +85,6 @@ _REGISTRY_ORDER = [
     "bpe_token_stats",
     "text_scrub_stats",
     "ann_int8_topk",
-    "c4_quality_flags",
     # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-7-stamped remainder (next to rotate in round 11)
     "exact_dedup_groups",
@@ -104,6 +104,7 @@ _REGISTRY_ORDER = [
     "ann_topk",
     "multimodal_blob_stats",
     # round-8-stamped remainder
+    "c4_quality_flags",
     "winnowing_fingerprints",
     "membership_with_labels",
     "top_orders",

@@ -1320,6 +1320,51 @@ def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shingle_containment_pairs",
+    f"""
+WITH {_ORACLE_TOKS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dirs AS (
+    SELECT d1 AS contained, d2 AS container,
+           CAST(FLOOR(c * 1000000.0 / s1.sz) AS BIGINT) AS containment_ppm
+    FROM shared JOIN sizes s1 ON s1.doc_id = d1
+    UNION ALL
+    SELECT d2, d1, CAST(FLOOR(c * 1000000.0 / s2.sz) AS BIGINT)
+    FROM shared JOIN sizes s2 ON s2.doc_id = d2
+)
+SELECT contained, container, containment_ppm
+FROM dirs WHERE containment_ppm >= 500000
+""",
+    doc="Asymmetric shingle containment |A∩B|/|A| for shingle-sharing "
+    "ordered pairs at >= 0.5 — the quote-inclusion / wrapper-page dedup "
+    "signal symmetric Jaccard misses by construction (a short doc fully "
+    "quoted inside a long one has tiny Jaccard but containment 1.0; the "
+    "standard curation companion to the near-dup pass). Same scale "
+    "shape as ngram_jaccard_pairs: quadratic only within shingle "
+    "groups, one shared-shingle join + two size joins, hot-shingle "
+    "frequency cap available (operators/dedup.py::containment_pairs). "
+    "Floor-ppm integers so the hash never meets a HALF_UP/HALF_EVEN "
+    "boundary.",
+)
+def q_shingle_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.dedup import (
+        containment_pairs,
+        doc_shingles,
+    )
+
+    return containment_pairs(
+        doc_shingles(_docs_spread(spark, sf_dir)), threshold_ppm=500_000
+    )
+
+
+@register(
     "simhash_signatures",
     f"""
 WITH {_ORACLE_TOKS_CTE},

@@ -174,6 +174,63 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    threshold_ppm: int = 500_000,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for every shingle-sharing ordered
+    pair: (contained, container, containment_ppm) with
+    containment(A in B) = |A ∩ B| / |A| — the quote-inclusion /
+    wrapper-page dedup signal Jaccard misses by construction (a short
+    doc fully quoted inside a long one has tiny Jaccard but containment
+    1.0; the standard curation companion to the symmetric near-dup
+    pass). Emitted as floor-ppm integers (hash-exact in both engines).
+
+    Scale shape: identical to `jaccard_pairs` — quadratic only within
+    shingle groups, one shared-shingle join + two size joins; the same
+    `max_shingle_freq` boilerplate cap guards the hot-shingle key.
+    Both directions of each unordered pair are scored; only directions
+    at/above threshold_ppm survive."""
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
+        shingles = (
+            shingles.join(
+                freq.where(F.col("_f") <= max_shingle_freq), "shingle"
+            ).drop("_f")
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+        .join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")),
+            "d2",
+        )
+    )
+    ppm = lambda c, sz: F.floor(c * 1000000.0 / sz).cast("bigint")  # noqa: E731
+    dirs = shared.select(
+        F.col("d1").alias("contained"),
+        F.col("d2").alias("container"),
+        ppm(F.col("shared"), F.col("sz1")).alias("containment_ppm"),
+    ).unionByName(
+        shared.select(
+            F.col("d2").alias("contained"),
+            F.col("d1").alias("container"),
+            ppm(F.col("shared"), F.col("sz2")).alias("containment_ppm"),
+        )
+    )
+    return dirs.where(F.col("containment_ppm") >= threshold_ppm)
+
+
 def simhash16(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1231,22 +1231,13 @@ def _refine_group_kernel(m: float, gamma: float, max_rounds: int):
         if edges_pdf.empty or n < 2:
             sub = ids
         else:
-            pos = {s: i for i, s in enumerate(ids)}
+            idx = pd.Index(ids)  # hash-based C-speed lookups
             k_arr = np.zeros(n)
-            for s, kv in zip(
-                nodes_pdf["node"].astype(str), nodes_pdf["k"]
-            ):
-                k_arr[pos[s]] = float(kv)
-            e_src = np.fromiter(
-                (pos[s] for s in edges_pdf["src"].astype(str)),
-                dtype=np.int64,
-                count=len(edges_pdf),
-            )
-            e_dst = np.fromiter(
-                (pos[s] for s in edges_pdf["dst"].astype(str)),
-                dtype=np.int64,
-                count=len(edges_pdf),
-            )
+            k_arr[
+                idx.get_indexer(nodes_pdf["node"].astype(str))
+            ] = nodes_pdf["k"].to_numpy(dtype="float64")
+            e_src = idx.get_indexer(edges_pdf["src"].astype(str))
+            e_dst = idx.get_indexer(edges_pdf["dst"].astype(str))
             e_w = edges_pdf["weight"].to_numpy(dtype="float64")
             subi = refine_np(
                 n,

@@ -60,7 +60,7 @@ def test_registry_window_covers_unverified_queries():
         "tumbling_event_counts", "engagement_union",
         "sliding_event_counts", "language_id_trigram_pred",
         "bpe_token_stats", "text_scrub_stats", "ann_int8_topk",
-        "c4_quality_flags", "ngram_novelty_scores",
+        "ngram_novelty_scores", "shingle_containment_pairs",
     }
     missing = must_stamp_r10 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
