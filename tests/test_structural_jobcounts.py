@@ -79,6 +79,17 @@ def test_louvain_distributed_job_count(spark, monkeypatch):
     assert n <= 116, f"distributed louvain grew to {n} jobs (was 89)"
 
 
+def test_lpa_job_count(spark):
+    e = planted_partition_edges(spark, 4, 60, 5, bridges=True, partitions=4)
+    n = _count_jobs(
+        spark,
+        lambda: G.label_propagation(
+            e.select("u1", "u2"), max_iter=5
+        ).count(),
+    )
+    assert n <= 62, f"label propagation grew to {n} jobs (was 48)"
+
+
 def test_leiden_distributed_job_count(spark, monkeypatch):
     monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 0)
     e = planted_partition_edges(spark, 4, 60, 5, bridges=True, partitions=4)
