@@ -867,55 +867,73 @@ def contract_runt_fringes(
         # prefix per target in ONE round is therefore EXACTLY the
         # multi-round result — the 15-case random parity suite and the
         # hub/backbone exactness test pin it.
+        # TARGET-SIDE build (round 10): `inc` holds both directions of
+        # every edge, so the rank of an edge within its TARGET's
+        # incident order can be computed directly on the target-side
+        # row — the old shape ranked a separate frame and re-joined it
+        # on the 4-part (other, w, u1, u2) key, a second 2|E|-row
+        # sort-merge join that dominated the 1M-edge bench probe.
+        # Here node = TARGET, other = candidate leaf throughout.
         wk = Window.partitionBy("node").orderBy("w", "u1", "u2")
-        tgt_rank = inc.withColumn("rk", F.row_number().over(wk)).select(
-            F.col("node").alias("other"), "w", "u1", "u2", "rk"
-        )
-        cand = (
-            inc.join(deg.where(F.col("deg") == 1).select("node"), "node")
-            .join(
-                deg.select(
-                    F.col("node").alias("other"), F.col("deg").alias("odeg")
+        inc_rk = inc.withColumn("rk", F.row_number().over(wk))
+        base_cand = (
+            inc_rk.join(
+                deg.where(F.col("deg") == 1).select(
+                    F.col("node").alias("other")
                 ),
                 "other",
             )
+            .join(deg, "node")  # the target's own degree
             # two-leaf components: exactly one direction absorbs
-            .where((F.col("odeg") > 1) | (F.col("node") > F.col("other")))
-            .join(
-                nodes.select(
-                    "node",
-                    F.col("size").alias("lsize"),
-                    F.col("min_id").alias("lmin"),
-                    F.col("m_w").alias("lm_w"),
-                    F.col("m_u1").alias("lm_u1"),
-                    F.col("m_u2").alias("lm_u2"),
-                ),
-                "node",
-            )
-            .join(
-                nodes.select(
-                    F.col("node").alias("other"),
-                    F.col("size").alias("tsize"),
-                    F.col("m_w").alias("tm_w"),
-                    F.col("m_u1").alias("tm_u1"),
-                    F.col("m_u2").alias("tm_u2"),
-                ),
-                "other",
-            )
-            .where(
-                _lex_lt(  # (a) leaf fully merged before its edge
-                    F.col("lm_w"), F.col("lm_u1"), F.col("lm_u2"),
-                    F.col("w"), F.col("u1"), F.col("u2"),
-                )
-                & _lex_lt(  # (b) target merged before the first edge
-                    F.col("tm_w"), F.col("tm_u1"), F.col("tm_u2"),
-                    F.col("w"), F.col("u1"), F.col("u2"),
-                )
-            )
-            .join(tgt_rank, ["other", "w", "u1", "u2"])
+            .where((F.col("deg") > 1) | (F.col("other") > F.col("node")))
         )
-        wt = Window.partitionBy("other").orderBy("rk")
-        wt_all = Window.partitionBy("other")
+        if rounds_run == 1:
+            # every supernode is still the all-default singleton
+            # (size 1, min_id = node, merge key -inf < any edge), so
+            # the two full-width state joins and both lex gates fold
+            # to literals — the dominant round skips them entirely
+            cand = base_cand.select(
+                "*",
+                F.lit(1).cast("long").alias("lsize"),
+                F.col("other").alias("lmin"),
+                F.lit(1).cast("long").alias("tsize"),
+            )
+        else:
+            cand = (
+                base_cand.join(
+                    nodes.select(
+                        F.col("node").alias("other"),
+                        F.col("size").alias("lsize"),
+                        F.col("min_id").alias("lmin"),
+                        F.col("m_w").alias("lm_w"),
+                        F.col("m_u1").alias("lm_u1"),
+                        F.col("m_u2").alias("lm_u2"),
+                    ),
+                    "other",
+                )
+                .join(
+                    nodes.select(
+                        "node",
+                        F.col("size").alias("tsize"),
+                        F.col("m_w").alias("tm_w"),
+                        F.col("m_u1").alias("tm_u1"),
+                        F.col("m_u2").alias("tm_u2"),
+                    ),
+                    "node",
+                )
+                .where(
+                    _lex_lt(  # (a) leaf fully merged before its edge
+                        F.col("lm_w"), F.col("lm_u1"), F.col("lm_u2"),
+                        F.col("w"), F.col("u1"), F.col("u2"),
+                    )
+                    & _lex_lt(  # (b) target merged before the first edge
+                        F.col("tm_w"), F.col("tm_u1"), F.col("tm_u2"),
+                        F.col("w"), F.col("u1"), F.col("u2"),
+                    )
+                )
+            )
+        wt = Window.partitionBy("node").orderBy("rk")
+        wt_all = Window.partitionBy("node")
         flagged = (
             cand.withColumn("lrk", F.row_number().over(wt))
             .withColumn("cum", F.sum("lsize").over(wt))
@@ -937,8 +955,8 @@ def contract_runt_fringes(
                 F.col("_first_bad").isNull()
                 | (F.col("rk") < F.col("_first_bad"))
             ).select(
-                F.col("node").alias("leaf"),
-                F.col("other").alias("target"),
+                F.col("other").alias("leaf"),
+                F.col("node").alias("target"),
                 "w", "u1", "u2", "lsize", "lmin",
             )
         )
@@ -979,8 +997,34 @@ def contract_runt_fringes(
             _release_checkpoint(absorptions)
         else:
             amap_new = _materialize(amap_new)
+        # EXACT early exit (round 10): another round can absorb only if
+        # a NEW degree-1 node appeared. Every other blocking reason is
+        # stable across rounds: an absorbed prefix removes a target's
+        # SMALLEST incident edges, so a (c)-blocked leaf stays behind
+        # the same non-candidate edge; sizes only grow, so (d) stays
+        # blocked; merge-order keys (a)/(b) change only on the nodes
+        # that absorbed, whose rank-1 prefix was already taken. The
+        # probe (one degree agg + semi-join on the old degrees) replaces
+        # the full candidate pipeline the old empty final round paid.
+        new_leaf_exists = (
+            e_new.select(F.col("u1").alias("node"))
+            .unionAll(e_new.select(F.col("u2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("dn"))
+            .where(F.col("dn") == 1)
+            .join(
+                deg.where(F.col("deg") > 1).select("node"),
+                "node",
+                "leftsemi",
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
         _release_checkpoint(nodes, e, acc)
         nodes, e, absorptions = nodes_new, e_new, amap_new
+        if not new_leaf_exists:
+            break
 
     log.info(
         "contract_runt_fringes: %d absorbing round(s) (batch-prefix; "
@@ -1759,24 +1803,43 @@ def condense_two_level(
         # one Arrow group = one BUCKET of components (round 7): the
         # per-group Spark/Arrow/worker overhead is ~1 ms, which at 100k
         # tiny components serialized the whole pass (72 s measured on
-        # the caterpillar bench); a pandas groupby inside the bucket
-        # amortizes that to microseconds per component
+        # the caterpillar bench). Components are sliced out of plain
+        # numpy arrays by boundary index (round 10): pandas groupby
+        # iteration costs ~1-3 ms per tiny group in frame construction
+        # alone, which at ~3k components per bucket was the residual
+        # bottleneck of the 1M-edge probe.
+        import numpy as np
+
         out_comp: list = []
         out_kind: list = []
         out_node: list = []
         out_lab: list = []
         out_a: list = []
         out_tb: list = []
-        for comp, cdf in pdf.groupby("comp", sort=False):
+        pdf = pdf.sort_values("comp", kind="stable")
+        comp_a = pdf["comp"].to_numpy()
+        u1_a = pdf["u1"].to_numpy()
+        u2_a = pdf["u2"].to_numpy()
+        w_a = pdf["w"].to_numpy()
+        s1_a = pdf["s1"].to_numpy()
+        s2_a = pdf["s2"].to_numpy()
+        m1_a = pdf["m1"].to_numpy()
+        m2_a = pdf["m2"].to_numpy()
+        n_rows = len(comp_a)
+        bnd = np.flatnonzero(np.r_[True, comp_a[1:] != comp_a[:-1]])
+        for gi, start in enumerate(bnd):
+            stop = bnd[gi + 1] if gi + 1 < len(bnd) else n_rows
+            comp = comp_a[start]
             sizes: dict[str, int] = {}
             min_ids: dict[str, str] = {}
-            for u, sz_, m in zip(cdf["u1"], cdf["s1"], cdf["m1"]):
-                sizes[u] = int(sz_)
-                min_ids[u] = m
-            for u, sz_, m in zip(cdf["u2"], cdf["s2"], cdf["m2"]):
-                sizes[u] = int(sz_)
-                min_ids[u] = m
-            edges = list(zip(cdf["u1"], cdf["u2"], cdf["w"]))
+            for i in range(start, stop):
+                sizes[u1_a[i]] = int(s1_a[i])
+                min_ids[u1_a[i]] = m1_a[i]
+                sizes[u2_a[i]] = int(s2_a[i])
+                min_ids[u2_a[i]] = m2_a[i]
+            edges = list(
+                zip(u1_a[start:stop], u2_a[start:stop], w_a[start:stop])
+            )
             A, term_best, labels = _component_condense(
                 sorted(sizes), edges, mcs, sizes, min_ids
             )
