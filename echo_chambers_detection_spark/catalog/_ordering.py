@@ -30,6 +30,9 @@ _REGISTRY_ORDER = [
     # new this round (never stamped)
     "ngram_novelty_scores",
     "shingle_containment_pairs",
+    "user_jaccard_similarity",
+    "event_value_outliers_mad",
+    "event_type_markov_transitions",
     # code/oracle touched this round and therefore requiring a fresh
     # stamp: the leiden/louvain refinement-termination + crossover work,
     # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
@@ -82,10 +85,12 @@ _REGISTRY_ORDER = [
     "engagement_union",
     "sliding_event_counts",
     "language_id_trigram_pred",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # displaced from the round-10 window by the three new queries
+    # (round-8 stamps; first to rotate back in round 11)
     "bpe_token_stats",
     "text_scrub_stats",
     "ann_int8_topk",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-7-stamped remainder (next to rotate in round 11)
     "exact_dedup_groups",
     "event_value_percentiles",

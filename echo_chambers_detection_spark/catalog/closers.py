@@ -146,6 +146,73 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_outliers_mad",
+    """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, m.med,
+           quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+       ROUND(d.med, 6) AS med,
+       ROUND(d.mad, 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * 1.4826 * d.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN dev d ON d.event_type = e.event_type
+GROUP BY e.event_type, d.med, d.mad
+""",
+    doc="Robust outlier detection per event type via median absolute "
+    "deviation (SURVEY.md §2.4 superset, the robust companion to "
+    "event_value_percentiles): two exact-percentile passes (median, "
+    "then median of |value-median|), then a count of values beyond "
+    "3·1.4826·MAD — the standard robust z-score gate data-quality "
+    "pipelines run before training-data admission. Each pass is one "
+    "map-side-combining groupBy plus one BROADCAST dimension join "
+    "(one row per event type), so the event scan shuffles only its "
+    "group keys; at 100 TB the exact percentile swaps for "
+    "percentile_approx with the same two-pass shape.",
+)
+def q_event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+@register(
     "event_type_user_cube",
     """
 SELECT event_type,

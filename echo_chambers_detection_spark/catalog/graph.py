@@ -1167,6 +1167,73 @@ def q_triangle_counts_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges.select("u1", "u2"))
 
 
+@register(
+    "user_jaccard_similarity",
+    f"""
+WITH {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS common
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT user_did, COUNT(*) AS deg FROM e GROUP BY user_did
+)
+SELECT u1, u2, common,
+       ROUND(common * 1.0 / (d1.deg + d2.deg - common), 6) AS jaccard
+FROM gw
+JOIN d d1 ON d1.user_did = gw.u1
+JOIN d d2 ON d2.user_did = gw.u2
+ORDER BY jaccard DESC, u1, u2 LIMIT 100
+""",
+    doc="Top-100 user pairs by Jaccard similarity of engaged-post sets "
+    "(reference gds.nodeSimilarity family — the normalized companion "
+    "to the raw co-engagement weight the reference projects at "
+    "project/metrics/community_detection.py:22-38). Intersections come "
+    "from the bitmap co-engagement kernel (never all-pairs); per-user "
+    "set sizes are a broadcast-joined dimension; |A∪B| = |A|+|B|-|A∩B| "
+    "needs no second pair pass. Total order (jaccard desc, u1, u2) "
+    "makes the LIMIT deterministic; TakeOrderedAndProject keeps the "
+    "top-k driver-bounded at any scale.",
+)
+def q_user_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges_bitmap,
+    )
+
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
+    )
+
+    eng = tracked_checkpoint(
+        engagements_from_events(_t(spark, sf_dir, "events"))
+    )
+    co = coengagement_edges_bitmap(eng, num_slots=None)
+    deg = eng.select("user_did", "post_uri").distinct().groupBy(
+        "user_did"
+    ).agg(F.count("*").alias("deg"))
+    d1 = F.broadcast(deg.select(F.col("user_did").alias("u1"), F.col("deg").alias("deg1")))
+    d2 = F.broadcast(deg.select(F.col("user_did").alias("u2"), F.col("deg").alias("deg2")))
+    out = (
+        co.join(d1, "u1")
+        .join(d2, "u2")
+        .select(
+            "u1",
+            "u2",
+            F.col("weight").alias("common"),
+            F.round(
+                F.col("weight")
+                / (F.col("deg1") + F.col("deg2") - F.col("weight")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u1", "u2")
+        .limit(100)
+    )
+    return carry_ckpt(out, eng)
+
+
 # ===========================================================================
 # Factored PageRank (round 8): the co-engagement projection's PageRank
 # without materializing B·Bᵀ — the 100 TB celebrity-post shape.

@@ -222,3 +222,62 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_session_stats(
         _t(spark, sf_dir, "events"), gap_limit_ms=8 * 3600 * 1000
     )
+
+
+@register(
+    "event_type_markov_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+t AS (
+    SELECT prev_type AS from_type, event_type AS to_type,
+           COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM t
+""",
+    doc="First-order Markov transition matrix over per-user event-type "
+    "sequences (SURVEY.md X4 superset, the behavioral-cadence companion "
+    "to event_interarrival_stats): lag window keyed on user, transition "
+    "counts, and row-normalized probabilities. Scale shape: ONE shuffle "
+    "on user_id for the lag, a map-side-combining agg on the bounded "
+    "(from,to) key grid, and the normalizing window runs over that "
+    "tiny grid, not the events — the integer counts make the hash "
+    "exact and the single division is bit-identical across engines. "
+    "The per-user order (ts, event_id) is total, so tied timestamps "
+    "cannot flip transitions between runs.",
+)
+def q_event_type_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("from_type"),
+    )
+    t = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    )
