@@ -1239,20 +1239,36 @@ def _refine_group_kernel(m: float, gamma: float, max_rounds: int):
             e_src = idx.get_indexer(edges_pdf["src"].astype(str))
             e_dst = idx.get_indexer(edges_pdf["dst"].astype(str))
             e_w = edges_pdf["weight"].to_numpy(dtype="float64")
-            subi = refine_np(
-                n,
-                e_src,
-                e_dst,
-                e_w,
-                np.zeros(n),
-                np.zeros(n, dtype=np.int64),
-                m,
-                _hash_arr(ids),
-                gamma=gamma,
-                max_rounds=max_rounds,
-                k=k_arr,
-            )
-            sub = ids[subi]
+            # the group ships each edge ONCE (src < dst), joined only on
+            # the src side: dst ids outside this community mark cross
+            # edges (get_indexer -> -1) — drop them, then mirror the
+            # intra half-edges locally (numpy concat is free next to the
+            # Arrow transfer it halves)
+            keep = e_dst >= 0
+            e_src, e_dst, e_w = e_src[keep], e_dst[keep], e_w[keep]
+            if len(e_w) == 0:
+                # only cross-community edges reached this group
+                sub = ids
+            else:
+                e_src, e_dst = (
+                    np.concatenate([e_src, e_dst]),
+                    np.concatenate([e_dst, e_src]),
+                )
+                e_w = np.concatenate([e_w, e_w])
+                subi = refine_np(
+                    n,
+                    e_src,
+                    e_dst,
+                    e_w,
+                    np.zeros(n),
+                    np.zeros(n, dtype=np.int64),
+                    m,
+                    _hash_arr(ids),
+                    gamma=gamma,
+                    max_rounds=max_rounds,
+                    k=k_arr,
+                )
+                sub = ids[subi]
         return pd.DataFrame(
             {"node": ids, "sub": sub, "community": str(key[0])}
         )
@@ -1307,14 +1323,21 @@ def _refine(
     )
     csrc = comm.select(F.col("node").alias("src"), F.col("community").alias("c1"))
     cdst = comm.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
-    intra0 = _materialize(
-        sym.join(hint(csrc), "src")
-        .join(hint(cdst), "dst")
-        .where(F.col("c1") == F.col("c2"))
+    # Half-edge frame for the group-parallel gate + cogroup input: each
+    # undirected edge ONCE (src < dst), labeled only with the SRC side's
+    # community — half the join input and half the Arrow transfer of the
+    # old both-directions intra0 double-join. Cross-community edges ride
+    # along (the kernel drops them by unmapped dst id); per-community
+    # counts are therefore an OVERESTIMATE of intra half-edges, so the
+    # gate below (2×count vs limit) only ever falls back early, never
+    # admits an oversized group.
+    half = _materialize(
+        sym.where(F.col("src") < F.col("dst"))
+        .join(hint(csrc), "src")
         .select("src", "dst", "weight", F.col("c1").alias("community"))
     )
-    max_intra = (
-        intra0.groupBy("community")
+    max_intra = 2 * (
+        half.groupBy("community")
         .agg(F.count("*").alias("n"))
         .agg(F.max("n").alias("mx"))
         .first()["mx"]
@@ -1330,22 +1353,38 @@ def _refine(
         )
         nodesc = comm.join(k_i_lazy, "node")  # (node, community, k)
         out = _materialize(
-            intra0.groupBy("community")
+            half.groupBy("community")
             .cogroup(nodesc.groupBy("community"))
             .applyInPandas(
                 _refine_group_kernel(m, gamma, max_rounds),
                 "node string, sub string, community string",
             )
         )
-        _release_checkpoint(intra0)
+        _release_checkpoint(half)
         return out
     k_i = _materialize(
         selfw.join(deg, "node", "outer")
         .na.fill({"w_self": 0.0, "k_adj": 0.0})
         .select("node", (F.col("k_adj") + 2 * F.col("w_self")).alias("k"))
     )
-    intra = _materialize_wide(intra0.select("src", "dst", "weight"))
-    _release_checkpoint(intra0)
+    # giant-community fallback: reconstruct the both-directions intra
+    # edge list from the half frame — ONE more half-sized join (dst
+    # side) + a local mirror instead of the old second 2|E|-row join
+    intra_h = (
+        half.join(hint(cdst), "dst")
+        .where(F.col("community") == F.col("c2"))
+        .select("src", "dst", "weight")
+    )
+    intra = _materialize_wide(
+        intra_h.unionAll(
+            intra_h.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+    )
+    _release_checkpoint(half)
     k_c = comm.join(hint(k_i), "node").groupBy("community").agg(
         F.sum("k").alias("k_c")
     )
