@@ -579,10 +579,28 @@ def ivf_index(
         id_type = dict(over.dtypes)["_id"]
         return over.mapInPandas(fn, schema=f"_id {id_type}, cluster int")
 
+    def assign_carrying_vec(c: np.ndarray, over: DataFrame) -> DataFrame:
+        # Lloyd-update variant: the centroid mean needs (cluster, _vec)
+        # only, so carry the vector through the argmax kernel instead of
+        # joining assignments back to the train frame — one shuffle join
+        # fewer per iteration (the vectors ride the same Arrow batches
+        # the kernel already reads)
+        b = spark.sparkContext.broadcast(c)
+
+        def fn(batches):
+            C = b.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+                cl = np.argmax(X @ C.T, axis=1).astype("int32")
+                yield pd.DataFrame({"cluster": cl, "_vec": pdf["_vec"]})
+
+        return over.mapInPandas(fn, schema="cluster int, _vec array<double>")
+
     for _ in range(iters):
-        assigned = assign_with(cent, train)
         means = (
-            assigned.join(train, "_id")
+            assign_carrying_vec(cent, train)
             .select("cluster", F.posexplode("_vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.avg("x").alias("mx"))

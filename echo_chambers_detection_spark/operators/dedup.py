@@ -640,19 +640,38 @@ def semantic_dedup_keep_list(
         with np.errstate(divide="ignore", invalid="ignore"):
             for s0 in range(0, len(ids), B):
                 xb = x[s0 : s0 + B]
-                denom = np.outer(norms[s0 : s0 + B], norms)
-                sims = np.where(denom > 0, (xb @ x.T) / denom, np.nan)
-                ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
-                for i, j in zip(ii, jj):
-                    a, b = ids[s0 + i], ids[j]
-                    if a < b:
-                        u1.append(a)
-                        u2.append(b)
-        return pd.DataFrame({"u1": u1, "u2": u2})
+                # in-place: sims/denom values are IEEE-identical to the
+                # old np.outer/np.where shape (0/0 -> nan covers the
+                # zero-norm rows, whose dot is exactly 0), two fewer
+                # full-matrix allocations per block
+                sims = xb @ x.T
+                sims /= norms[s0 : s0 + B, None] * norms[None, :]
+                np.round(sims, 6, out=sims)
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = ids[s0 + ii], ids[jj]
+                lt = a < b
+                u1.append(a[lt])
+                u2.append(b[lt])
+        return pd.DataFrame(
+            {
+                "u1": np.concatenate(u1) if u1 else [],
+                "u2": np.concatenate(u2) if u2 else [],
+            }
+        )
 
     id_type = dict(embeddings.dtypes)[id_col]
-    pairs = withvec.groupBy("cluster").applyInPandas(
-        cluster_gemm, schema=f"u1 {id_type}, u2 {id_type}"
+    # Pin the group exchange's width: the cluster-keyed shuffle is tiny
+    # in BYTES (vectors), so AQE coalesces it to a handful of tasks —
+    # but each task then runs several cluster GEMMs serially and the
+    # stage is CPU-bound, not IO-bound (measured: 7 tasks on 32 cores
+    # at the 110k bench). An explicit hash repartition on the group key
+    # pins task count at the session's parallelism; the groupBy reuses
+    # the clustering, no second exchange.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        withvec.repartition(par, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(cluster_gemm, schema=f"u1 {id_type}, u2 {id_type}")
     )
     from echo_chambers_detection_spark.operators.graph import (
         connected_components,
