@@ -1960,11 +1960,17 @@ def condense_two_level(
 # default; above it the IVF-candidate path is.
 KNN_ANN_CROSSOVER = 32_000
 
-# Below this forest size the condense collect is trivially cheap and the
-# fringe-contraction rounds are pure overhead (+3 s measured at sf0.1);
-# above it the contraction bounds driver rows to the cluster backbone
-# (the 40k-node bench probe bench_hdbscan_auto_40k times this path).
-CONTRACT_MIN_FOREST_EDGES = 20_000
+# Below this forest size the direct collect + sequential condense beats
+# the distributed fringe-contraction rounds, whose cost at test scale is
+# serialized-job overhead (measured round 10, same warm JVM: 40k-edge
+# forest 16.6s vs 28.0s end-to-end; 1M-edge caterpillar 12.7s driver
+# path vs ~23s contract+two_level — identical labels both ways, parity
+# pinned in tests/test_hdbscan.py). The bound matches the engine's
+# standing driver-mirror limit (graph.LOCAL_GRAPH_EDGE_LIMIT): above it
+# the contraction bounds driver rows to the cluster backbone and the
+# two-level condense keeps the driver at a constant row budget — the
+# 100 TB path, timed by bench_condense_two_level_1m.
+CONTRACT_MIN_FOREST_EDGES = 4_000_000
 
 
 def hdbscan_cluster(
