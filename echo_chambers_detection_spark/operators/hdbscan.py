@@ -821,24 +821,36 @@ def contract_runt_fringes(
     if max_rounds is None:
         max_rounds = min(max(min_cluster_size - 1, 0), 16)
     neg_inf = float("-inf")
+    log = logging.getLogger(__name__)
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        log.info("contract_runt_fringes stage %-14s %.1fs", name, now - _t0)
+        _t0 = now
+
     e = _materialize(forest.select("u1", "u2", F.col("w").cast("double")))
     base_nodes = _materialize(
         e.select(F.col("u1").alias("node"))
         .unionAll(e.select(F.col("u2").alias("node")))
         .distinct()
     )
-    nodes = _materialize(
-        base_nodes.select(
-            "node",
-            F.lit(1).cast("long").alias("size"),
-            F.col("node").alias("min_id"),
-            F.lit(neg_inf).alias("m_w"),
-            F.lit("").alias("m_u1"),
-            F.lit("").alias("m_u2"),
-        )
+    # the seed state is a pure literal projection of the checkpointed
+    # base_nodes — keep it lazy (round 1 skips the state joins entirely,
+    # so the only reader is the first nodes_new build)
+    nodes = base_nodes.select(
+        "node",
+        F.lit(1).cast("long").alias("size"),
+        F.col("node").alias("min_id"),
+        F.lit(neg_inf).alias("m_w"),
+        F.lit("").alias("m_u1"),
+        F.lit("").alias("m_u2"),
     )
+    _stage("base_frames")
     absorptions: DataFrame | None = None
-    log = logging.getLogger(__name__)
     rounds_run = 0
 
     for _ in range(max_rounds):
@@ -875,18 +887,20 @@ def contract_runt_fringes(
         # sort-merge join that dominated the 1M-edge bench probe.
         # Here node = TARGET, other = candidate leaf throughout.
         wk = Window.partitionBy("node").orderBy("w", "u1", "u2")
-        inc_rk = inc.withColumn("rk", F.row_number().over(wk))
-        base_cand = (
-            inc_rk.join(
-                deg.where(F.col("deg") == 1).select(
-                    F.col("node").alias("other")
-                ),
-                "other",
-            )
-            .join(deg, "node")  # the target's own degree
-            # two-leaf components: exactly one direction absorbs
-            .where((F.col("deg") > 1) | (F.col("other") > F.col("node")))
+        # the target's own degree as a window count over the SAME
+        # node-keyed exchange the rank already pays — the old shape
+        # joined the degree frame back on node, a second 2|E|-row
+        # shuffle join (round 10)
+        inc_rk = inc.withColumn("rk", F.row_number().over(wk)).withColumn(
+            "tdeg", F.count("*").over(Window.partitionBy("node"))
         )
+        base_cand = inc_rk.join(
+            deg.where(F.col("deg") == 1).select(
+                F.col("node").alias("other")
+            ),
+            "other",
+            # two-leaf components: exactly one direction absorbs
+        ).where((F.col("tdeg") > 1) | (F.col("other") > F.col("node")))
         if rounds_run == 1:
             # every supernode is still the all-default singleton
             # (size 1, min_id = node, merge key -inf < any edge), so
@@ -957,9 +971,10 @@ def contract_runt_fringes(
             ).select(
                 F.col("other").alias("leaf"),
                 F.col("node").alias("target"),
-                "w", "u1", "u2", "lsize", "lmin",
+                "w", "u1", "u2", "lsize", "lmin", "tdeg",
             )
         )
+        _stage("candidates")
         if acc.limit(1).count() == 0:
             _release_checkpoint(acc)
             rounds_run -= 1  # empty round: nothing absorbed
@@ -969,6 +984,11 @@ def contract_runt_fringes(
             F.min("lmin").alias("a_min"),
             # the LAST absorbed edge is the target's new internal max
             F.max(F.struct("w", "u1", "u2")).alias("a_key"),
+            # post-round degree bookkeeping for the exact-exit probe
+            # below: tdeg is constant per target, n_abs edges were
+            # removed from it
+            F.max("tdeg").alias("tdeg"),
+            F.count("*").alias("n_abs"),
         )
         nodes_new = _materialize(
             nodes.join(
@@ -1003,24 +1023,20 @@ def contract_runt_fringes(
         # SMALLEST incident edges, so a (c)-blocked leaf stays behind
         # the same non-candidate edge; sizes only grow, so (d) stays
         # blocked; merge-order keys (a)/(b) change only on the nodes
-        # that absorbed, whose rank-1 prefix was already taken. The
-        # probe (one degree agg + semi-join on the old degrees) replaces
-        # the full candidate pipeline the old empty final round paid.
+        # that absorbed, whose rank-1 prefix was already taken. Only a
+        # TARGET can become a new leaf (an absorption deletes exactly
+        # its leaf's edge and one of the target's), so the probe is
+        # pure arithmetic on the absorption aggregate — new degree
+        # tdeg - n_abs == 1 — instead of the 2|E|-row degree rebuild
+        # the old empty final round paid (round 10; tdeg >= 2 is
+        # implied, which covers the old old-degree>1 semi-join).
         new_leaf_exists = (
-            e_new.select(F.col("u1").alias("node"))
-            .unionAll(e_new.select(F.col("u2").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("dn"))
-            .where(F.col("dn") == 1)
-            .join(
-                deg.where(F.col("deg") > 1).select("node"),
-                "node",
-                "leftsemi",
-            )
+            tgt.where(F.col("tdeg") - F.col("n_abs") == 1)
             .limit(1)
             .count()
             > 0
         )
+        _stage("apply_round")
         _release_checkpoint(nodes, e, acc)
         nodes, e, absorptions = nodes_new, e_new, amap_new
         if not new_leaf_exists:
@@ -1040,9 +1056,21 @@ def contract_runt_fringes(
         _release_checkpoint(base_nodes)
         return e, nodes, member_map
 
-    # absorption chains are <= max_rounds deep; pointer-jump to roots
+    # Absorption chains are <= rounds_run deep (a round's targets are
+    # never that round's leaves, so each extra link needs one more
+    # round). After a single absorbing round every leaf already points
+    # at its root — zero jump joins; otherwise ceil(log2(depth)) passes
+    # shortcut every chain (pointer distance halves per pass; +1 pass
+    # of safety margin). The old bound used max_rounds, paying ~5
+    # self-join rounds at the 1M bench probe whose batch-prefix rule
+    # finishes in ONE absorbing round.
     amap = absorptions
-    for _ in range(max(1, math.ceil(math.log2(max(max_rounds, 2))) + 1)):
+    n_jumps = (
+        0
+        if rounds_run <= 1
+        else math.ceil(math.log2(max(rounds_run, 2))) + 1
+    )
+    for _ in range(n_jumps):
         nxt = _materialize(
             amap.join(
                 amap.select(
@@ -1068,6 +1096,7 @@ def contract_runt_fringes(
         )
     )
     _release_checkpoint(base_nodes, amap)
+    _stage("member_map")
     return e, nodes, member_map
 
 
