@@ -26,11 +26,13 @@ def test_user_jaccard_from_coengagement(spark):
         coengagement_edges_bitmap,
     )
 
+    # numeric post ids: the bitmap kernel maps the bounded post
+    # vocabulary onto integer slots (the events table's props.k shape)
     eng = spark.createDataFrame(
         [
-            ("A", "p1"), ("A", "p2"), ("A", "p3"),
-            ("B", "p1"), ("B", "p2"),
-            ("C", "p3"),
+            ("A", "1"), ("A", "2"), ("A", "3"),
+            ("B", "1"), ("B", "2"),
+            ("C", "3"),
         ],
         "user_did string, post_uri string",
     )
