@@ -33,6 +33,8 @@ _REGISTRY_ORDER = [
     "user_jaccard_similarity",
     "event_value_outliers_mad",
     "event_type_markov_transitions",
+    "event_type_user_diversity",
+    "user_activity_gini",
     # code/oracle touched this round and therefore requiring a fresh
     # stamp: the leiden/louvain refinement-termination + crossover work,
     # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
@@ -83,11 +85,11 @@ _REGISTRY_ORDER = [
     "embedding_near_dup",
     "tumbling_event_counts",
     "engagement_union",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # displaced from the round-10 window by the five new queries
+    # (round-8 stamps; first to rotate back in round 11)
     "sliding_event_counts",
     "language_id_trigram_pred",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    # displaced from the round-10 window by the three new queries
-    # (round-8 stamps; first to rotate back in round 11)
     "bpe_token_stats",
     "text_scrub_stats",
     "ann_int8_topk",

@@ -605,3 +605,104 @@ def q_daily_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("ALL").alias("day"), "n_users", "n_events")
     return per_day.unionAll(total)
+
+
+@register(
+    "event_type_user_diversity",
+    """
+WITH cu AS (
+    SELECT event_type, user_id, COUNT(*) AS c
+    FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       ROUND(SUM(c) * SUM(c) * 1.0 / SUM(c * c), 6) AS inv_simpson
+FROM cu GROUP BY event_type
+""",
+    doc="Per-event-type user-concentration profile (SURVEY.md §2.4 "
+    "superset): inverse Simpson index n²/Σc² — the 'effective user "
+    "count' a feed-quality pipeline watches for bot-dominated event "
+    "types (uniform users → n_users; one dominant user → 1). The "
+    "log-free diversity formulation keeps every distributed sum an "
+    "exact BIGINT (the drop-the-monotone-log discipline of "
+    "tfidf/pmi); the single terminal division is bit-identical "
+    "across engines. Scale shape: one map-side-combining groupBy on "
+    "(type,user), one on type — no windows, no floats in flight.",
+)
+def q_event_type_user_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return cu.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.round(
+            F.sum("c") * F.sum("c") / F.sum(F.col("c") * F.col("c")), 6
+        ).alias("inv_simpson"),
+    )
+
+
+@register(
+    "user_activity_gini",
+    """
+WITH cu AS (
+    SELECT event_type, user_id, COUNT(*) AS c
+    FROM events GROUP BY event_type, user_id
+),
+rk AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY c, user_id
+           ) AS i,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM cu
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS gini_num,
+       ROUND(SUM((2 * i - n - 1) * c) * 1.0 / (MAX(n) * SUM(c)), 6)
+           AS gini
+FROM rk GROUP BY event_type
+""",
+    doc="Gini coefficient of per-user activity within each event type "
+    "(SURVEY.md §2.4 superset, the inequality companion to "
+    "event_type_user_diversity): the sorted-rank formula "
+    "Σ(2i-n-1)·c_i / (n·Σc) with a TOTAL within-type order (c, "
+    "user_id), so the rank — and therefore the exact BIGINT numerator "
+    "— is deterministic on both engines; one terminal division. "
+    "Scale shape: one groupBy on (type,user), one rank window "
+    "partitioned by the bounded type key (each partition is that "
+    "type's user set, the quantity being ranked — the sort IS the "
+    "statistic), one map-side-combining agg.",
+)
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = cu.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("c", "user_id"))
+        .alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c"))
+    return rk.groupBy("event_type").agg(
+        F.max("n").alias("n_users"),
+        F.sum("c").alias("n_events"),
+        num.alias("gini_num"),
+        F.round(num / (F.max("n") * F.sum("c")), 6).alias("gini"),
+    )
