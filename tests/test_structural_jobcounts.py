@@ -97,3 +97,50 @@ def test_leiden_distributed_job_count(spark, monkeypatch):
         spark, lambda: G.leiden(e, max_levels=2, max_rounds=2).count()
     )
     assert n <= 180, f"distributed leiden grew to {n} jobs (was 139)"
+
+
+def test_contract_and_two_level_job_counts(spark):
+    """Round-10 pins for the condense chain's distributed half: the
+    caterpillar contraction must stay ONE absorbing round + exact-exit
+    arithmetic (no pointer-jump joins, no post-round degree rebuild),
+    and the two-level condense one CC pass + one cogroup. Measured on
+    the round-10 code (local[8], shuffle=8): contract=28, two_level=56."""
+    from echo_chambers_detection_spark.operators.hdbscan import (
+        condense_two_level,
+        contract_runt_fringes,
+    )
+
+    H = 200
+    hub = F.format_string("h%06d", F.col("id") % H)
+    leaves = spark.range(0, 9 * H, 1, 4).select(
+        hub.alias("u1"),
+        F.format_string(
+            "h%06dx%d", F.col("id") % H, F.floor(F.col("id") / H)
+        ).alias("u2"),
+        (F.lit(0.001) + F.col("id") * 1e-9).alias("w"),
+    )
+    chain = spark.range(0, H - 1, 1, 2).select(
+        F.format_string("h%06d", F.col("id")).alias("u1"),
+        F.format_string("h%06d", F.col("id") + 1).alias("u2"),
+        (F.lit(1.0) + F.col("id") * 1e-4).alias("w"),
+    )
+    forest = leaves.unionAll(chain).localCheckpoint(eager=True)
+    # manual tracker counting: _count_jobs sweeps ALL persisted blocks
+    # after fn, which would free the contracted frames the second
+    # phase still reads — sweep once at the end instead
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    c_e, c_n, _ = contract_runt_fringes(forest, min_cluster_size=10)
+    n_contract = len(tracker.getJobIdsForGroup(None)) - j0
+    j1 = len(tracker.getJobIdsForGroup(None))
+    condense_two_level(c_e, c_n, min_cluster_size=10, driver_rows=120).count()
+    n_two = len(tracker.getJobIdsForGroup(None)) - j1
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    assert n_contract <= 37, (
+        f"contract_runt_fringes grew to {n_contract} jobs (was 28)"
+    )
+    assert n_two <= 73, f"condense_two_level grew to {n_two} jobs (was 56)"
