@@ -35,6 +35,7 @@ _REGISTRY_ORDER = [
     "event_type_markov_transitions",
     "event_type_user_diversity",
     "user_activity_gini",
+    "stratified_sample_exact",
     # code/oracle touched this round and therefore requiring a fresh
     # stamp: the leiden/louvain refinement-termination + crossover work,
     # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
@@ -84,10 +85,10 @@ _REGISTRY_ORDER = [
     "language_id_pred",
     "embedding_near_dup",
     "tumbling_event_counts",
-    "engagement_union",
     # -- TAIL (51+): everything below is outside the driver stamp set --
-    # displaced from the round-10 window by the five new queries
+    # displaced from the round-10 window by the six new queries
     # (round-8 stamps; first to rotate back in round 11)
+    "engagement_union",
     "sliding_event_counts",
     "language_id_trigram_pred",
     "bpe_token_stats",

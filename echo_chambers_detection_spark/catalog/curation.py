@@ -2706,3 +2706,55 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len_b").cast("bigint").alias("n_chars_b"),
         )
     )
+
+
+@register(
+    "stratified_sample_exact",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rk AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS i
+    FROM documents
+)
+SELECT r.doc_id, r.lang, r.i AS sample_rank
+FROM rk r JOIN counts c ON c.lang = r.lang
+WHERE r.i <= CAST(CEIL(c.n * 0.1) AS BIGINT)
+""",
+    doc="EXACT-count stratified sample: per language keep exactly "
+    "ceil(0.1·n) documents — the ones with the smallest salted-md5 "
+    "rank, a total order so membership is deterministic and "
+    "partitioning-invariant. This is the eval-holdout carve "
+    "(bernoulli_lang_sample is its no-sort probabilistic twin: same "
+    "salted-hash key, rate gate instead of rank, for the regime where "
+    "a per-stratum sort is not worth an exact count). Scale shape: "
+    "one groupBy for the counts dim (broadcast back), one rank window "
+    "partitioned by the bounded lang key; at 100 TB swap the rank for "
+    "a quantile threshold on the same hash key — membership stays "
+    "identical for any stratum whose threshold is exact.",
+)
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    rk = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("sample_rank"),
+    )
+    return (
+        rk.join(F.broadcast(counts), "lang")
+        .where(F.col("sample_rank") <= F.ceil(F.col("n") * 0.1))
+        .select("doc_id", "lang", "sample_rank")
+    )
