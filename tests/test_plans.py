@@ -331,3 +331,40 @@ def test_token_rarity_partial_aggregates_and_stays_jvm(spark):
         "aggregations"
     )
     assert not has_python_stage(df)
+
+
+def test_user_jaccard_top_k_and_broadcast_degrees(spark):
+    """Round-10: the Jaccard top-100 must be TakeOrderedAndProject (no
+    global sort) and both degree dims must broadcast."""
+    df = _q(spark, "user_jaccard_similarity")
+    assert count_operator(df, "TakeOrderedAndProject") >= 1
+    assert count_operator(df, "BroadcastHashJoin") >= 2
+
+
+def test_outliers_mad_broadcasts_both_stat_dims(spark):
+    """The median and MAD frames are one row per event type — both
+    joins back onto the event scan must be broadcast, never shuffle."""
+    df = _q(spark, "event_value_outliers_mad")
+    assert count_operator(df, "BroadcastHashJoin") >= 2
+    assert not has_python_stage(df)
+
+
+def test_markov_transitions_single_user_exchange(spark):
+    """Lag window + transition agg + normalizing window: no Python, and
+    the plan's only wide operators are the user-keyed window exchange,
+    the (from,to)-grid agg, and the tiny grid window (executed-plan
+    node count — the formatted plan repeats operator names in its
+    detail sections)."""
+    from echo_chambers_detection_spark.plans.explain import executed_plan
+
+    df = _q(spark, "event_type_markov_transitions")
+    assert not has_python_stage(df)
+    plan = executed_plan(df)
+    assert plan.count("Window [") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_gini_and_diversity_plans_are_jvm_only(spark):
+    for name in ("user_activity_gini", "event_type_user_diversity"):
+        df = _q(spark, name)
+        assert not has_python_stage(df), name
