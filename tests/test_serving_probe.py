@@ -95,3 +95,55 @@ def test_probe_one_repeat_latency_subsecond(index_dir):
         probe.probe_one(qv, k=10, nprobe=4)
     dt = time.perf_counter() - t0
     assert dt < 1.0, f"50 repeat probes took {dt:.3f}s"
+
+
+@pytest.fixture(scope="module")
+def pq_index_dir(emb, tmp_path_factory):
+    from echo_chambers_detection_spark.operators.ann import pq_index_build
+
+    idx = str(tmp_path_factory.mktemp("serve") / "pq")
+    pq_index_build(emb, idx, m=8, k=16, iters=2)
+    return idx
+
+
+def test_pq_probe_parity_with_batch_pq_topk(emb, query, pq_index_dir):
+    """Exhaustive probe (refine=None) must reproduce the batch
+    pq_topk_from_index exactly — ids AND 6-digit-rounded scores."""
+    from echo_chambers_detection_spark.operators.ann import (
+        pq_topk_from_index,
+    )
+    from echo_chambers_detection_spark.serving import PqProbe
+
+    batch = [
+        (r["post_cid"], r["score"])
+        for r in pq_topk_from_index(
+            emb, pq_index_dir, query, k_results=10, refine=None
+        ).collect()
+    ]
+    probe = PqProbe(pq_index_dir, EMB_PARQUET)
+    served = probe.probe_one(_qvec(), k=10, refine=None)
+    assert served == batch
+
+
+def test_pq_probe_refined_parity_and_latency(emb, query, pq_index_dir):
+    """Finite refine must reproduce the batch finite-refine result
+    (same (adc, id) candidate cut), and 50 repeat queries stay under a
+    second of total numpy time."""
+    from echo_chambers_detection_spark.operators.ann import (
+        pq_topk_from_index,
+    )
+    from echo_chambers_detection_spark.serving import PqProbe
+
+    batch = [
+        (r["post_cid"], r["score"])
+        for r in pq_topk_from_index(
+            emb, pq_index_dir, query, k_results=10, refine=4
+        ).collect()
+    ]
+    probe = PqProbe(pq_index_dir, EMB_PARQUET)
+    qv = _qvec()
+    assert probe.probe_one(qv, k=10, refine=4) == batch
+    t0 = time.perf_counter()
+    for _ in range(50):
+        probe.probe_one(qv, k=10, refine=4)
+    assert time.perf_counter() - t0 < 1.0
