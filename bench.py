@@ -787,6 +787,41 @@ def main() -> None:
         ratios = sorted(raw[q] / _DRIFT_PROBES[q] for q in _DRIFT_PROBES)
         return raw, round(ratios[len(ratios) // 2], 3)
 
+    # Serialized-JOB-LATENCY drift probe (round 10): the throughput
+    # probes above missed a host regime observed 2026-08-16 where
+    # scan/join rows read FAST (drift 0.8) while loop-heavy rows
+    # (lpa/leiden/ktruss/condense) ran ~2x slow — those rows' cost is
+    # dozens of serialized small jobs, i.e. per-job scheduling latency,
+    # not bytes. This measures exactly that: distributed
+    # connected_components on a 2k-node LONG-id path (long ids keep the
+    # string-only local mirror from firing), ~12 hook+shortcut rounds
+    # of trivial data. Canonical 7.5s = warm median of 3 on the
+    # round-10 machine (local[32], the slow-loop host itself, so
+    # loop_drift is ~1.0 for BENCH_r10 and comparable after). Emitted
+    # as its OWN ratio — mixing a latency probe into the throughput
+    # median would blur both signals.
+    _LOOP_PROBE_CANONICAL = 7.5
+
+    def _run_loop_probe() -> float:
+        from pyspark.sql import functions as F
+
+        from echo_chambers_detection_spark.operators import graph as G
+
+        e = spark.range(0, 1999, 1, 8).select(
+            F.col("id").alias("u1"), (F.col("id") + 1).alias("u2")
+        )
+        t0 = time.perf_counter()
+        G.connected_components(e).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.perf_counter() - t0, 3)
+        release_persisted()
+        return dt
+
+    # warm the loop shape once, then measure
+    _run_loop_probe()
+    loop_probe_s = _run_loop_probe()
+
     drift_raw, drift = _run_drift_probes()
 
     t_total = time.perf_counter()
@@ -803,6 +838,7 @@ def main() -> None:
     # compare to drift_raw to separate session degradation from host
     # speed (see the pre-pass comment)
     drift_post_raw, drift_post = _run_drift_probes()
+    loop_probe_post_s = _run_loop_probe()
 
     # synthetic at-scale rows (bench_-prefixed, outside the total)
     _at_scale_probes(spark, timings)
@@ -832,6 +868,12 @@ def main() -> None:
         "drift_probes": drift_raw,
         "drift_post": drift_post,
         "drift_post_probes": drift_post_raw,
+        "loop_drift": round(loop_probe_s / _LOOP_PROBE_CANONICAL, 3),
+        "loop_drift_post": round(
+            loop_probe_post_s / _LOOP_PROBE_CANONICAL, 3
+        ),
+        "loop_probe_s": loop_probe_s,
+        "loop_probe_post_s": loop_probe_post_s,
     }
     # the driver archives only the last ~2000 chars of stdout, which
     # truncates the per-query rows (BENCH_r09 lost half the record) —
