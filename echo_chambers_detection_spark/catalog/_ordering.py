@@ -43,6 +43,7 @@ _REGISTRY_ORDER = [
     # carries), and the density/hdbscan carry_input_ckpt opt-in
     "leiden_planted_recovery",
     "louvain_planted_recovery",
+    "lpa_planted_recovery",
     "ktruss_planted",
     "hdbscan_planted_recovery",
     "conductance_sentinel",
@@ -84,10 +85,11 @@ _REGISTRY_ORDER = [
     "doc_fingerprints",
     "language_id_pred",
     "embedding_near_dup",
-    "tumbling_event_counts",
     # -- TAIL (51+): everything below is outside the driver stamp set --
-    # displaced from the round-10 window by the six new queries
-    # (round-8 stamps; first to rotate back in round 11)
+    # displaced from the round-10 window by the six new queries plus
+    # lpa_planted_recovery (the LPA argmax-agg rework needs a fresh
+    # stamp); round-8 stamps; first to rotate back in round 11
+    "tumbling_event_counts",
     "engagement_union",
     "sliding_event_counts",
     "language_id_trigram_pred",
@@ -147,7 +149,6 @@ _REGISTRY_ORDER = [
     "scd2_membership_history",
     "connected_components_planted",
     "modularity_opt_planted_recovery",
-    "lpa_planted_recovery",
     "kcore_planted_cores",
     "pagerank_planted",
     "pagerank_personalized_planted",

@@ -474,34 +474,55 @@ def label_propagation(
     labels = _materialize(_nodes_of_sym(sym).withColumn("community", F.col("node")))
     hint = _state_hint(_probe_small(labels))
     for _ in range(max_iter):
+        # Each node's own previous label rides the message stream as a
+        # zero-weight self-message: it contributes nothing to any label
+        # score (weights are strictly positive, so a 0-score label can
+        # never win or tie the argmax), but it (a) guarantees every node
+        # appears downstream — the old labels⋈top join existed only for
+        # that totality — and (b) carries the OLD label into the same
+        # aggregation that picks the NEW one, so the convergence flag
+        # costs no extra join. The argmax itself is min_by over
+        # struct(-score, community): lexicographic struct ordering gives
+        # highest score first, then the binary-smallest label — the
+        # exact tie-break the old row_number window used, without the
+        # window's per-node sort exchange. Two map-side-combining aggs
+        # replace agg + window sort + join (round-10: LPA was the one
+        # loop still paying a per-round window AND a per-round join).
         msgs = sym.join(
             hint(labels.withColumnRenamed("node", "src")), "src"
-        ).select(F.col("dst").alias("node"), "community", "weight")
-        counts = msgs.groupBy("node", "community").agg(
-            F.sum("weight").alias("score")
-        )
-        w = Window.partitionBy("node").orderBy(
-            F.desc("score"), F.asc("community")
-        )
-        top = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("community").alias("_new"))
-        )
-        # nodes with no neighbors keep their previous label (none exist
-        # in an edge list, but keep the operator total). The changed
-        # flag rides the materialized frame so convergence is one agg
-        # on the checkpointed leaf, not a second join job per round —
-        # and the dead generation is released in-loop (round-6 hygiene
-        # pass: LPA was the one loop still pinning every generation).
-        new_labels = _materialize(
-            labels.join(top, "node", "left").select(
+        ).select(
+            F.col("dst").alias("node"),
+            "community",
+            "weight",
+            F.lit(False).alias("own"),
+        ).unionByName(
+            labels.select(
                 "node",
-                F.coalesce("_new", F.col("community")).alias("community"),
-                (
-                    F.coalesce("_new", F.col("community"))
-                    != F.col("community")
-                ).alias("_chg"),
+                "community",
+                F.lit(0.0).alias("weight"),
+                F.lit(True).alias("own"),
+            )
+        )
+        counts = msgs.groupBy("node", "community").agg(
+            F.sum("weight").alias("score"), F.max("own").alias("own")
+        )
+        new_labels = _materialize(
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    "community",
+                    F.struct(
+                        (-F.col("score")).alias("ns"), F.col("community")
+                    ),
+                ).alias("community"),
+                F.max(F.when(F.col("own"), F.col("community"))).alias(
+                    "_old"
+                ),
+            )
+            .select(
+                "node",
+                "community",
+                (F.col("community") != F.col("_old")).alias("_chg"),
             )
         )
         changed = int(

@@ -57,12 +57,13 @@ def test_registry_window_covers_unverified_queries():
         "chunk_dedup_scrubbed_docs", "daily_hll_user_rollup",
         "events_in_membership_intervals", "revenue_by_nation",
         "doc_fingerprints", "language_id_pred", "embedding_near_dup",
-        "tumbling_event_counts",
-        # engagement_union / sliding_event_counts /
-        # language_id_trigram_pred / bpe_token_stats / text_scrub_stats
-        # / ann_int8_topk displaced to the tail by the six new round-10
-        # queries (round-8 stamps, untouched code; first to rotate back
-        # in round 11)
+        "lpa_planted_recovery",
+        # tumbling_event_counts / engagement_union /
+        # sliding_event_counts / language_id_trigram_pred /
+        # bpe_token_stats / text_scrub_stats / ann_int8_topk displaced
+        # to the tail by the six new round-10 queries + the LPA rework
+        # (round-8 stamps, untouched code; first to rotate back in
+        # round 11)
         "ngram_novelty_scores", "shingle_containment_pairs",
         "user_jaccard_similarity", "event_value_outliers_mad",
         "event_type_markov_transitions", "event_type_user_diversity",

@@ -87,7 +87,7 @@ def test_lpa_job_count(spark):
             e.select("u1", "u2"), max_iter=5
         ).count(),
     )
-    assert n <= 62, f"label propagation grew to {n} jobs (was 48)"
+    assert n <= 49, f"label propagation grew to {n} jobs (was 38)"
 
 
 def test_leiden_distributed_job_count(spark, monkeypatch):
