@@ -46,6 +46,7 @@ _REGISTRY_ORDER = [
     "lpa_planted_recovery",
     "ktruss_planted",
     "hdbscan_planted_recovery",
+    "coengagement_edges",
     "conductance_sentinel",
     "connected_components_strong",
     "community_metrics_table",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "revenue_by_nation",
     "doc_fingerprints",
     "language_id_pred",
-    "embedding_near_dup",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "embedding_near_dup",
     # displaced from the round-10 window by the six new queries plus
     # lpa_planted_recovery (the LPA argmax-agg rework needs a fresh
     # stamp); round-8 stamps; first to rotate back in round 11
@@ -143,7 +144,6 @@ _REGISTRY_ORDER = [
     "scd2_membership_as_of",
     "community_catalog_save",
     "session_windows_by_type",
-    "coengagement_edges",
     "community_membership_save",
     "embedded_documents",
     "scd2_membership_history",

@@ -45,8 +45,19 @@ GROUP BY 1, 2
     "(reference project/metrics/community_detection.py:22-38)",
 )
 def q_coengagement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = engagements_from_events(_t(spark, sf_dir, "events"))
-    return coengagement_edges(eng)
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
+    )
+
+    # Checkpoint the parsed engagement relation: the general self-join
+    # reads it twice, and the user-encode auto-probe + dictionary build
+    # (operators/coengagement.py) add two more passes — JSON extraction
+    # over the events scan is the expensive part to repeat.
+    eng = tracked_checkpoint(
+        engagements_from_events(_t(spark, sf_dir, "events"))
+    )
+    return carry_ckpt(coengagement_edges(eng), eng)
 
 
 @register(
