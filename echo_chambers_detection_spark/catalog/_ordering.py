@@ -28,6 +28,9 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 _REGISTRY_ORDER = [
     # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
+    "regional_supplier_volume",
+    "bigram_lm_cross_entropy",
+    "pii_redaction_stats",
     "ngram_novelty_scores",
     "shingle_containment_pairs",
     "user_jaccard_similarity",
@@ -82,10 +85,12 @@ _REGISTRY_ORDER = [
     "chunk_dedup_scrubbed_docs",
     "daily_hll_user_rollup",
     "events_in_membership_intervals",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # displaced by the three new third-session queries (r7/r8 stamps,
+    # untouched code; first to rotate back in round 11)
     "revenue_by_nation",
     "doc_fingerprints",
     "language_id_pred",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
     "embedding_near_dup",
     # displaced from the round-10 window by the six new queries plus
     # lpa_planted_recovery (the LPA argmax-agg rework needs a fresh

@@ -2529,6 +2529,173 @@ def q_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_lm_cross_entropy",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+    FROM toks
+),
+cbg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+cpre AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM((length(bin(cpre.c1)) - 1) - (length(bin(cbg.c2)) - 1)) AS BIGINT) AS sum_surprisal,
+       CAST(MAX((length(bin(cpre.c1)) - 1) - (length(bin(cbg.c2)) - 1)) AS BIGINT) AS max_surprisal
+FROM bg JOIN cbg USING (w1, w2) JOIN cpre USING (w1)
+GROUP BY bg.doc_id
+""",
+    doc="Bigram-LM cross-entropy scoring (M6 text analysis): the "
+    "perplexity-filter idiom one order up from token_rarity_scores — "
+    "score each document by how surprising its BIGRAMS are under the "
+    "corpus bigram model, i.e. -log2 p(w2|w1) with p = c(w1,w2)/c(w1,·). "
+    "The surprisal is quantized to the integer floor(log2 c(w1,·)) - "
+    "floor(log2 c(w1,w2)) (binary-representation lengths), which is "
+    ">= 0 by count monotonicity and keeps the whole pass in integer "
+    "arithmetic, hence hash-exact — a float -ln(p) average is "
+    "order-dependent summation no two engines reproduce bitwise. High "
+    "mean surprisal = incoherent word salad the unigram filter can't "
+    "see (every word common, no bigram ever seen); near-zero = "
+    "boilerplate. Scale shape: the bigram stream is built by zipping "
+    "the token array against itself (no window function), then two "
+    "vocab groupBys (map-side combine) and two AQE "
+    "broadcast-or-shuffle dimension joins, one per-doc groupBy. No "
+    "Python anywhere.",
+)
+def q_bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.functions.text import tokenize
+
+    toks = _docs_spread(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("ws")
+    )
+    bg = (
+        toks.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cpre = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    sur = (F.length(F.bin("c1")) - 1) - (F.length(F.bin("c2")) - 1)
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cpre, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(sur).cast("bigint").alias("sum_surprisal"),
+            F.max(sur).cast("bigint").alias("max_surprisal"),
+        )
+    )
+
+
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,4}"
+_PII_PHONE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+WITH pii AS (
+    SELECT doc_id,
+           text ||
+           CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || (doc_id % 50) || '@mail' || (doc_id % 7) || '.example.com'
+                ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0
+                THEN ' ip=10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0
+                THEN ' tel +41-555-' || (1000 + doc_id % 9000)
+                ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_PHONE}', '<TEL>', 'g'), '{_PII_IP}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM pii
+""",
+    doc="PII detect + redact pass (M6 curation): per-document counts of "
+    "email / phone / IPv4 matches and the post-redaction length, over "
+    "text with synthetic PII woven in deterministically from doc_id "
+    "(the url_curation_stats fixture pattern — the corpus itself "
+    "carries no PII, so the workload is planted to keep real signal: "
+    "167/100/125 nonzero rows per class at sf0.01). Emails are "
+    "redacted BEFORE the IPv4 scan so a dotted mail host can't "
+    "double-count; patterns are anchored-free simple classes that "
+    "behave identically under Java regex and RE2. Scale shape: pure "
+    "per-row JVM regex in one projection — no shuffle at all; the "
+    "100 TB plan is scan -> codegen -> sink, and the redacted text "
+    "itself (not re-emitted here) would be written scan-side exactly "
+    "like chunk_dedup_scrubbed_docs.",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (d % 50).cast("string"),
+                F.lit("@mail"),
+                (d % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" ip=10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" tel +41-555-"), (1000 + d % 9000).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs_spread(spark, sf_dir).select("doc_id", t.alias("t"))
+    no_email = F.regexp_replace("t", _PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(
+        F.regexp_replace(no_email, _PII_PHONE, "<TEL>"), _PII_IP, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IP), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    )
+
+
 _URL_BLOCKLIST = ("cdn13.example.org", "cdn42.example.org", "cdn77.example.org")
 
 

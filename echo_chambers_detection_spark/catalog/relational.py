@@ -89,6 +89,63 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regional_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5-shaped local-supplier-volume: a 5-way join chain where "
+    "supplier and customer must share a nation (the classic co-location "
+    "predicate), a region filter, and a date-range filter. Scale shape: "
+    "lineitem-orders-customer carry the fact-side shuffles; supplier/"
+    "nation/region are broadcast dimensions, so the co-nation equality "
+    "is evaluated map-side and the region filter prunes before the agg; "
+    "the decimal-exact revenue uses the same _dec_sum idiom as "
+    "revenue_by_nation (SURVEY.md J1/J2/A-family).",
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .where(
+            F.col("r_name").isin("ASIA", "EUROPE")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
     "top_orders",
     """
 SELECT o_orderkey, o_custkey, o_totalprice

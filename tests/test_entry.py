@@ -55,9 +55,10 @@ def test_registry_window_covers_unverified_queries():
         "degree_histogram", "event_interarrival_stats",
         "incremental_dedup_new_batch", "user_session_stats",
         "chunk_dedup_scrubbed_docs", "daily_hll_user_rollup",
-        "events_in_membership_intervals", "revenue_by_nation",
-        "doc_fingerprints", "language_id_pred",
+        "events_in_membership_intervals",
         "lpa_planted_recovery", "coengagement_edges",
+        "regional_supplier_volume", "bigram_lm_cross_entropy",
+        "pii_redaction_stats",
         # tumbling_event_counts / engagement_union /
         # sliding_event_counts / language_id_trigram_pred /
         # bpe_token_stats / text_scrub_stats / ann_int8_topk displaced

@@ -1,0 +1,151 @@
+"""Mechanics checks for the round-10 third-session catalog additions on
+crafted inputs with hand-computed expectations (the standing
+micro-fixture pattern of tests/test_round10_queries.py): the sf oracle
+differential proves engine parity, these pin the arithmetic itself.
+
+- bigram_lm_cross_entropy: quantized surprisal on a 2-doc corpus whose
+  bigram/prefix counts are hand-countable.
+- pii_redaction_stats: planted-PII counts and the redacted length on a
+  doc_id divisible by 3, 4 AND 5 (all three classes fire) vs one where
+  none do.
+- regional_supplier_volume: the co-nation supplier predicate, region
+  filter, and date filter each kill exactly one crafted lineitem.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+
+
+def _write(df, sf_dir: str, name: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    )
+
+
+def test_bigram_surprisal_closed_form(spark, tmp_path):
+    # corpus bigrams: d1 "a b a b" -> (a,b),(b,a),(a,b); d2 "a b c" ->
+    # (a,b),(b,c). c(a,b)=3, c(b,a)=1, c(b,c)=1; prefixes c(a,.)=3,
+    # c(b,.)=2. surprisal = flog2(prefix) - flog2(bigram):
+    # (a,b): 1-1=0, (b,a): 1-0=1, (b,c): 1-0=1.
+    sf = str(tmp_path)
+    _write(
+        spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],
+            "doc_id long, text string",
+        ),
+        sf,
+        "documents",
+    )
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_surprisal"], r["max_surprisal"])
+        for r in QUERY_REGISTRY["bigram_lm_cross_entropy"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert rows[1] == (3, 1, 1)  # 0 + 1 + 0
+    assert rows[2] == (2, 1, 1)  # 0 + 1
+    assert 3 not in rows  # single-token doc has no bigrams
+
+
+def test_pii_redaction_planted_classes(spark, tmp_path):
+    # doc_id=60 is divisible by 3, 4 and 5: all three planted classes
+    # fire. Appended text: ' contact user10@mail4.example.com'
+    # ' ip=10.60.0.60' ' tel +41-555-1060'. Redacted:
+    # 'hello' + ' contact <EMAIL>' + ' ip=<IP>' + ' tel <TEL>'
+    # lengths: 5 + 16 + 8 + 10 = 39. doc_id=1: nothing planted.
+    sf = str(tmp_path)
+    _write(
+        spark.createDataFrame(
+            [(60, "hello"), (1, "plain text")], "doc_id long, text string"
+        ),
+        sf,
+        "documents",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERY_REGISTRY["pii_redaction_stats"].spark(spark, sf).collect()
+    }
+    assert rows[60]["n_emails"] == 1
+    assert rows[60]["n_ips"] == 1
+    assert rows[60]["n_phones"] == 1
+    assert rows[60]["redacted_len"] == 39
+    assert rows[1]["n_emails"] == 0
+    assert rows[1]["n_ips"] == 0
+    assert rows[1]["n_phones"] == 0
+    assert rows[1]["redacted_len"] == len("plain text")
+
+
+def test_regional_supplier_volume_predicates(spark, tmp_path):
+    # One qualifying lineitem (ASIA customer + co-nation supplier +
+    # 1997 order): revenue = 100 * (1 - 0.1) = 90. Killed one way each:
+    # l2 by the co-nation predicate (supplier in AMERICA), o2 by the
+    # date filter (1995), o3 by the region filter (AMERICA customer).
+    sf = str(tmp_path)
+    _write(
+        spark.createDataFrame(
+            [(0, "ASIA"), (1, "AMERICA")], "r_regionkey long, r_name string"
+        ),
+        sf,
+        "region",
+    )
+    _write(
+        spark.createDataFrame(
+            [(0, "CHINA", 0), (1, "BRAZIL", 1)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        ),
+        sf,
+        "nation",
+    )
+    _write(
+        spark.createDataFrame(
+            [(1, 0), (2, 1)], "c_custkey long, c_nationkey long"
+        ),
+        sf,
+        "customer",
+    )
+    _write(
+        spark.createDataFrame(
+            [(1, 0), (2, 1)], "s_suppkey long, s_nationkey long"
+        ),
+        sf,
+        "supplier",
+    )
+    _write(
+        spark.createDataFrame(
+            [
+                (10, 1, dt.datetime(1997, 6, 1)),
+                (20, 1, dt.datetime(1995, 6, 1)),
+                (30, 2, dt.datetime(1997, 6, 1)),
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        ),
+        sf,
+        "orders",
+    )
+    _write(
+        spark.createDataFrame(
+            [
+                (10, 1, 100.0, 0.1),  # qualifies: revenue 90
+                (10, 2, 100.0, 0.0),  # co-nation predicate kills it
+                (20, 1, 100.0, 0.0),  # date filter kills the order
+                (30, 2, 100.0, 0.0),  # region filter kills the customer
+            ],
+            "l_orderkey long, l_suppkey long, l_extendedprice double, "
+            "l_discount double",
+        ),
+        sf,
+        "lineitem",
+    )
+    rows = (
+        QUERY_REGISTRY["regional_supplier_volume"].spark(spark, sf).collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["nation"] == "CHINA"
+    assert rows[0]["revenue"] == 90.0
+    assert rows[0]["line_count"] == 1
