@@ -29,6 +29,7 @@ _REGISTRY_ORDER = [
     # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
     "regional_supplier_volume",
+    "bfs_hop_distances",
     "bigram_lm_cross_entropy",
     "pii_redaction_stats",
     "ngram_novelty_scores",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
     "daily_hll_user_rollup",
-    "events_in_membership_intervals",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "events_in_membership_intervals",
     # displaced by the three new third-session queries (r7/r8 stamps,
     # untouched code; first to rotate back in round 11)
     "revenue_by_nation",

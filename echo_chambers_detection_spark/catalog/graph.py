@@ -1100,6 +1100,48 @@ def q_transitivity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bfs_hop_distances",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+walk(node, d) AS (
+    SELECT (SELECT MIN(u1) FROM g), 0
+    UNION
+    SELECT und2.dst, walk.d + 1
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.d < 30
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+""",
+    doc="Single-source BFS hop distances from the binary-smallest user "
+    "over the strong-tie backbone — the GDS traversal/shortest-path "
+    "family (gds.bfs streams from the same projected graph the "
+    "reference's community algorithms use). Frontier-expansion loop "
+    "with one edge join + one O(n) state update per round "
+    "(operators/graph.py::bfs_distances); the DuckDB oracle is a "
+    "recursive CTE capped at the SAME 30-hop bound, so the k-hop "
+    "semantics is pinned on both sides, and hop counts are integers — "
+    "hash-exact by construction.",
+)
+def q_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        bfs_distances,
+        carry_ckpt,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        bfs_distances(strong_tie_backbone(g, k=10), max_iter=30), g
+    )
+
+
+@register(
     "degree_assortativity_moments",
     f"""
 WITH {_ORACLE_USER_GRAPH_CTE},

@@ -540,6 +540,76 @@ def label_propagation(
     return labels
 
 
+def bfs_distances(
+    edges: DataFrame, seeds: list | None = None, max_iter: int = 50
+) -> DataFrame:
+    """Multi-source BFS hop distances over the undirected graph — the
+    GDS traversal/shortest-path family companion (gds.bfs /
+    gds.allShortestPaths stream from the same projected graph the
+    reference's community algorithms use,
+    project/metrics/community_detection.py:49-83).
+
+    ``seeds=None`` seeds from the binary-smallest node id, so the
+    default run is deterministic and oracle-able. Returns
+    (node, dist: bigint) for REACHED nodes only — unreached nodes drop
+    out at the end instead of shipping NULL rows every round, and a
+    bounded ``max_iter`` makes the result the exact ``max_iter``-hop
+    neighborhood (the SQL oracle caps its recursion at the same
+    constant, so the semantics is pinned, not truncated silently).
+
+    Per round: one frontier semi-shaped join against the symmetrized
+    edge frame plus one left-join update of the O(n) distance frame —
+    the same per-round cost profile as the other loops in this module;
+    generations are checkpointed and retired in-loop, and the
+    convergence flag is an agg on the already-materialized frame.
+    """
+    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    nodes = _nodes_of_sym(sym)
+    if seeds is None:
+        seeds = [sym.agg(F.min("src")).first()[0]]
+    dist = _materialize(
+        nodes.select(
+            "node",
+            F.when(F.col("node").isin(list(seeds)), F.lit(0))
+            .cast("int")
+            .alias("dist"),
+        )
+    )
+    hint = _state_hint(_probe_small(dist))
+    for d in range(1, max_iter + 1):
+        frontier = dist.where(F.col("dist") == d - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = (
+            sym.join(hint(frontier), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_dist = _materialize(
+            dist.join(hint(reached.withColumn("_r", F.lit(1))), "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    "dist", F.when(F.col("_r") == 1, F.lit(d)).cast("int")
+                ).alias("dist"),
+            )
+        )
+        grew = int(
+            new_dist.agg(F.sum((F.col("dist") == d).cast("long")).alias("c"))
+            .first()["c"]
+            or 0
+        )
+        _release_checkpoint(dist)
+        dist = new_dist
+        if grew == 0:
+            break
+    _release_checkpoint(sym)
+    out = dist.where(F.col("dist").isNotNull()).select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    )
+    return carry_ckpt(out, dist)
+
+
 # ---------------------------------------------------------------------------
 # PageRank — superset of the reference's GDS centrality family (the
 # reference streams community algorithms from the same projected graph,

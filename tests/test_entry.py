@@ -55,8 +55,8 @@ def test_registry_window_covers_unverified_queries():
         "degree_histogram", "event_interarrival_stats",
         "incremental_dedup_new_batch", "user_session_stats",
         "chunk_dedup_scrubbed_docs", "daily_hll_user_rollup",
-        "events_in_membership_intervals",
         "lpa_planted_recovery", "coengagement_edges",
+        "bfs_hop_distances",
         "regional_supplier_volume", "bigram_lm_cross_entropy",
         "pii_redaction_stats",
         # tumbling_event_counts / engagement_union /

@@ -149,3 +149,27 @@ def test_regional_supplier_volume_predicates(spark, tmp_path):
     assert rows[0]["nation"] == "CHINA"
     assert rows[0]["revenue"] == 90.0
     assert rows[0]["line_count"] == 1
+
+
+def test_bfs_distances_path_graph(spark):
+    # path a-b-c-d plus isolated pair x-y: from seed 'a' (binary
+    # smallest), dists are 0,1,2,3; x,y unreached and excluded.
+    from echo_chambers_detection_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "u1 string, u2 string",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # multi-source: seeds a and d meet in the middle
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, seeds=["a", "d"]).collect()
+    }
+    assert got2 == {"a": 0, "d": 0, "b": 1, "c": 1}
+    # max_iter caps the neighborhood exactly
+    got3 = {
+        r["node"]: r["dist"] for r in bfs_distances(e, max_iter=1).collect()
+    }
+    assert got3 == {"a": 0, "b": 1}
