@@ -30,6 +30,7 @@ _REGISTRY_ORDER = [
     # new this round (never stamped)
     "regional_supplier_volume",
     "bfs_hop_distances",
+    "khop_min_cost_paths",
     "bigram_lm_cross_entropy",
     "pii_redaction_stats",
     "ngram_novelty_scores",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "incremental_dedup_new_batch",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
-    "daily_hll_user_rollup",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "daily_hll_user_rollup",
     "events_in_membership_intervals",
     # displaced by the three new third-session queries (r7/r8 stamps,
     # untouched code; first to rotate back in round 11)

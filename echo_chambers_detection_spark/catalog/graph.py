@@ -1142,6 +1142,71 @@ def q_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "khop_min_cost_paths",
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gw
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gw
+),
+gb AS (
+    SELECT DISTINCT LEAST(src, dst) AS u1, GREATEST(src, dst) AS u2, w
+    FROM (
+        SELECT src, dst, w,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM und
+    ) WHERE rk <= 10
+),
+und2 AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gb
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gb
+),
+walk(node, h, c) AS (
+    SELECT (SELECT MIN(u1) FROM gb), 0, CAST(0 AS BIGINT)
+    UNION
+    SELECT und2.dst, walk.h + 1, walk.c + und2.w
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.h < 6
+)
+SELECT node, CAST(MIN(c) AS BIGINT) AS cost FROM walk GROUP BY node
+""",
+    doc="k-hop min-cost distances (min-plus Bellman-Ford, "
+    "operators/graph.py::bellman_ford_khop) from the binary-smallest "
+    "user over the WEIGHTED strong-tie backbone — the Dijkstra/"
+    "shortest-path member of the GDS traversal family, with edge cost "
+    "= the integer co-engagement weight so every path cost is exact "
+    "integer arithmetic. Six relaxation rounds pin <=6-edge-path "
+    "semantics; the DuckDB oracle walks a recursive CTE capped at the "
+    "SAME hop bound (its UNION dedups (node, hops, cost) states, so "
+    "the recursion is bounded by the state space, not the path "
+    "count). Early exit on a stalled round is sound — min-plus "
+    "relaxation is a monotone fixpoint.",
+)
+def q_khop_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        bellman_ford_khop,
+        carry_ckpt,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        bellman_ford_khop(
+            strong_tie_backbone(g, k=10, keep_weight=True), k=6
+        ),
+        g,
+    )
+
+
+@register(
     "degree_assortativity_moments",
     f"""
 WITH {_ORACLE_USER_GRAPH_CTE},

@@ -610,6 +610,82 @@ def bfs_distances(
     return carry_ckpt(out, dist)
 
 
+def bellman_ford_khop(
+    edges: DataFrame, seeds: list | None = None, k: int = 10
+) -> DataFrame:
+    """k-hop min-cost distances by Bellman-Ford relaxation — the
+    weighted companion of `bfs_distances` (the GDS
+    shortest-path/Dijkstra family over the same projected graph;
+    min-plus semiring, edge cost = the input's integer ``weight``).
+
+    Each round relaxes every edge out of the currently-reached set:
+    one join of the symmetrized edge frame against the O(n) cost
+    frame, one min-combining groupBy (map-side combine does the heavy
+    lifting), one least-merge update. After ``r`` rounds the frame
+    holds the exact min cost over paths of <= r edges, so ``k`` pins
+    k-hop semantics the same way `bfs_distances.max_iter` does — and
+    the early exit on a no-change round is sound because min-plus
+    relaxation is a monotone fixpoint (a stalled round can never be
+    followed by a productive one). Integer costs stay integers:
+    hash-exact against a recursive-CTE oracle capped at the same hop
+    bound. Returns (node, cost: bigint) for reached nodes only.
+    """
+    sym = _materialize_wide(_symmetrize(edges, weighted=True))
+    nodes = _nodes_of_sym(sym)
+    if seeds is None:
+        seeds = [sym.agg(F.min("src")).first()[0]]
+    dist = _materialize(
+        nodes.select(
+            "node",
+            F.when(F.col("node").isin(list(seeds)), F.lit(0))
+            .cast("bigint")
+            .alias("cost"),
+        )
+    )
+    hint = _state_hint(_probe_small(dist))
+    for _ in range(k):
+        best = (
+            sym.join(
+                hint(
+                    dist.where(F.col("cost").isNotNull()).select(
+                        F.col("node").alias("src"), "cost"
+                    )
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("weight").cast("bigint")).alias("nc"),
+            )
+            .groupBy("node")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new_dist = _materialize(
+            dist.join(hint(best), "node", "left").select(
+                "node",
+                F.least("cost", "nc").alias("cost"),
+                (~F.least("cost", "nc").eqNullSafe(F.col("cost"))).alias(
+                    "_chg"
+                ),
+            )
+        )
+        changed = int(
+            new_dist.agg(F.sum(F.col("_chg").cast("long")).alias("c")).first()[
+                "c"
+            ]
+            or 0
+        )
+        _release_checkpoint(dist)
+        dist = new_dist.select("node", "cost")
+        dist._ckpt_rdd_ids = getattr(new_dist, "_ckpt_rdd_ids", [])
+        new_dist._ckpt_rdd_ids = []
+        if changed == 0:
+            break
+    _release_checkpoint(sym)
+    out = dist.where(F.col("cost").isNotNull())
+    return carry_ckpt(out, dist)
+
+
 # ---------------------------------------------------------------------------
 # PageRank — superset of the reference's GDS centrality family (the
 # reference streams community algorithms from the same projected graph,

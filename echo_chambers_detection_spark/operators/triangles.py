@@ -180,7 +180,9 @@ def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
     return out
 
 
-def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
+def strong_tie_backbone(
+    edges: DataFrame, k: int = 10, keep_weight: bool = False
+) -> DataFrame:
     """Top-k strong-tie sparsification of a weighted undirected graph:
     each node keeps its k heaviest incident edges (ties broken by
     neighbor id, so the result is deterministic), and an edge survives
@@ -197,7 +199,9 @@ def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
 
     One window per orientation (partitioned by node — the per-node
     top-k never global-sorts); output is the canonical (u1 < u2)
-    distinct edge list."""
+    distinct edge list. ``keep_weight`` carries the edge weight through
+    (identical from both orientations, so the distinct still
+    canonicalizes) for weighted consumers like `bellman_ford_khop`."""
     from pyspark.sql import Window
 
     und = edges.select(
@@ -210,13 +214,16 @@ def strong_tie_backbone(edges: DataFrame, k: int = 10) -> DataFrame:
     w = Window.partitionBy("src").orderBy(
         F.col("weight").desc(), F.col("dst")
     )
+    cols = [
+        F.least("src", "dst").alias("u1"),
+        F.greatest("src", "dst").alias("u2"),
+    ]
+    if keep_weight:
+        cols.append(F.col("weight"))
     keep = (
         und.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .select(
-            F.least("src", "dst").alias("u1"),
-            F.greatest("src", "dst").alias("u2"),
-        )
+        .select(*cols)
         .distinct()
     )
     return keep

@@ -54,9 +54,9 @@ def test_registry_window_covers_unverified_queries():
         "event_type_theta_users", "tfidf_top_terms",
         "degree_histogram", "event_interarrival_stats",
         "incremental_dedup_new_batch", "user_session_stats",
-        "chunk_dedup_scrubbed_docs", "daily_hll_user_rollup",
+        "chunk_dedup_scrubbed_docs",
         "lpa_planted_recovery", "coengagement_edges",
-        "bfs_hop_distances",
+        "bfs_hop_distances", "khop_min_cost_paths",
         "regional_supplier_volume", "bigram_lm_cross_entropy",
         "pii_redaction_stats",
         # tumbling_event_counts / engagement_union /

@@ -173,3 +173,36 @@ def test_bfs_distances_path_graph(spark):
         r["node"]: r["dist"] for r in bfs_distances(e, max_iter=1).collect()
     }
     assert got3 == {"a": 0, "b": 1}
+
+
+def test_bellman_ford_khop_weighted_path(spark):
+    # a-b (w=5), b-c (w=1), a-c (w=10): direct a-c costs 10, the
+    # two-hop route a-b-c costs 6. k=1 sees only direct edges; k>=2
+    # finds the cheaper two-hop route.
+    from echo_chambers_detection_spark.operators.graph import (
+        bellman_ford_khop,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 1), ("a", "c", 10)],
+        "u1 string, u2 string, weight long",
+    )
+    one = {r["node"]: r["cost"] for r in bellman_ford_khop(e, k=1).collect()}
+    assert one == {"a": 0, "b": 5, "c": 10}
+    two = {r["node"]: r["cost"] for r in bellman_ford_khop(e, k=2).collect()}
+    assert two == {"a": 0, "b": 5, "c": 6}
+
+
+def test_strong_tie_backbone_keep_weight(spark):
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    e = spark.createDataFrame(
+        [("b", "a", 3), ("a", "c", 7)], "u1 string, u2 string, weight long"
+    )
+    rows = {
+        (r["u1"], r["u2"]): r["weight"]
+        for r in strong_tie_backbone(e, k=10, keep_weight=True).collect()
+    }
+    assert rows == {("a", "b"): 3, ("a", "c"): 7}
