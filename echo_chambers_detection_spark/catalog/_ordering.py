@@ -31,6 +31,8 @@ _REGISTRY_ORDER = [
     "regional_supplier_volume",
     "bfs_hop_distances",
     "khop_min_cost_paths",
+    "user_cohort_retention",
+    "event_funnel_counts",
     "bigram_lm_cross_entropy",
     "pii_redaction_stats",
     "ngram_novelty_scores",
@@ -83,9 +85,9 @@ _REGISTRY_ORDER = [
     "degree_histogram",
     "event_interarrival_stats",
     "incremental_dedup_new_batch",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
     "daily_hll_user_rollup",
     "events_in_membership_intervals",
     # displaced by the three new third-session queries (r7/r8 stamps,

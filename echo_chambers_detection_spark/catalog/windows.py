@@ -281,3 +281,117 @@ def q_event_type_markov_transitions(
             6,
         ).alias("p"),
     )
+
+
+@register(
+    "user_cohort_retention",
+    """
+WITH firsts AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+),
+acts AS (
+    SELECT DISTINCT e.user_id,
+           (CAST(e.ts AS DATE) - DATE '1970-01-05') // 7 AS w,
+           (CAST(f.t0 AS DATE) - DATE '1970-01-05') // 7 AS w0
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT CAST(w0 AS BIGINT) AS cohort_week,
+       CAST(w - w0 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM acts GROUP BY 1, 2
+""",
+    doc="Weekly cohort-retention matrix — the standard product-"
+    "analytics triangle: users bucketed by first-seen week, counted "
+    "once per (cohort, weeks-since-first) cell. Weeks are Monday-"
+    "aligned INTEGER indexes computed as floor((epoch_day - 4) / 7) "
+    "on both sides, sidestepping the date_trunc('week') and "
+    "date_diff('week') engine-boundary differences entirely — the "
+    "whole query is integer arithmetic, hash-exact. Scale shape: one "
+    "first-seen groupBy (map-side combine), one AQE broadcast-or-"
+    "shuffle join of the O(users) dimension back onto the event "
+    "stream, one (user, week) distinct, one cell groupBy — all keyed "
+    "on user_id or small grids, no window function.",
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def wk(c):
+        return F.floor(F.datediff(F.to_date(c), F.lit("1970-01-05")) / 7)
+
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    acts = (
+        ev.join(firsts, "user_id")
+        .select("user_id", wk("ts").alias("w"), wk("t0").alias("w0"))
+        .distinct()
+    )
+    return acts.groupBy(
+        F.col("w0").cast("bigint").alias("cohort_week"),
+        (F.col("w") - F.col("w0")).cast("bigint").alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "event_funnel_counts",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 'view>click', COUNT(*) FROM s2
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM s3
+""",
+    doc="Ordered-funnel conversion counts (view -> click -> purchase): "
+    "each stage is the users whose earliest qualifying event STRICTLY "
+    "follows their previous stage's earliest event — the textbook "
+    "first-touch funnel, deterministic because every stage reduces to "
+    "MIN(ts) under a strict inequality (timestamp ties can't flip "
+    "membership). Scale shape: each stage is one filtered groupBy "
+    "plus one join against the previous stage's O(converted-users) "
+    "frame — the stage frames shrink monotonically, so at 100 TB the "
+    "deep-funnel joins are broadcast-side; no window function, no "
+    "event-stream self-join.",
+)
+def q_event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_users"))
+        .select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
