@@ -403,3 +403,14 @@ def test_pii_redaction_is_scan_side_only(spark):
     # counts but shows as one round-robin exchange on the tiny fixture;
     # no hash exchange (join/agg) may appear either way.
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_cohort_and_funnel_are_windowless_jvm_only(spark):
+    """Both product-analytics queries reduce to joins + map-side-
+    combining aggs: no window function, no Python anywhere."""
+    from echo_chambers_detection_spark.plans.explain import executed_plan
+
+    for name in ("user_cohort_retention", "event_funnel_counts"):
+        df = _q(spark, name)
+        assert not has_python_stage(df), name
+        assert "Window [" not in executed_plan(df), name
