@@ -33,6 +33,7 @@ _REGISTRY_ORDER = [
     "khop_min_cost_paths",
     "user_cohort_retention",
     "event_funnel_counts",
+    "event_key_heavy_hitters",
     "bigram_lm_cross_entropy",
     "pii_redaction_stats",
     "ngram_novelty_scores",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "tfidf_top_terms",
     "degree_histogram",
     "event_interarrival_stats",
-    "incremental_dedup_new_batch",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "incremental_dedup_new_batch",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",
     "daily_hll_user_rollup",

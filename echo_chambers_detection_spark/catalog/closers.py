@@ -706,3 +706,42 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("gini_num"),
         F.round(num / (F.max("n") * F.sum("c")), 6).alias("gini"),
     )
+
+
+@register(
+    "event_key_heavy_hitters",
+    """
+WITH kv AS (
+    SELECT json_extract_string(props, '$.k') AS value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT value, COUNT(*) AS est, CAST(0 AS BIGINT) AS max_err
+FROM kv GROUP BY value
+ORDER BY est DESC, value LIMIT 20
+""",
+    doc="Top-20 hottest engagement keys via a mergeable Misra-Gries "
+    "heavy-hitters sketch (operators/eventstats.py — Spark 4 ships "
+    "theta/HLL/KLL/GK but no frequent-items sketch, so this completes "
+    "the mergeable-summary toolkit). MG(k=256) is EXACT whenever no "
+    "per-partition stream nor the merged summary exceeds k distinct "
+    "values — the bounded props.k vocabulary pins that regime, so "
+    "est is the true count, max_err = 0, and the query "
+    "oracle-hash-checks (the theta/KLL provably-exact-regime "
+    "pairing). The truncation regime's est <= true <= est + max_err "
+    "and (k+1)*max_err <= n guarantees are asserted on a skewed "
+    "100k-row stream in tests/test_sketches.py.",
+)
+def q_event_key_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.eventstats import (
+        misra_gries_heavy_hitters,
+    )
+
+    kv = _t(spark, sf_dir, "events").select(
+        F.get_json_object(F.col("props"), "$.k").alias("k")
+    )
+    return (
+        misra_gries_heavy_hitters(kv, "k", k=256)
+        .orderBy(F.desc("est"), F.asc("value"))
+        .limit(20)
+    )

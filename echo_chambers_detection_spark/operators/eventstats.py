@@ -96,3 +96,89 @@ def user_session_stats(
         F.sum("dur_ms").alias("sum_session_ms"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitters summary over one column —
+    the frequent-items member of the sketch toolkit (theta distinct,
+    HLL++, KLL/GK quantiles are Spark-built-in; Spark 4 ships no
+    frequent-items sketch, so this one is implemented as the
+    mergeable-summaries construction of Agarwal et al., PODS'12).
+
+    Contract: returns (value: string, est: bigint, max_err: bigint)
+    with ``est <= true_count <= est + max_err`` for EVERY value (also
+    the unreported ones: their true count is <= max_err), and
+    ``max_err * (k+1) <= n``. When no truncation ever fires — every
+    per-partition stream and the merged summary hold <= k distinct
+    values — ``max_err = 0`` and the counts are exact, which is the
+    regime the oracle-backed catalog query pins (the same
+    provably-exact-regime pairing as the theta/KLL family). NULLs are
+    never counted.
+
+    Shape: one `mapInPandas` pass builds an MG(k) summary per
+    partition — per Arrow batch a C-side ``value_counts`` merged into
+    the running summary with a top-k truncation (never a per-row
+    Python loop); per-partition decrement totals ride along as
+    NULL-value marker rows. One groupBy merges summaries (<= P*k
+    rows), one window + broadcast scalar applies the final
+    (k+1)-th-count subtraction on that tiny frame. Driver state is
+    zero; the window's single partition holds <= P*k rows by
+    construction.
+    """
+    import pandas as pd
+
+    def part(batches):
+        acc = None
+        dec = 0
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                acc = acc.sort_values(ascending=False)
+                cut = int(acc.iloc[k])
+                dec += cut
+                acc = acc - cut
+                acc = acc[acc > 0]
+        frames = []
+        if acc is not None and len(acc):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "value": acc.index.astype(str),
+                        "est": acc.astype("int64").values,
+                    }
+                )
+            )
+        frames.append(pd.DataFrame({"value": [None], "est": [dec]}))
+        yield pd.concat(frames, ignore_index=True)
+
+    sk = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+        .mapInPandas(part, "value string, est long")
+    )
+    data = sk.where(F.col("value").isNotNull())
+    base_dec = sk.where(F.col("value").isNull()).agg(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("d")
+    )
+    merged = data.groupBy("value").agg(F.sum("est").alias("est"))
+    w = Window.orderBy(F.desc("est"), F.asc("value"))
+    ranked = merged.withColumn("_rk", F.row_number().over(w))
+    cutv = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rk") == k + 1, F.col("est"))), F.lit(0)
+        ).alias("cut")
+    )
+    errf = base_dec.crossJoin(F.broadcast(cutv)).select(
+        (F.col("d") + F.col("cut")).cast("bigint").alias("max_err")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutv))
+        .select(
+            "value", (F.col("est") - F.col("cut")).cast("bigint").alias("est")
+        )
+        .where(F.col("est") > 0)
+        .crossJoin(F.broadcast(errf))
+    )

@@ -104,3 +104,41 @@ def test_theta_intersection_sampling_regime_error_bounded(spark):
         ).alias("e")
     ).first()["e"]
     assert abs(est - 100_000) / 100_000 <= 0.08, est
+
+
+def test_misra_gries_truncation_regime_bounds(spark):
+    """MG(k=8) over a skewed 100k-row stream (one 60% heavy value,
+    long rare tail): for every reported value est <= true <= est +
+    max_err, the heavy value is reported, and the total error respects
+    (k+1) * max_err <= n."""
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.eventstats import (
+        misra_gries_heavy_hitters,
+    )
+
+    n = 100_000
+    df = spark.range(0, n, 1, 8).select(
+        F.when(F.col("id") % 10 < 6, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), 5000)))
+        .alias("v")
+    )
+    true = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    out = misra_gries_heavy_hitters(df, "v", k=8).collect()
+    assert out, "no heavy hitters reported"
+    max_err = out[0]["max_err"]
+    assert all(r["max_err"] == max_err for r in out)
+    assert (8 + 1) * max_err <= n
+    reported = {r["value"]: r["est"] for r in out}
+    assert "hot" in reported
+    for v, est in reported.items():
+        assert est <= true[v] <= est + max_err, (v, est, true[v], max_err)
+    # exact regime: fewer distinct values than k -> exact counts, zero error
+    small = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("s"), F.pmod(F.col("id"), 5)).alias("v")
+    )
+    exact = misra_gries_heavy_hitters(small, "v", k=256).collect()
+    assert all(r["max_err"] == 0 for r in exact)
+    assert {r["value"]: r["est"] for r in exact} == {
+        f"s{i}": 200 for i in range(5)
+    }
