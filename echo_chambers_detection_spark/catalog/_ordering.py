@@ -34,6 +34,7 @@ _REGISTRY_ORDER = [
     "user_cohort_retention",
     "event_funnel_counts",
     "event_key_heavy_hitters",
+    "coengagement_weekly_snapshots",
     "bigram_lm_cross_entropy",
     "pii_redaction_stats",
     "ngram_novelty_scores",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "event_type_theta_users",
     "tfidf_top_terms",
     "degree_histogram",
-    "event_interarrival_stats",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "event_interarrival_stats",
     "incremental_dedup_new_batch",
     "user_session_stats",
     "chunk_dedup_scrubbed_docs",

@@ -99,3 +99,73 @@ def q_coengagement_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "coengagement_weekly_snapshots",
+    """
+WITH e AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_did,
+           json_extract_string(props, '$.k') AS post_uri,
+           (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+w AS (
+    SELECT a.wk, a.user_did AS u1, b.user_did AS u2, COUNT(*) AS weight
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.wk = b.wk
+                     AND a.user_did < b.user_did
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(wk AS BIGINT) AS week,
+       COUNT(*) AS n_edges,
+       CAST(SUM(weight) AS BIGINT) AS total_weight,
+       CAST(MAX(weight) AS BIGINT) AS max_weight
+FROM w GROUP BY wk
+""",
+    doc="Time-sliced flagship: the co-engagement projection computed "
+    "per Monday-aligned week (integer week indexes, the "
+    "user_cohort_retention arithmetic) and rolled up to per-week "
+    "graph-scale stats — the hypertable-rollup idiom over the graph "
+    "series an echo-chamber TREND analysis consumes. Scale shape: "
+    "adding the week to the join and dedup keys makes the self-join "
+    "co-partitioned on (post, week) — strictly FINER partitions than "
+    "the all-time projection, so the Sigma deg^2 fan-out per task "
+    "shrinks and a viral post's pair block is bounded by its weekly "
+    "slice, not its lifetime. The weekly rollup is a "
+    "map-side-combining agg on the bounded week grid.",
+)
+def q_coengagement_weekly_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-05")) / 7)
+    e = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user_did"),
+            F.get_json_object("props", "$.k").alias("post_uri"),
+            wk.alias("wk"),
+        )
+        .where(F.col("post_uri").isNotNull())
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    wdf = (
+        a.join(
+            b,
+            (F.col("a.post_uri") == F.col("b.post_uri"))
+            & (F.col("a.wk") == F.col("b.wk")),
+        )
+        .where(F.col("a.user_did") < F.col("b.user_did"))
+        .groupBy(
+            F.col("a.wk").alias("wk"),
+            F.col("a.user_did").alias("u1"),
+            F.col("b.user_did").alias("u2"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    return wdf.groupBy(F.col("wk").cast("bigint").alias("week")).agg(
+        F.count("*").alias("n_edges"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+        F.max("weight").cast("bigint").alias("max_weight"),
+    )

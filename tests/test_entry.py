@@ -52,11 +52,11 @@ def test_registry_window_covers_unverified_queries():
         "triangle_counts", "triangle_counts_planted",
         "top_tokens_per_lang", "order_value_quartiles",
         "event_type_theta_users", "tfidf_top_terms",
-        "degree_histogram", "event_interarrival_stats",
+        "degree_histogram",
                 "lpa_planted_recovery", "coengagement_edges",
         "bfs_hop_distances", "khop_min_cost_paths",
         "user_cohort_retention", "event_funnel_counts",
-        "event_key_heavy_hitters",
+        "event_key_heavy_hitters", "coengagement_weekly_snapshots",
         "regional_supplier_volume", "bigram_lm_cross_entropy",
         "pii_redaction_stats",
         # tumbling_event_counts / engagement_union /
