@@ -31,6 +31,7 @@ _REGISTRY_ORDER = [
     "regional_supplier_volume",
     "bfs_hop_distances",
     "khop_min_cost_paths",
+    "landmark_bfs_distances",
     "user_cohort_retention",
     "event_funnel_counts",
     "event_key_heavy_hitters",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "order_value_quartiles",
     "event_type_theta_users",
     "tfidf_top_terms",
-    "degree_histogram",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "degree_histogram",
     "event_interarrival_stats",
     "incremental_dedup_new_batch",
     "user_session_stats",

@@ -1142,6 +1142,57 @@ def q_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "landmark_bfs_distances",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+lm AS (
+    SELECT node FROM (
+        SELECT u1 AS node FROM g UNION SELECT u2 AS node FROM g
+    ) ORDER BY node LIMIT 4
+),
+walk(seed, node, d) AS (
+    SELECT node, node, 0 FROM lm
+    UNION
+    SELECT walk.seed, und2.dst, walk.d + 1
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.d < 30
+)
+SELECT seed, node, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY seed, node
+""",
+    doc="Per-landmark BFS distance matrix over the strong-tie "
+    "backbone, all landmarks advanced by ONE shared loop "
+    "(operators/graph.py::bfs_landmark_distances — the state frame is "
+    "keyed (seed, node), so k landmarks cost one frontier join per "
+    "round, not k loops). Landmarks are the 4 binary-smallest users; "
+    "the recursive-CTE oracle seeds the same set and caps at the same "
+    "30-hop bound. This is the landmark-distances primitive under "
+    "closeness estimation and distance oracles; integer hop counts, "
+    "hash-exact.",
+)
+def q_landmark_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        bfs_landmark_distances,
+        carry_ckpt,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        bfs_landmark_distances(
+            strong_tie_backbone(g, k=10), n_landmarks=4, max_iter=30
+        ),
+        g,
+    )
+
+
+@register(
     "khop_min_cost_paths",
     f"""
 WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},

@@ -610,6 +610,82 @@ def bfs_distances(
     return carry_ckpt(out, dist)
 
 
+def bfs_landmark_distances(
+    edges: DataFrame, n_landmarks: int = 4, max_iter: int = 30
+) -> DataFrame:
+    """Per-landmark BFS distances, vectorized over the landmark set in
+    ONE loop: the state frame is keyed (seed, node), so every round
+    advances ALL landmarks' frontiers with the same single edge join —
+    k landmarks cost one loop, not k loops. This is the landmark/
+    pivot-distances primitive under closeness-centrality estimation
+    and distance-oracle embeddings (Potamias et al., CIKM'09 — public
+    literature), and the per-seed generalization of `bfs_distances`.
+
+    Landmarks are the ``n_landmarks`` binary-smallest node ids —
+    deterministic, so the result is oracle-able. Returns
+    (seed, node, dist: bigint) for reached pairs only; the driver
+    holds only the landmark id list (bounded by ``n_landmarks``).
+    """
+    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    nodes = _nodes_of_sym(sym)
+    seeds = [
+        r["node"]
+        for r in nodes.orderBy("node").limit(n_landmarks).collect()
+    ]
+    dist = _materialize(
+        nodes.crossJoin(
+            F.broadcast(
+                nodes.sparkSession.createDataFrame(
+                    [(s,) for s in seeds], "seed string"
+                )
+            )
+        ).select(
+            "seed",
+            "node",
+            F.when(F.col("node") == F.col("seed"), F.lit(0))
+            .cast("int")
+            .alias("dist"),
+        )
+    )
+    hint = _state_hint(_probe_small(dist))
+    for d in range(1, max_iter + 1):
+        frontier = dist.where(F.col("dist") == d - 1).select(
+            "seed", F.col("node").alias("src")
+        )
+        reached = (
+            sym.join(hint(frontier), "src")
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_dist = _materialize(
+            dist.join(
+                hint(reached.withColumn("_r", F.lit(1))),
+                ["seed", "node"],
+                "left",
+            ).select(
+                "seed",
+                "node",
+                F.coalesce(
+                    "dist", F.when(F.col("_r") == 1, F.lit(d)).cast("int")
+                ).alias("dist"),
+            )
+        )
+        grew = int(
+            new_dist.agg(F.sum((F.col("dist") == d).cast("long")).alias("c"))
+            .first()["c"]
+            or 0
+        )
+        _release_checkpoint(dist)
+        dist = new_dist
+        if grew == 0:
+            break
+    _release_checkpoint(sym)
+    out = dist.where(F.col("dist").isNotNull()).select(
+        "seed", "node", F.col("dist").cast("bigint").alias("dist")
+    )
+    return carry_ckpt(out, dist)
+
+
 def bellman_ford_khop(
     edges: DataFrame, seeds: list | None = None, k: int = 10
 ) -> DataFrame:

@@ -52,9 +52,9 @@ def test_registry_window_covers_unverified_queries():
         "triangle_counts", "triangle_counts_planted",
         "top_tokens_per_lang", "order_value_quartiles",
         "event_type_theta_users", "tfidf_top_terms",
-        "degree_histogram",
-                "lpa_planted_recovery", "coengagement_edges",
+                        "lpa_planted_recovery", "coengagement_edges",
         "bfs_hop_distances", "khop_min_cost_paths",
+        "landmark_bfs_distances",
         "user_cohort_retention", "event_funnel_counts",
         "event_key_heavy_hitters", "coengagement_weekly_snapshots",
         "regional_supplier_volume", "bigram_lm_cross_entropy",

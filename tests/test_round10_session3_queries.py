@@ -206,3 +206,23 @@ def test_strong_tie_backbone_keep_weight(spark):
         for r in strong_tie_backbone(e, k=10, keep_weight=True).collect()
     }
     assert rows == {("a", "b"): 3, ("a", "c"): 7}
+
+
+def test_landmark_bfs_shared_loop(spark):
+    # path a-b-c-d with 2 landmarks (a, b): per-seed distances differ
+    # per landmark, proving the (seed, node) state key.
+    from echo_chambers_detection_spark.operators.graph import (
+        bfs_landmark_distances,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "u1 string, u2 string"
+    )
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in bfs_landmark_distances(e, n_landmarks=2).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+        ("b", "a"): 1, ("b", "b"): 0, ("b", "c"): 1, ("b", "d"): 2,
+    }
