@@ -29,6 +29,7 @@ _REGISTRY_ORDER = [
     # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
     "regional_supplier_volume",
+    "promo_revenue_share",
     "bfs_hop_distances",
     "khop_min_cost_paths",
     "landmark_bfs_distances",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "top_tokens_per_lang",
     "order_value_quartiles",
     "event_type_theta_users",
-    "tfidf_top_terms",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "tfidf_top_terms",
     "degree_histogram",
     "event_interarrival_stats",
     "incremental_dedup_new_batch",

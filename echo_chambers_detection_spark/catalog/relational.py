@@ -393,3 +393,50 @@ def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "promo_revenue_share",
+    """
+SELECT
+    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+    COUNT(*) AS line_count
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
+""",
+    doc="TPC-H Q14-shaped promo-revenue share: conditional decimal-"
+    "exact aggregation over a date-sliced lineitem x part join — the "
+    "first consumer of the part dimension (every other TPC-H-ish "
+    "query keyed through orders/customer/supplier). Scale shape: the "
+    "ship-date filter reaches the lineitem parquet scan, part is the "
+    "broadcast dimension, and both sums run in the same single agg "
+    "pass (the promo share is a CASE inside the sum, not a second "
+    "scan). Both numerator and denominator are exact DECIMAL(18,6) "
+    "sums cast to double at the end — the _dec_sum idiom — so the "
+    "share a consumer derives is reproducible bit-for-bit.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_type") == "PROMO", rev.cast("decimal(18,6)")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            _dec_sum(rev, 6).alias("total_revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
