@@ -226,3 +226,34 @@ def test_landmark_bfs_shared_loop(spark):
         ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
         ("b", "a"): 1, ("b", "b"): 0, ("b", "c"): 1, ("b", "d"): 2,
     }
+
+
+def test_coengagement_encode_paths_identical(spark):
+    # The dictionary-encode path must be value-identical to the plain
+    # two-string path (the 100 TB default beyond the user gate),
+    # including on mixed-degree fixtures with a duplicate engagement
+    # and users whose string order differs from insertion order.
+    from echo_chambers_detection_spark.operators.coengagement import (
+        coengagement_edges,
+    )
+
+    eng = spark.createDataFrame(
+        [
+            ("zeta", "p1"), ("alpha", "p1"), ("mike", "p1"),
+            ("zeta", "p2"), ("alpha", "p2"),
+            ("mike", "p3"), ("alpha", "p3"), ("alpha", "p3"),
+        ],
+        "user_did string, post_uri string",
+    )
+    plain = {
+        (r["u1"], r["u2"]): r["weight"]
+        for r in coengagement_edges(eng, encode_users=False).collect()
+    }
+    enc = {
+        (r["u1"], r["u2"]): r["weight"]
+        for r in coengagement_edges(eng, encode_users=True).collect()
+    }
+    assert plain == enc
+    assert plain[("alpha", "zeta")] == 2
+    assert plain[("alpha", "mike")] == 2
+    assert plain[("mike", "zeta")] == 1
