@@ -144,3 +144,20 @@ def test_contract_and_two_level_job_counts(spark):
         f"contract_runt_fringes grew to {n_contract} jobs (was 28)"
     )
     assert n_two <= 73, f"condense_two_level grew to {n_two} jobs (was 56)"
+
+
+def test_ktruss_job_count(spark):
+    """The incremental k-truss (triangles enumerated once, support
+    maintained by anti-joins) is the last heavy bench family without a
+    host-noise-immune pin: an extra per-round pass or a lost
+    incremental shortcut shows up here, a slow host does not.
+    Measured 34 on the round-10 code (local[8], shuffle=8)."""
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+    )
+
+    e = planted_partition_edges(spark, 4, 60, 5, bridges=True, partitions=4)
+    n = _count_jobs(
+        spark, lambda: ktruss_edges(e.select("u1", "u2"), k=4).count()
+    )
+    assert n <= 45, f"incremental k-truss grew to {n} jobs (was 34)"
