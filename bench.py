@@ -244,6 +244,65 @@ def _graph_scale_probes(spark, timings: dict) -> None:
         lambda e: G.label_propagation(e.select("u1", "u2")),
     )
 
+    # BFS on a layered expander: 5 layers x 100k nodes, each node
+    # 25-regular into the next layer via a modular pattern that covers
+    # every residue, NO intra-layer or skip edges — so every node's
+    # distance from the layer-0 seed is CLOSED-FORM (its layer index)
+    # and the at-scale row fully verifies all 500,001 distances
+    # exactly, the traversal-family analogue of the pagerank
+    # uniform-fixpoint check below. 12.5M input edges, diameter 5:
+    # throughput-shaped (each round joins the full edge frame against
+    # a 100k-node frontier), not round-latency-shaped.
+    def _check_bfs_layered(timings_key: str) -> None:
+        from pyspark.sql import functions as F
+
+        L, M, D = 5, 100_000, 25  # layers, layer size, out-degree
+        nid = lambda layer, i: F.lit(layer) * 10_000_000 + i  # noqa: E731
+        # seed 0 (= layer 0) -> every layer-1 node; then each layer-k
+        # node i -> layer-(k+1) nodes (7i + 13j) % M, j < D. gcd(7, M)
+        # = 1 makes every next-layer residue covered, and there are no
+        # intra-layer or skip edges, so dist(layer-k node) = k exactly.
+        fan = spark.range(D).select(F.col("id").alias("j"))
+        parts = [
+            spark.range(0, M, 1, 32).select(
+                F.lit(0).cast("long").alias("u1"),
+                nid(1, F.col("id")).alias("u2"),
+            )
+        ]
+        for k in range(1, L):
+            parts.append(
+                spark.range(0, M, 1, 32)
+                .crossJoin(fan)
+                .select(
+                    nid(k, F.col("id")).alias("u1"),
+                    nid(
+                        k + 1, (F.col("id") * 7 + F.col("j") * 13) % M
+                    ).alias("u2"),
+                )
+            )
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionAll(p)
+        edges = edges.localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        d = G.bfs_distances(edges, seeds=[0], max_iter=L + 1).localCheckpoint(
+            eager=True
+        )
+        timings[timings_key] = round(time.perf_counter() - t0, 3)
+        total = d.count()
+        bad = d.where(
+            F.col("dist") != F.floor(F.col("node") / 10_000_000)
+        ).count()
+        if total != L * M + 1 or bad:
+            raise AssertionError(
+                f"{timings_key}: {total}/{L * M + 1} reached, {bad} "
+                "distances off the layer-index closed form"
+            )
+        d.unpersist()
+        edges.unpersist()
+
+    _check_bfs_layered("bench_bfs_layered_500k")
+
     # PageRank on the 50-regular fixture: the exact fixpoint is uniform
     # 1/n, so correctness is a closed-form max-deviation assertion —
     # floating error only (each round re-derives uniform from uniform)
