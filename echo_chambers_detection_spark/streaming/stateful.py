@@ -222,3 +222,101 @@ def first_seen(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_did", StringType(), False),
+        StructField("stage", LongType(), False),
+        StructField("t1_ms", LongType(), True),
+        StructField("t2_ms", LongType(), True),
+        StructField("t3_ms", LongType(), True),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType(), False),
+        StructField("t1_ms", LongType(), True),
+        StructField("t2_ms", LongType(), True),
+        StructField("t3_ms", LongType(), True),
+    ]
+)
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    _, t1, t2, t3 = state.get if state.exists else (0, None, None, None)
+    frames = [p for p in pdfs if len(p)]
+    if frames:
+        pdf = pd.concat(frames)
+        # three VECTORIZED min-reductions, no per-row loop: within one
+        # micro-batch this is exactly the batch funnel's
+        # MIN-under-strict-inequality semantics (arrival order inside
+        # the batch is irrelevant)
+        if t1 is None:
+            views = pdf.loc[pdf["event_type"] == "view", "ts_ms"]
+            if len(views):
+                t1 = int(views.min())
+        if t1 is not None and t2 is None:
+            clicks = pdf.loc[
+                (pdf["event_type"] == "click") & (pdf["ts_ms"] > t1), "ts_ms"
+            ]
+            if len(clicks):
+                t2 = int(clicks.min())
+        if t2 is not None and t3 is None:
+            buys = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts_ms"] > t2),
+                "ts_ms",
+            ]
+            if len(buys):
+                t3 = int(buys.min())
+    stage = 3 if t3 is not None else 2 if t2 is not None else (
+        1 if t1 is not None else 0
+    )
+    state.update((stage, t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_did": [key[0]],
+            "stage": [stage],
+            "t1_ms": [t1],
+            "t2_ms": [t2],
+            "t3_ms": [t3],
+        }
+    )
+
+
+def streaming_funnel_stages(events: DataFrame) -> DataFrame:
+    """Per-user ordered-funnel state machine (view -> click ->
+    purchase) — the streaming dual of the batch `event_funnel_counts`
+    query: per-key state is the four scalars (stage, t1, t2, t3), each
+    stage advances only on a strictly-later event of the next type,
+    and the current stage is re-emitted every micro-batch the user
+    appears in (update mode). Within a micro-batch the three
+    vectorized min-reductions reproduce the batch query's
+    MIN-under-strict-inequality semantics exactly, independent of
+    arrival order; ACROSS batches the machine is emit-forward like
+    `first_seen` — an earlier-timestamped stage event arriving in a
+    later batch does not rewind a stage already locked (the
+    streaming-native contract; in-order streams match the batch query
+    bit-for-bit, and the single-batch availableNow replay used in
+    tests is always exact). Input needs (user_did, event_type, ts)."""
+    return (
+        events.select(
+            F.col("user_did").cast("string").alias("user_did"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .where(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .groupBy("user_did")
+        .applyInPandasWithState(
+            _funnel_fn,
+            FUNNEL_OUTPUT,
+            _FUNNEL_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

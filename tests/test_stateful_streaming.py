@@ -172,3 +172,113 @@ def test_streaming_packing_matches_batch_fixpoint(spark, tmp_path):
     # the state genuinely crossed batches: some doc in batch 2 starts
     # mid-chunk (first_chunk > 0) on every populated shard
     assert any(v[2] > 0 for v in got.values())
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_did", StringType()),
+        StructField("event_type", StringType()),
+        StructField("ts_ms", LongType()),
+    ]
+)
+
+
+def test_streaming_funnel_crosses_batches(spark, tmp_path):
+    """Stage machine advances across micro-batches, tie timestamps do
+    NOT advance a stage (strict inequality), and a click before the
+    first view never counts."""
+    from echo_chambers_detection_spark.streaming.stateful import (
+        streaming_funnel_stages,
+    )
+
+    src = str(tmp_path / "src")
+    # batch 1: u1 views at 10 (click at 10 is a TIE -> no advance);
+    # u2 clicks at 5 before ever viewing -> stays stage 0 via view at 8
+    _write(src, "b1.json", [
+        {"user_did": "u1", "event_type": "view", "ts_ms": 10},
+        {"user_did": "u1", "event_type": "click", "ts_ms": 10},
+        {"user_did": "u2", "event_type": "click", "ts_ms": 5},
+        {"user_did": "u2", "event_type": "view", "ts_ms": 8},
+    ])
+    # batch 2: u1 clicks at 12 then purchases at 15; u2 purchases at 9
+    # without ever clicking -> stays stage 1
+    _write(src, "b2.json", [
+        {"user_did": "u1", "event_type": "click", "ts_ms": 12},
+        {"user_did": "u1", "event_type": "purchase", "ts_ms": 15},
+        {"user_did": "u2", "event_type": "purchase", "ts_ms": 9},
+    ])
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    # last emission per user wins (update mode re-emits per batch)
+    final = {}
+    for r in sorted(rows, key=lambda r: (r["stage"],)):
+        final[r["user_did"]] = r
+    assert final["u1"]["stage"] == 3
+    assert (final["u1"]["t1_ms"], final["u1"]["t2_ms"], final["u1"]["t3_ms"]) == (10, 12, 15)
+    assert final["u2"]["stage"] == 1
+    assert final["u2"]["t1_ms"] == 8 and final["u2"]["t2_ms"] is None
+
+
+def test_streaming_funnel_matches_batch_query(spark, tmp_path):
+    """Single-batch availableNow replay of the sf0.01 events table must
+    reproduce the batch event_funnel_counts stage totals exactly."""
+    from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
+    from echo_chambers_detection_spark.sources.tables import load_table
+    from echo_chambers_detection_spark.streaming.stateful import (
+        streaming_funnel_stages,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, "events", sf)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    ev.select(
+        F.col("user_id").cast("string").alias("user_did"),
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).coalesce(1).write.mode("overwrite").json(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stages = [r["stage"] for r in spark.read.parquet(out).collect()]
+    got = {
+        "view": sum(1 for s in stages if s >= 1),
+        "view>click": sum(1 for s in stages if s >= 2),
+        "view>click>purchase": sum(1 for s in stages if s >= 3),
+    }
+    want = {
+        r["stage"]: r["n_users"]
+        for r in QUERY_REGISTRY["event_funnel_counts"].spark(spark, sf).collect()
+    }
+    assert got == want
