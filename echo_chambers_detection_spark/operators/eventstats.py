@@ -154,7 +154,19 @@ def misra_gries_heavy_hitters(
         frames.append(pd.DataFrame({"value": [None], "est": [dec]}))
         yield pd.concat(frames, ignore_index=True)
 
-    sk = (
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        tracked_checkpoint,
+    )
+
+    # checkpoint the summary: it feeds FOUR consumers (merge, decrement
+    # total, cut scalar, final projection) and without the cut each one
+    # would re-execute the Arrow pass over the full input (caught by
+    # tests/test_plans.py::test_heavy_hitters_single_arrow_pass). The
+    # checkpointed frames are <= P*k + P rows — tiny by construction —
+    # and their block ownership rides the returned frame (carry_ckpt),
+    # so a caller releasing what it consumes leaks nothing.
+    sk = tracked_checkpoint(
         df.select(F.col(col).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
         .mapInPandas(part, "value string, est long")
@@ -165,7 +177,9 @@ def misra_gries_heavy_hitters(
     )
     merged = data.groupBy("value").agg(F.sum("est").alias("est"))
     w = Window.orderBy(F.desc("est"), F.asc("value"))
-    ranked = merged.withColumn("_rk", F.row_number().over(w))
+    ranked = tracked_checkpoint(
+        merged.withColumn("_rk", F.row_number().over(w))
+    )
     cutv = ranked.agg(
         F.coalesce(
             F.max(F.when(F.col("_rk") == k + 1, F.col("est"))), F.lit(0)
@@ -174,7 +188,7 @@ def misra_gries_heavy_hitters(
     errf = base_dec.crossJoin(F.broadcast(cutv)).select(
         (F.col("d") + F.col("cut")).cast("bigint").alias("max_err")
     )
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(cutv))
         .select(
             "value", (F.col("est") - F.col("cut")).cast("bigint").alias("est")
@@ -182,3 +196,4 @@ def misra_gries_heavy_hitters(
         .where(F.col("est") > 0)
         .crossJoin(F.broadcast(errf))
     )
+    return carry_ckpt(out, sk, ranked)

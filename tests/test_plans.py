@@ -414,3 +414,21 @@ def test_cohort_and_funnel_are_windowless_jvm_only(spark):
         df = _q(spark, name)
         assert not has_python_stage(df), name
         assert "Window [" not in executed_plan(df), name
+
+
+def test_heavy_hitters_single_arrow_pass(spark):
+    """The MG sketch's only Python is the ONE Arrow-batched
+    mapInPandas summary pass; the merge + final truncation stay JVM
+    (one hash agg on the <= P*k summary rows, one tiny single-
+    partition window — bounded by construction, see the operator
+    docstring)."""
+    from echo_chambers_detection_spark.plans.explain import executed_plan
+
+    df = _q(spark, "event_key_heavy_hitters")
+    plan = executed_plan(df)
+    # the eager tracked_checkpoint already ran the single Arrow pass at
+    # build time, so the final plan reads its RDD leaf — ZERO Python
+    # stages downstream. (Without the checkpoint this plan showed FOUR
+    # MapInPandas repeats, one per consumer of the summary frame.)
+    assert plan.count("MapInPandas") == 0, plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
