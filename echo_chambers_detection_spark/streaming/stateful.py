@@ -320,3 +320,131 @@ def streaming_funnel_stages(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_did", StringType(), False),
+        StructField("session_start_ms", LongType(), False),
+        StructField("session_end_ms", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("closed_by", StringType(), False),  # 'gap' | 'timeout'
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType(), False),
+        StructField("last_ms", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def _session_fn_factory(gap_ms: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            for _ in pdfs:  # drain the (empty) Arrow stream
+                pass
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_did": [key[0]],
+                    "session_start_ms": [start],
+                    "session_end_ms": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values("ts_ms")
+        ts = pdf["ts_ms"].to_numpy()
+        # session split points WITHIN the batch (vectorized diff), then
+        # merge the first batch-session into the carried open session
+        # when the boundary gap allows
+        import numpy as np
+
+        brk = np.zeros(len(ts), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_ms
+        sess = brk.cumsum()
+        closed = []
+        open_start = open_last = open_n = None
+        if state.exists:
+            open_start, open_last, open_n = state.get
+        for s in range(int(sess[-1]) + 1):
+            m = ts[sess == s]
+            lo, hi, cnt = int(m[0]), int(m[-1]), len(m)
+            if open_start is not None and lo - open_last <= gap_ms:
+                open_last, open_n = max(open_last, hi), open_n + cnt
+                continue
+            if open_start is not None:
+                closed.append((open_start, open_last, open_n, "gap"))
+            open_start, open_last, open_n = lo, hi, cnt
+        state.update((open_start, open_last, open_n))
+        # close when the WATERMARK passes the session's last event +
+        # gap — event-time expiry, so replays are deterministic and no
+        # wall clock is involved. Guard: a timer must sit strictly
+        # above the current watermark (very late stragglers would
+        # otherwise make set_timeout throw).
+        state.setTimeoutTimestamp(
+            max(open_last + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_did": [key[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def streaming_session_stats(
+    events: DataFrame, gap_ms: int = 1800_000, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessionization as operator state WITH state expiry —
+    the `GroupStateTimeout.EventTimeTimeout` member of this module
+    (the others use NoTimeout; a real ingest must also close the LAST
+    session of a user who goes quiet, which only a timeout can do).
+    Per-key state is three scalars (open-session start, last event,
+    count); within a micro-batch sessions split on a vectorized gap
+    diff; a session closes either when a later event arrives past
+    `gap_ms` ('gap') or when the EVENT-TIME WATERMARK passes its last
+    event + gap ('timeout' — state removed, so idle users cost
+    nothing). Event-time expiry keeps the operator deterministic under
+    replay: timers fire on watermark progress, never on wall clock —
+    which is also why this terminates cleanly under
+    trigger(availableNow) where a processing-time timer would keep the
+    cleanup loop alive. Closed sessions emit in append mode. The batch
+    dual is `user_session_stats` (lag-window sessionization): closed
+    sessions match its per-session rows exactly; each user's final
+    open session is the one row still in state until the watermark
+    outruns it. Input needs (user_did, ts)."""
+    return (
+        events.select(
+            F.col("user_did").cast("string").alias("user_did"),
+            F.col("ts").alias("ts"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_did")
+        .applyInPandasWithState(
+            _session_fn_factory(gap_ms),
+            SESSION_OUTPUT,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

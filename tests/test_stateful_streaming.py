@@ -282,3 +282,65 @@ def test_streaming_funnel_matches_batch_query(spark, tmp_path):
         for r in QUERY_REGISTRY["event_funnel_counts"].spark(spark, sf).collect()
     }
     assert got == want
+
+
+def test_streaming_sessions_gap_and_event_time_timeout(spark, tmp_path):
+    """Sessions split on the gap WITHIN a micro-batch ('gap' close),
+    and quiet users close when the event-time WATERMARK passes their
+    last event + gap ('timeout' close, state removed) — fully
+    deterministic: timers fire on watermark progress, never on wall
+    clock. u3's session stays open (nothing ever outruns its timer)."""
+    from echo_chambers_detection_spark.streaming.stateful import (
+        streaming_session_stats,
+    )
+
+    src = str(tmp_path / "src")
+    # batch 1: u1 has an in-batch 19s gap (two sessions; the first
+    # closes by 'gap' inside this batch); u2 has one event. Watermark
+    # after the batch: 21000.
+    # ts values sit well above epoch 0: the INITIAL watermark is 0,
+    # and an event whose time equals the watermark is dropped as late
+    B = 10_000_000
+    _write(src, "b1.json", [
+        {"user_did": "u1", "event_type": "view", "ts_ms": B + 0},
+        {"user_did": "u1", "event_type": "view", "ts_ms": B + 1000},
+        {"user_did": "u1", "event_type": "view", "ts_ms": B + 20000},
+        {"user_did": "u1", "event_type": "view", "ts_ms": B + 21000},
+        {"user_did": "u2", "event_type": "view", "ts_ms": B + 500},
+    ])
+    # batch 2 pushes the watermark to 99000: u2's timer (500 + 5000)
+    # fires while this batch runs (watermark 21000), u1's open-session
+    # timer (21000 + 5000) fires in the final cleanup batch.
+    _write(src, "b2.json", [
+        {"user_did": "u3", "event_type": "view", "ts_ms": B + 99000},
+    ])
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    q = (
+        streaming_session_stats(stream, gap_ms=5000)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r["user_did"], r["closed_by"]): (
+            r["session_start_ms"], r["session_end_ms"], r["n_events"]
+        )
+        for r in rows
+    }
+    assert got == {
+        ("u1", "gap"): (B + 0, B + 1000, 2),
+        ("u1", "timeout"): (B + 20000, B + 21000, 2),
+        ("u2", "timeout"): (B + 500, B + 500, 1),
+    }
