@@ -147,3 +147,66 @@ def test_pq_probe_refined_parity_and_latency(emb, query, pq_index_dir):
     for _ in range(50):
         probe.probe_one(qv, k=10, refine=4)
     assert time.perf_counter() - t0 < 1.0
+
+
+@pytest.fixture(scope="module")
+def knn_edges_dir(emb, tmp_path_factory):
+    from echo_chambers_detection_spark.operators.hdbscan import knn_graph_ann
+
+    path = str(tmp_path_factory.mktemp("serve") / "knn_edges")
+    g = knn_graph_ann(
+        emb, k=8, n_cells=4, nprobe=4, iters=1,
+        id_col="post_cid", vec_col="vector",
+    )
+    g.select("src", "dst").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_graph_probe_parity_with_batch_beam_search(
+    spark, emb, knn_edges_dir
+):
+    """GraphAnnProbe.probe_one must reproduce graph_ann_topk's top-10
+    over the SAME persisted k-NN graph — ids AND 6-digit-rounded sims
+    (entry node, beam truncation order, fixpoint exit all mirrored)."""
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.graphann import (
+        graph_ann_topk,
+    )
+    from echo_chambers_detection_spark.serving.graph_probe import (
+        GraphAnnProbe,
+    )
+
+    edges = spark.read.parquet(knn_edges_dir)
+    queries = emb.where(F.col("post_cid") == "0").select(
+        F.lit("q0").alias("qid"), F.col("vector").alias("qvec")
+    )
+    batch = [
+        (r["node"], r["sim"])
+        for r in graph_ann_topk(
+            edges,
+            emb.select(F.col("post_cid").alias("node"), "vector"),
+            queries,
+            k=10,
+            beam=16,
+        )
+        .orderBy(F.desc("sim"), "node")
+        .collect()
+    ]
+    probe = GraphAnnProbe(knn_edges_dir, EMB_PARQUET)
+    served = probe.probe_one(_qvec(), k=10, beam=16)
+    assert served == batch
+
+
+def test_graph_probe_repeat_latency(knn_edges_dir):
+    from echo_chambers_detection_spark.serving.graph_probe import (
+        GraphAnnProbe,
+    )
+
+    probe = GraphAnnProbe(knn_edges_dir, EMB_PARQUET)
+    q = _qvec()
+    probe.probe_one(q, k=10)  # warm
+    t0 = time.time()
+    for _ in range(50):
+        probe.probe_one(q, k=10)
+    assert (time.time() - t0) < 1.0
