@@ -33,6 +33,7 @@ _REGISTRY_ORDER = [
     "bfs_hop_distances",
     "khop_min_cost_paths",
     "landmark_bfs_distances",
+    "seeded_random_walks",
     "user_cohort_retention",
     "event_funnel_counts",
     "event_key_heavy_hitters",
@@ -84,8 +85,8 @@ _REGISTRY_ORDER = [
     "triangle_counts_planted",
     "top_tokens_per_lang",
     "order_value_quartiles",
-    "event_type_theta_users",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "event_type_theta_users",
     "tfidf_top_terms",
     "degree_histogram",
     "event_interarrival_stats",

@@ -1142,6 +1142,54 @@ def q_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seeded_random_walks",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+walk(wid, step, node) AS (
+    SELECT node, 0, node FROM (
+        SELECT DISTINCT src AS node FROM und2
+    )
+    UNION ALL
+    SELECT w.wid, w.step + 1,
+           arg_min(u.dst,
+                   md5(w.wid || '|' || CAST(w.step + 1 AS VARCHAR)
+                       || '|' || u.dst) || '|' || u.dst)
+    FROM walk w JOIN und2 u ON u.src = w.node
+    WHERE w.step < 8
+    GROUP BY w.wid, w.step
+)
+SELECT wid, CAST(step AS BIGINT) AS step, node FROM walk
+""",
+    doc="Deterministic random walks over the strong-tie backbone "
+    "(gds.randomWalk / node2vec-sampling parity, "
+    "operators/graph.py::seeded_random_walks): each step moves to the "
+    "neighbor minimizing md5(wid|step|neighbor) — a splittable "
+    "counter-based PRNG keyed by (walk, step, candidate), so the "
+    "trajectory set is REPLAYABLE and the DuckDB oracle reproduces "
+    "every walk recursively with the same arg_min-over-md5 rule. One "
+    "walk per node, 8 steps; per step one adjacency join + one "
+    "min_by-combining groupBy on the O(walks) state frame.",
+)
+def q_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        seeded_random_walks,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        seeded_random_walks(strong_tie_backbone(g, k=10), length=8), g
+    )
+
+
+@register(
     "landmark_bfs_distances",
     f"""
 WITH RECURSIVE {_ORACLE_BACKBONE_CTE},

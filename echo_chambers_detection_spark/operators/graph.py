@@ -686,6 +686,60 @@ def bfs_landmark_distances(
     return carry_ckpt(out, dist)
 
 
+def seeded_random_walks(
+    edges: DataFrame, length: int = 8, seeds: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic 'random' walks — the gds.randomWalk / node2vec-
+    sampling primitive re-expressed so the whole trajectory set is
+    REPRODUCIBLE and oracle-able: at each step the walker at `node`
+    moves to the neighbor minimizing md5(wid|step|neighbor) (fixed-
+    width hex, then neighbor id as the tie key), i.e. a splittable
+    counter-based PRNG keyed by (walk, step, candidate) instead of
+    mutable RNG state. Every engine that agrees on md5 replays the
+    exact same walks — the DuckDB oracle does, recursively.
+
+    One walk starts at every node (or at `seeds`: a (wid, node)
+    frame); each step is ONE adjacency join + one min_by-combining
+    groupBy on the O(walks) state frame — the module's standard loop
+    shape, generations checkpointed and carried on the result. Returns
+    (wid, step, node) for steps 0..length; walks at dead ends (none in
+    a symmetrized edge list) simply stop contributing rows.
+    """
+    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    if seeds is None:
+        cur = _nodes_of_sym(sym).select(
+            F.col("node").alias("wid"), F.col("node").alias("node")
+        )
+    else:
+        cur = seeds.select("wid", "node")
+    cur = _materialize(cur)
+    hint = _state_hint(_probe_small(cur))
+    gens = [cur]
+    for s in range(1, length + 1):
+        key = F.concat_ws(
+            "|",
+            F.md5(F.concat_ws("|", F.col("wid"), F.lit(s), F.col("dst"))),
+            F.col("dst"),
+        )
+        nxt = _materialize(
+            sym.join(
+                hint(cur.select("wid", F.col("node").alias("src"))), "src"
+            )
+            .groupBy("wid")
+            .agg(F.min_by("dst", key).alias("node"))
+        )
+        gens.append(nxt)
+        cur = nxt
+    out = None
+    for step, g in enumerate(gens):
+        part = g.select(
+            "wid", F.lit(step).cast("bigint").alias("step"), "node"
+        )
+        out = part if out is None else out.unionByName(part)
+    _release_checkpoint(sym)
+    return carry_ckpt(out, *gens)
+
+
 def bellman_ford_khop(
     edges: DataFrame, seeds: list | None = None, k: int = 10
 ) -> DataFrame:

@@ -257,3 +257,38 @@ def test_coengagement_encode_paths_identical(spark):
     assert plain[("alpha", "zeta")] == 2
     assert plain[("alpha", "mike")] == 2
     assert plain[("mike", "zeta")] == 1
+
+
+def test_seeded_random_walks_hash_rule(spark):
+    # triangle a-b-c: at step s from node u, the walker picks the
+    # neighbor minimizing md5(f"{wid}|{s}|{nbr}") (then nbr) — verify
+    # the Spark trajectories against a direct Python replay.
+    import hashlib
+
+    from echo_chambers_detection_spark.operators.graph import (
+        seeded_random_walks,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "u1 string, u2 string"
+    )
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b"]}
+    L = 4
+    want = {}
+    for wid in "abc":
+        node = wid
+        want[(wid, 0)] = node
+        for s in range(1, L + 1):
+            node = min(
+                adj[node],
+                key=lambda d: (
+                    hashlib.md5(f"{wid}|{s}|{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            want[(wid, s)] = node
+    got = {
+        (r["wid"], r["step"]): r["node"]
+        for r in seeded_random_walks(e, length=L).collect()
+    }
+    assert got == want
