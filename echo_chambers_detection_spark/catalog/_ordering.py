@@ -52,7 +52,8 @@ _REGISTRY_ORDER = [
     # stamp: the leiden/louvain refinement-termination + crossover work,
     # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
     # (metric world, pagerank wrappers, simhash/minhash/keep-list/ANN
-    # carries), and the density/hdbscan carry_input_ckpt opt-in
+    # carries), the density/hdbscan carry_input_ckpt opt-in, the LPA
+    # argmax-agg rework, and the co-engagement user-encode path
     "leiden_planted_recovery",
     "louvain_planted_recovery",
     "lpa_planted_recovery",
