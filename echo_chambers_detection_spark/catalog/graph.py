@@ -1554,6 +1554,57 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "butterfly_counts",
+    f"""
+WITH {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+bf AS (SELECT u1, u2, w * (w - 1) // 2 AS b FROM gw),
+per AS (
+    SELECT u1 AS user_did, b FROM bf
+    UNION ALL SELECT u2 AS user_did, b FROM bf
+)
+SELECT user_did,
+       CAST(SUM(b) AS BIGINT) AS butterflies,
+       CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS strong_partners
+FROM per GROUP BY user_did
+""",
+    doc="Per-user butterfly (2x2 biclique) participation — the "
+    "standard BIPARTITE cohesion metric over the raw user-post "
+    "engagement graph, where triangles cannot exist by construction: "
+    "a butterfly is two users sharing two posts, so per user-pair the "
+    "count is C(shared, 2) and the co-engagement weight IS 'shared' — "
+    "one integer expression on the already-built projection, no new "
+    "shuffle beyond it. strong_partners counts partners with >= 2 "
+    "shared posts (the butterfly-support neighborhood). Exact integer "
+    "arithmetic (w*(w-1) is always even; both engines use integer "
+    "division).",
+)
+def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt
+
+    g = _user_graph(spark, sf_dir)
+    bf = g.select(
+        "u1", "u2", F.expr("(weight * (weight - 1)) div 2").alias("b")
+    )
+    per = bf.select(F.col("u1").alias("user_did"), "b").unionByName(
+        bf.select(F.col("u2").alias("user_did"), "b")
+    )
+    return carry_ckpt(
+        per.groupBy("user_did").agg(
+            F.sum("b").cast("bigint").alias("butterflies"),
+            F.sum((F.col("b") > 0).cast("long"))
+            .cast("bigint")
+            .alias("strong_partners"),
+        ),
+        g,
+    )
+
+
+@register(
     "ktruss_planted",
     """
 SELECT 't0' || a.i AS u1, 't0' || b.i AS u2, CAST(4 AS BIGINT) AS support
