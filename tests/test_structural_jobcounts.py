@@ -161,3 +161,19 @@ def test_ktruss_job_count(spark):
         spark, lambda: ktruss_edges(e.select("u1", "u2"), k=4).count()
     )
     assert n <= 45, f"incremental k-truss grew to {n} jobs (was 34)"
+
+
+def test_triangle_counts_job_count(spark):
+    """Triangle enumeration is one oriented wedge + closure join
+    pipeline — a bounded-job pass, no loop. Measured 4 on the
+    round-10 code (local[8], shuffle=8); the bench row's wall swings
+    with the host, this cannot."""
+    from echo_chambers_detection_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    e = planted_partition_edges(spark, 4, 60, 5, bridges=True, partitions=4)
+    n = _count_jobs(
+        spark, lambda: triangle_counts(e.select("u1", "u2")).count()
+    )
+    assert n <= 6, f"triangle_counts grew to {n} jobs (was 4)"
