@@ -690,7 +690,9 @@ def seeded_random_walks(
     edges: DataFrame, length: int = 8, seeds: DataFrame | None = None
 ) -> DataFrame:
     """Deterministic 'random' walks — the gds.randomWalk / node2vec-
-    sampling primitive re-expressed so the whole trajectory set is
+    sampling primitive (the GDS procedure family the reference's
+    projected graph feeds, project/metrics/community_detection.py:49-83)
+    re-expressed so the whole trajectory set is
     REPRODUCIBLE and oracle-able: at each step the walker at `node`
     moves to the neighbor minimizing md5(wid|step|neighbor) (fixed-
     width hex, then neighbor id as the tie key), i.e. a splittable
@@ -745,8 +747,10 @@ def bellman_ford_khop(
 ) -> DataFrame:
     """k-hop min-cost distances by Bellman-Ford relaxation — the
     weighted companion of `bfs_distances` (the GDS
-    shortest-path/Dijkstra family over the same projected graph;
-    min-plus semiring, edge cost = the input's integer ``weight``).
+    shortest-path/Dijkstra family over the same projected graph the
+    reference's community algorithms stream from,
+    project/metrics/community_detection.py:49-83; min-plus semiring,
+    edge cost = the input's integer ``weight``).
 
     Each round relaxes every edge out of the currently-reached set:
     one join of the symmetrized edge frame against the O(n) cost
