@@ -292,3 +292,47 @@ def test_seeded_random_walks_hash_rule(spark):
         for r in seeded_random_walks(e, length=L).collect()
     }
     assert got == want
+
+
+def test_mg_exact_regime_partition_invariant(spark):
+    # below k distinct values the MG sketch is exact REGARDLESS of how
+    # the stream is partitioned — the property that makes the catalog
+    # query oracle-able. 1 vs 16 partitions must agree exactly.
+    from echo_chambers_detection_spark.operators.eventstats import (
+        misra_gries_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    def run(parts):
+        df = spark.range(0, 20_000, 1, parts).select(
+            F.concat(F.lit("v"), F.pmod(F.xxhash64("id"), 40)).alias("v")
+        )
+        return {
+            (r["value"], r["est"], r["max_err"])
+            for r in misra_gries_heavy_hitters(df, "v", k=256).collect()
+        }
+
+    one, many = run(1), run(16)
+    assert one == many
+    assert all(err == 0 for _, _, err in one)
+
+
+def test_random_walks_partition_invariant(spark):
+    # counter-based PRNG: trajectories depend only on (wid, step,
+    # candidate), never on partitioning or arrival order.
+    from echo_chambers_detection_spark.operators.graph import (
+        seeded_random_walks,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 40}") for i in range(40)]
+
+    def run(parts):
+        e = spark.createDataFrame(rows, "u1 string, u2 string").repartition(
+            parts
+        )
+        return {
+            (r["wid"], r["step"], r["node"])
+            for r in seeded_random_walks(e, length=5).collect()
+        }
+
+    assert run(1) == run(13)
