@@ -35,6 +35,7 @@ _REGISTRY_ORDER = [
     "landmark_bfs_distances",
     "seeded_random_walks",
     "butterfly_counts",
+    "weighted_random_walks",
     "user_cohort_retention",
     "event_funnel_counts",
     "event_key_heavy_hitters",
@@ -85,8 +86,8 @@ _REGISTRY_ORDER = [
     "rfc4122_layout_ids",
     "triangle_counts",
     "triangle_counts_planted",
-    "top_tokens_per_lang",
     # -- TAIL (51+): everything below is outside the driver stamp set --
+    "top_tokens_per_lang",
     "order_value_quartiles",
     "event_type_theta_users",
     "tfidf_top_terms",

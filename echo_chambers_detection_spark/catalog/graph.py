@@ -1190,6 +1190,81 @@ def q_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_random_walks",
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gw
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gw
+),
+gb AS (
+    SELECT DISTINCT LEAST(src, dst) AS u1, GREATEST(src, dst) AS u2, w
+    FROM (
+        SELECT src, dst, w,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM und
+    ) WHERE rk <= 10
+),
+und2 AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gb
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gb
+),
+reps AS (
+    SELECT src, dst, unnest(range(1, w + 1)) AS j FROM und2
+),
+walk(wid, step, node) AS (
+    SELECT node, 0, node FROM (
+        SELECT DISTINCT src AS node FROM und2
+    )
+    UNION ALL
+    SELECT w.wid, w.step + 1,
+           arg_min(r.dst,
+                   md5(w.wid || '|' || CAST(w.step + 1 AS VARCHAR)
+                       || '|' || r.dst || '|' || CAST(r.j AS VARCHAR))
+                   || '|' || r.dst)
+    FROM walk w JOIN reps r ON r.src = w.node
+    WHERE w.step < 6
+    GROUP BY w.wid, w.step
+)
+SELECT wid, CAST(step AS BIGINT) AS step, node FROM walk
+""",
+    doc="Weight-proportional deterministic walks over the WEIGHTED "
+    "strong-tie backbone (the node2vec/DeepWalk transition rule, "
+    "exactly replayable): each neighbor enters the per-step argmin "
+    "once per unit of its integer co-engagement weight — key "
+    "md5(wid|step|dst|j), j = 1..w — so under the hash-as-random-"
+    "oracle view dst wins with probability w/W, and the DuckDB oracle "
+    "replays the replica set with unnest(range). Integer-replica "
+    "weighting instead of float inverse-CDF is what keeps both "
+    "engines bit-identical. 6 steps, one walk per node.",
+)
+def q_weighted_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        seeded_random_walks,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        seeded_random_walks(
+            strong_tie_backbone(g, k=10, keep_weight=True),
+            length=6,
+            weighted=True,
+        ),
+        g,
+    )
+
+
+@register(
     "landmark_bfs_distances",
     f"""
 WITH RECURSIVE {_ORACLE_BACKBONE_CTE},

@@ -687,7 +687,10 @@ def bfs_landmark_distances(
 
 
 def seeded_random_walks(
-    edges: DataFrame, length: int = 8, seeds: DataFrame | None = None
+    edges: DataFrame,
+    length: int = 8,
+    seeds: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Deterministic 'random' walks — the gds.randomWalk / node2vec-
     sampling primitive (the GDS procedure family the reference's
@@ -706,8 +709,18 @@ def seeded_random_walks(
     shape, generations checkpointed and carried on the result. Returns
     (wid, step, node) for steps 0..length; walks at dead ends (none in
     a symmetrized edge list) simply stop contributing rows.
+
+    ``weighted=True`` makes the transition WEIGHT-PROPORTIONAL while
+    staying exact: each neighbor enters the argmin once per unit of
+    its integer weight (key md5(wid|step|dst|j), j = 1..w), so under
+    the hash-as-random-oracle view dst wins with probability w/W —
+    integer-replica weighting instead of float inverse-CDF, which is
+    what keeps the DuckDB oracle bit-exact (generate_series replays
+    the replicas). Fan-out per step is Σw over the frontier's incident
+    edges; for capped projections (the strong-tie backbone) that is a
+    small constant factor.
     """
-    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    sym = _materialize_wide(_symmetrize(edges, weighted=weighted))
     if seeds is None:
         cur = _nodes_of_sym(sym).select(
             F.col("node").alias("wid"), F.col("node").alias("node")
@@ -718,17 +731,35 @@ def seeded_random_walks(
     hint = _state_hint(_probe_small(cur))
     gens = [cur]
     for s in range(1, length + 1):
-        key = F.concat_ws(
-            "|",
-            F.md5(F.concat_ws("|", F.col("wid"), F.lit(s), F.col("dst"))),
-            F.col("dst"),
+        stepped = sym.join(
+            hint(cur.select("wid", F.col("node").alias("src"))), "src"
         )
-        nxt = _materialize(
-            sym.join(
-                hint(cur.select("wid", F.col("node").alias("src"))), "src"
+        if weighted:
+            stepped = stepped.withColumn(
+                "_j",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("weight").cast("int"))
+                ),
             )
-            .groupBy("wid")
-            .agg(F.min_by("dst", key).alias("node"))
+            key = F.concat_ws(
+                "|",
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("wid"), F.lit(s), F.col("dst"), F.col("_j")
+                    )
+                ),
+                F.col("dst"),
+            )
+        else:
+            key = F.concat_ws(
+                "|",
+                F.md5(
+                    F.concat_ws("|", F.col("wid"), F.lit(s), F.col("dst"))
+                ),
+                F.col("dst"),
+            )
+        nxt = _materialize(
+            stepped.groupBy("wid").agg(F.min_by("dst", key).alias("node"))
         )
         gens.append(nxt)
         cur = nxt

@@ -50,11 +50,10 @@ def test_registry_window_covers_unverified_queries():
         "density_clusters_lsh_exhaustive",
         "source_mixture_rates", "rfc4122_layout_ids",
         "triangle_counts", "triangle_counts_planted",
-        "top_tokens_per_lang",
-                                "lpa_planted_recovery", "coengagement_edges",
+                                        "lpa_planted_recovery", "coengagement_edges",
         "bfs_hop_distances", "khop_min_cost_paths",
         "landmark_bfs_distances", "seeded_random_walks",
-        "butterfly_counts",
+        "butterfly_counts", "weighted_random_walks",
         "user_cohort_retention", "event_funnel_counts",
         "event_key_heavy_hitters", "coengagement_weekly_snapshots",
         "regional_supplier_volume", "promo_revenue_share",

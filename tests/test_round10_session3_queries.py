@@ -336,3 +336,44 @@ def test_random_walks_partition_invariant(spark):
         }
 
     assert run(1) == run(13)
+
+
+def test_weighted_random_walks_replica_rule(spark):
+    # weighted triangle: verify the per-step argmin over
+    # md5(wid|step|dst|j), j = 1..w replica keys against a pure-Python
+    # replay (integer weight-proportional transitions).
+    import hashlib
+
+    from echo_chambers_detection_spark.operators.graph import (
+        seeded_random_walks,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 3), ("a", "c", 2)],
+        "u1 string, u2 string, weight long",
+    )
+    adj = {"a": {"b": 1, "c": 2}, "b": {"a": 1, "c": 3}, "c": {"b": 3, "a": 2}}
+    L = 4
+    want = {}
+    for wid in "abc":
+        node = wid
+        want[(wid, 0)] = node
+        for s in range(1, L + 1):
+            best = None
+            for d, w in adj[node].items():
+                for j in range(1, w + 1):
+                    key = (
+                        hashlib.md5(
+                            f"{wid}|{s}|{d}|{j}".encode()
+                        ).hexdigest(),
+                        d,
+                    )
+                    if best is None or key < best[:2]:
+                        best = (key[0], key[1], d)
+            node = best[2]
+            want[(wid, s)] = node
+    got = {
+        (r["wid"], r["step"]): r["node"]
+        for r in seeded_random_walks(e, length=L, weighted=True).collect()
+    }
+    assert got == want
