@@ -1220,7 +1220,7 @@ reps AS (
 ),
 walk(wid, step, node) AS (
     SELECT node, 0, node FROM (
-        SELECT DISTINCT src AS node FROM und2
+        SELECT DISTINCT src AS node FROM und2 ORDER BY node LIMIT 200
     )
     UNION ALL
     SELECT w.wid, w.step + 1,
@@ -1229,7 +1229,7 @@ walk(wid, step, node) AS (
                        || '|' || r.dst || '|' || CAST(r.j AS VARCHAR))
                    || '|' || r.dst)
     FROM walk w JOIN reps r ON r.src = w.node
-    WHERE w.step < 6
+    WHERE w.step < 4
     GROUP BY w.wid, w.step
 )
 SELECT wid, CAST(step AS BIGINT) AS step, node FROM walk
@@ -1242,7 +1242,10 @@ SELECT wid, CAST(step AS BIGINT) AS step, node FROM walk
     "oracle view dst wins with probability w/W, and the DuckDB oracle "
     "replays the replica set with unnest(range). Integer-replica "
     "weighting instead of float inverse-CDF is what keeps both "
-    "engines bit-identical. 6 steps, one walk per node.",
+    "engines bit-identical. 4 steps from the 200 binary-smallest "
+    "walkers (the replica fan-out is Sigma-w per frontier edge — a "
+    "bounded walker set keeps the row at catalog cost; the unweighted "
+    "twin walks every node).",
 )
 def q_weighted_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
@@ -1254,13 +1257,17 @@ def q_weighted_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _user_graph(spark, sf_dir)
+    bb = strong_tie_backbone(g, k=10, keep_weight=True)
+    seeds = (
+        bb.select(F.col("u1").alias("node"))
+        .unionAll(bb.select(F.col("u2").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(200)
+        .select(F.col("node").alias("wid"), "node")
+    )
     return carry_ckpt(
-        seeded_random_walks(
-            strong_tie_backbone(g, k=10, keep_weight=True),
-            length=6,
-            weighted=True,
-        ),
-        g,
+        seeded_random_walks(bb, length=4, weighted=True, seeds=seeds), g
     )
 
 
