@@ -142,3 +142,56 @@ def test_misra_gries_truncation_regime_bounds(spark):
     assert {r["value"]: r["est"] for r in exact} == {
         f"s{i}": 200 for i in range(5)
     }
+
+
+def test_misra_gries_bounds_property(spark):
+    """Property form of the MG guarantees over random streams: for
+    EVERY reported value est <= true <= est + max_err, unreported
+    values have true <= max_err, and (k+1) * max_err <= n — regardless
+    of skew shape, duplicate structure, or partitioning."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from echo_chambers_detection_spark.operators.eventstats import (
+        misra_gries_heavy_hitters,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        st.lists(
+            st.sampled_from([f"v{i}" for i in range(12)]),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(2, 6),
+        st.integers(1, 4),
+    )
+    def prop(values, k, parts):
+        true = {}
+        for v in values:
+            true[v] = true.get(v, 0) + 1
+        df = spark.createDataFrame(
+            [(v,) for v in values], "v string"
+        ).repartition(parts)
+        out = misra_gries_heavy_hitters(df, "v", k=k).collect()
+        n = len(values)
+        if out:
+            max_err = out[0]["max_err"]
+            assert (k + 1) * max_err <= n
+            reported = set()
+            for r in out:
+                assert r["max_err"] == max_err
+                assert r["est"] <= true[r["value"]] <= r["est"] + max_err
+                reported.add(r["value"])
+            for v, c in true.items():
+                if v not in reported:
+                    assert c <= max_err, (v, c, max_err)
+
+    prop()
