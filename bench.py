@@ -250,7 +250,8 @@ def _graph_scale_probes(spark, timings: dict) -> None:
     # distance from the layer-0 seed is CLOSED-FORM (its layer index)
     # and the at-scale row fully verifies all 500,001 distances
     # exactly, the traversal-family analogue of the pagerank
-    # uniform-fixpoint check below. 12.5M input edges, diameter 5:
+    # uniform-fixpoint check below. ~10.1M input edges (100k seed
+    # fan-in + 4 layer transitions x 2.5M), diameter 5:
     # throughput-shaped (each round joins the full edge frame against
     # a 100k-node frontier), not round-latency-shaped.
     def _check_bfs_layered(timings_key: str) -> None:

@@ -65,7 +65,13 @@ def coengagement_edges(
     original string order and the u1 < u2 dedup predicate is exactly
     preserved; originals are restored by two broadcast dim joins on the
     1M-row-capped dictionary. None (default) auto-enables for string
-    user keys whose approx distinct count fits `encode_user_limit` —
+    user keys whose approx distinct count fits `encode_user_limit`.
+    NOTE: that auto-probe is an EAGER approx_count_distinct job at
+    plan-construction time, which re-executes the input plan — cheap
+    for a parquet scan, but callers feeding an expensive upstream plan
+    should localCheckpoint it first (the flagship does) or pass an
+    explicit encode_users bool to skip the probe entirely. The
+    distinct-count gate itself is load-bearing:
     the dictionary must stay broadcast-small, which is also what keeps
     the rank sort a single comfortable partition. Beyond the gate (or
     for non-string keys) the plain path runs: at 100 TB with an open

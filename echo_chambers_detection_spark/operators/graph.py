@@ -632,11 +632,19 @@ def bfs_landmark_distances(
         r["node"]
         for r in nodes.orderBy("node").limit(n_landmarks).collect()
     ]
+    # seed column type must FOLLOW the node id type (ADVICE r10: a
+    # hardcoded 'seed string' breaks the node == seed comparison for
+    # long ids, which bench.py's layered fixture uses)
+    from pyspark.sql.types import StructField, StructType
+
+    seed_schema = StructType(
+        [StructField("seed", nodes.schema["node"].dataType)]
+    )
     dist = _materialize(
         nodes.crossJoin(
             F.broadcast(
                 nodes.sparkSession.createDataFrame(
-                    [(s,) for s in seeds], "seed string"
+                    [(s,) for s in seeds], seed_schema
                 )
             )
         ).select(
@@ -735,7 +743,12 @@ def seeded_random_walks(
             hint(cur.select("wid", F.col("node").alias("src"))), "src"
         )
         if weighted:
-            stepped = stepped.withColumn(
+            # sequence(1, 0) in Spark is the DESCENDING [1, 0] — a
+            # zero-weight (or <1 fractional) edge would silently get
+            # TWO replicas instead of none (ADVICE r10). Guard here so
+            # sub-unit weights contribute nothing, matching the
+            # oracle's range(1, w + 1) which is empty for w < 1.
+            stepped = stepped.where(F.col("weight") >= 1).withColumn(
                 "_j",
                 F.explode(
                     F.sequence(F.lit(1), F.col("weight").cast("int"))

@@ -383,6 +383,12 @@ def _session_fn_factory(gap_ms: int):
             m = ts[sess == s]
             lo, hi, cnt = int(m[0]), int(m[-1]), len(m)
             if open_start is not None and lo - open_last <= gap_ms:
+                # extend BOTH ends: an out-of-order batch-session
+                # (within the watermark delay) can start before the
+                # carried open session, and keeping the stale
+                # open_start would mis-report session_start_ms
+                # (ADVICE r10)
+                open_start = min(open_start, lo)
                 open_last, open_n = max(open_last, hi), open_n + cnt
                 continue
             if open_start is not None:
@@ -428,10 +434,16 @@ def streaming_session_stats(
     which is also why this terminates cleanly under
     trigger(availableNow) where a processing-time timer would keep the
     cleanup loop alive. Closed sessions emit in append mode. The batch
-    dual is `user_session_stats` (lag-window sessionization): closed
-    sessions match its per-session rows exactly; each user's final
-    open session is the one row still in state until the watermark
-    outruns it. Input needs (user_did, ts)."""
+    dual is `user_session_stats` (lag-window sessionization): on
+    in-order input, closed sessions match its per-session rows
+    exactly; each user's final open session is the one row still in
+    state until the watermark outruns it. Cross-batch OUT-OF-ORDER
+    events (allowed by a nonzero watermark delay) merge on the
+    interval summary — the open session's start extends backwards via
+    min() — but the state holds no inner event times, so a late
+    arrival that lands inside an already-summarized span cannot re-split
+    it; only in-order streams carry the bit-exact batch-parity claim.
+    Input needs (user_did, ts)."""
     return (
         events.select(
             F.col("user_did").cast("string").alias("user_did"),
