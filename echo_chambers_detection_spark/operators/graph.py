@@ -65,6 +65,19 @@ BROADCAST_NODE_LIMIT = 1_000_000
 # Set to 0 to force the distributed path (tests do).
 LOCAL_GRAPH_EDGE_LIMIT = 4_000_000
 
+# Crossover to the driver-side traversal fast path (round 11, VERDICT
+# r10 #3 — BFS/landmark/Bellman-Ford were the only loop family without
+# a local mirror, so toy-scale runs paid ~hop-count serialized Spark
+# rounds on trivial data). Sized ABOVE the community-loop bound because
+# the traversal mirrors hold only flat int64 index arrays + O(n) state
+# (24M sym rows x 24 B/row = ~0.6 GB transient vs the 48g driver heap;
+# the community mirrors carry per-level coarsening state on top).
+# Distances depend only on graph structure — no string-hash move
+# schedule — so the mirror serves ANY orderable id type (bench's
+# layered fixture uses longs), unlike _local_path_ok's string-only
+# gate. 0 forces the distributed path (tests do).
+LOCAL_TRAVERSAL_EDGE_LIMIT = 24_000_000
+
 # Leiden refinement group-parallel gate: when NO community's intra edge
 # list exceeds this, refinement runs as one cogroup shuffle with a
 # per-community numpy kernel (see _refine). Sized like
@@ -79,6 +92,46 @@ def _local_path_ok(edges: DataFrame, sym_rows: int) -> bool:
     return sym_rows <= LOCAL_GRAPH_EDGE_LIMIT and isinstance(
         edges.schema["u1"].dataType, StringType
     )
+
+
+def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
+    """Gate + collect for the traversal mirrors: a bounded limit-probe
+    on the RAW edge list (sym rows = exactly 2x input rows — unionAll,
+    no dedup), then one Arrow collect of the raw edges (half the bytes
+    of the symmetrized frame; symmetrization is two numpy concatenates
+    in the mirror). The probe is a CollectLimit — it scans until
+    half-the-bound + 1 rows and stops, so at 100 TB it costs a bounded
+    partial read, not a full count; the full collect only ever runs on
+    graphs that passed the gate. NULL endpoints are dropped up front —
+    the distributed joins never match them and the final isNotNull
+    filter would drop their rows anyway. Returns None (use the
+    distributed loop) when over the bound or for un-mirrorable id
+    types."""
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    if not isinstance(
+        edges.schema["u1"].dataType, (StringType, LongType, IntegerType)
+    ):
+        return None
+    half = LOCAL_TRAVERSAL_EDGE_LIMIT // 2
+    e = edges.where(F.col("u1").isNotNull() & F.col("u2").isNotNull())
+    if e.select("u1", "u2").limit(half + 1).count() > half:
+        return None
+    cols = ["u1", "u2"]
+    if weighted and "weight" in edges.columns:
+        cols.append("weight")
+    return e.select(*cols).toArrow()
+
+
+def _traversal_result(spark, pdf, cols_types):
+    """Assemble a local-mirror result DataFrame with the distributed
+    loop's exact schema (node/seed columns keep the input id dtype)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(c, t, True) for c, t in cols_types]
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def _state_hint(small_state: bool):
@@ -562,7 +615,26 @@ def bfs_distances(
     the same per-round cost profile as the other loops in this module;
     generations are checkpointed and retired in-loop, and the
     convergence flag is an agg on the already-materialized frame.
+    Below LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
+    (localgraph.bfs_local) answers driver-side — toy-scale graphs
+    otherwise pay ~diameter serialized Spark rounds of pure scheduling
+    latency; the distributed loop stays primary above the bound.
     """
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            bfs_local,
+        )
+        from pyspark.sql.types import LongType
+
+        return _traversal_result(
+            edges.sparkSession,
+            bfs_local(tbl, seeds=seeds, max_iter=max_iter),
+            [
+                ("node", edges.schema["u1"].dataType),
+                ("dist", LongType()),
+            ],
+        )
     sym = _materialize_wide(_symmetrize(edges, weighted=False))
     nodes = _nodes_of_sym(sym)
     if seeds is None:
@@ -625,7 +697,24 @@ def bfs_landmark_distances(
     deterministic, so the result is oracle-able. Returns
     (seed, node, dist: bigint) for reached pairs only; the driver
     holds only the landmark id list (bounded by ``n_landmarks``).
+    Below LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
+    (localgraph.landmark_bfs_local) answers driver-side.
     """
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            landmark_bfs_local,
+        )
+        from pyspark.sql.types import LongType
+
+        node_t = edges.schema["u1"].dataType
+        return _traversal_result(
+            edges.sparkSession,
+            landmark_bfs_local(
+                tbl, n_landmarks=n_landmarks, max_iter=max_iter
+            ),
+            [("seed", node_t), ("node", node_t), ("dist", LongType())],
+        )
     sym = _materialize_wide(_symmetrize(edges, weighted=False))
     nodes = _nodes_of_sym(sym)
     seeds = [
@@ -807,7 +896,24 @@ def bellman_ford_khop(
     followed by a productive one). Integer costs stay integers:
     hash-exact against a recursive-CTE oracle capped at the same hop
     bound. Returns (node, cost: bigint) for reached nodes only.
+    Below LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
+    (localgraph.bellman_ford_local) answers driver-side.
     """
+    tbl = _traversal_local_tbl(edges, weighted=True)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            bellman_ford_local,
+        )
+        from pyspark.sql.types import LongType
+
+        return _traversal_result(
+            edges.sparkSession,
+            bellman_ford_local(tbl, seeds=seeds, k=k),
+            [
+                ("node", edges.schema["u1"].dataType),
+                ("cost", LongType()),
+            ],
+        )
     sym = _materialize_wide(_symmetrize(edges, weighted=True))
     nodes = _nodes_of_sym(sym)
     if seeds is None:

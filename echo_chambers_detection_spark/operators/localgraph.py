@@ -721,3 +721,180 @@ def pagerank_local(sym_rows, damping, max_iter, tol, seeds=None):
         if delta <= tol:
             break
     return {s: float(r[i]) for i, s in enumerate(ids)}
+
+
+# ---------------------------------------------------------------------------
+# Traversal mirrors (round 11, VERDICT r10 #3): BFS / landmark BFS /
+# k-hop Bellman-Ford. Unlike the community mirrors above, these do NOT
+# need Spark's string-hash move schedule — distances depend only on
+# graph structure — so they serve ANY orderable id type (the bench
+# fixtures use longs). Ids keep their NATIVE dtype and sort order
+# (numeric for ints, code-point for strings), which is exactly the
+# order Spark's min()/orderBy uses on that type, so default-seed and
+# landmark selection match the distributed loops bit-for-bit.
+#
+# Input is the RAW directed edge list as a pyarrow Table (u1, u2
+# [, weight]) — half the bytes of the symmetrized frame over Arrow;
+# symmetrization is two numpy concatenates here, and one pd.factorize
+# over u1||u2 yields BOTH directions' index codes (src codes = [c1,c2],
+# dst codes = [c2,c1]), so the O(E) id-mapping pass runs once.
+# ---------------------------------------------------------------------------
+
+
+def _col_np(tbl, name):
+    np = _np()
+    arr = tbl.column(name).combine_chunks()
+    try:
+        return arr.to_numpy(zero_copy_only=True)
+    except Exception:
+        return np.asarray(arr.to_pandas())
+
+
+def _raw_edge_arrays(tbl, weighted=False):
+    """(ids, e_src, e_dst, e_w) of the SYMMETRIZED graph from a raw
+    directed edge Table. ids come out sorted in native dtype order, so
+    index 0 is the binary-smallest node. Duplicate edges all survive
+    (the distributed joins ship every row too). Weights follow
+    _symmetrize's double cast; missing weight column = 1.0."""
+    np = _np()
+    import pandas as pd
+
+    a1 = _col_np(tbl, "u1")
+    a2 = _col_np(tbl, "u2")
+    m = len(a1)
+    if weighted and "weight" in tbl.column_names:
+        w1 = _col_np(tbl, "weight").astype("float64")
+    else:
+        w1 = np.ones(m)
+    if m == 0:
+        z = np.array([], dtype=np.int64)
+        return a1[:0], z, z, w1[:0]
+    both = np.concatenate([a1, a2])
+    codes, uniq = pd.factorize(both)
+    order = np.argsort(uniq)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    bc = rank[codes]
+    c1, c2 = bc[:m], bc[m:]
+    ids = np.asarray(uniq)[order]
+    e_src = np.concatenate([c1, c2])
+    e_dst = np.concatenate([c2, c1])
+    e_w = np.concatenate([w1, w1])
+    return ids, e_src, e_dst, e_w
+
+
+def _seed_indices(ids, seeds):
+    """Indices of `seeds` present in the sorted id array (absent seeds
+    contribute nothing, matching the distributed isin() semantics)."""
+    np = _np()
+    out = []
+    n = len(ids)
+    for s in seeds:
+        i = int(np.searchsorted(ids, s))
+        if i < n and ids[i] == s:
+            out.append(i)
+    return out
+
+
+def _bfs_np(n, e_src, e_dst, seed_idx, max_iter):
+    """dist array (-1 = unreached) after `max_iter` synchronous frontier
+    rounds with early exit on an empty frontier — the numpy twin of
+    graph.bfs_distances' loop (one O(E) mask pass per round)."""
+    np = _np()
+    dist = np.full(n, -1, dtype=np.int64)
+    if not seed_idx:
+        return dist
+    dist[np.asarray(seed_idx, dtype=np.int64)] = 0
+    for d in range(1, max_iter + 1):
+        tgt = e_dst[dist[e_src] == d - 1]
+        tgt = tgt[dist[tgt] < 0]
+        if tgt.size == 0:
+            break
+        dist[tgt] = d
+    return dist
+
+
+def bfs_local(tbl, seeds=None, max_iter=50):
+    """Mirror of graph.bfs_distances: returns a pandas DataFrame
+    (node, dist) of reached nodes only, dist int64. seeds=None seeds
+    from the binary-smallest node (index 0 of the sorted id array —
+    the same value the distributed path's min('src') job picks)."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, _ = _raw_edge_arrays(tbl)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"node": ids, "dist": np.array([], np.int64)})
+    seed_idx = [0] if seeds is None else _seed_indices(ids, seeds)
+    dist = _bfs_np(n, e_src, e_dst, seed_idx, max_iter)
+    reached = dist >= 0
+    return pd.DataFrame({"node": ids[reached], "dist": dist[reached]})
+
+
+def landmark_bfs_local(tbl, n_landmarks=4, max_iter=30):
+    """Mirror of graph.bfs_landmark_distances: one BFS per landmark
+    (the k binary-smallest ids = indices 0..k-1 of the sorted array);
+    returns a pandas DataFrame (seed, node, dist) for reached pairs."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, _ = _raw_edge_arrays(tbl)
+    n = len(ids)
+    parts = []
+    for i in range(min(n_landmarks, n)):
+        dist = _bfs_np(n, e_src, e_dst, [i], max_iter)
+        reached = dist >= 0
+        parts.append(
+            pd.DataFrame(
+                {
+                    "seed": np.repeat(ids[i : i + 1], int(reached.sum())),
+                    "node": ids[reached],
+                    "dist": dist[reached],
+                }
+            )
+        )
+    if not parts:
+        return pd.DataFrame(
+            {"seed": ids, "node": ids, "dist": np.array([], np.int64)}
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def bellman_ford_local(tbl, seeds=None, k=10):
+    """Mirror of graph.bellman_ford_khop: k synchronous min-plus
+    relaxation rounds (cost after round r = exact min cost over paths
+    of <= r edges), early exit on a stalled round. Edge costs follow
+    Spark's weight.cast('bigint') — float weights truncate toward
+    zero. Per round one gather + one per-dst minimum.reduceat over an
+    edge list pre-sorted by dst (duplicate edges all participate, so
+    the min-weight duplicate wins exactly as in the distributed join).
+    Returns a pandas DataFrame (node, cost) of reached nodes."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, e_w = _raw_edge_arrays(tbl, weighted=True)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"node": ids, "cost": np.array([], np.int64)})
+    w = e_w.astype(np.int64)
+    INF = np.int64(1) << 62  # cost[ss] + w stays < 2**63 for any sane w
+    cost = np.full(n, INF, dtype=np.int64)
+    seed_idx = [0] if seeds is None else _seed_indices(ids, seeds)
+    if not seed_idx:
+        return pd.DataFrame({"node": ids[:0], "cost": cost[:0]})
+    cost[np.asarray(seed_idx, dtype=np.int64)] = 0
+    order = np.argsort(e_dst, kind="stable")
+    ss, ws = e_src[order], w[order]
+    ds = e_dst[order]
+    starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+    seg_dst = ds[starts]
+    for _ in range(k):
+        best = np.minimum.reduceat(cost[ss] + ws, starts)
+        cur = cost[seg_dst]
+        new = np.minimum(cur, best)
+        if np.array_equal(new, cur):
+            break
+        cost[seg_dst] = new
+    reached = cost < INF
+    return pd.DataFrame({"node": ids[reached], "cost": cost[reached]})

@@ -273,3 +273,86 @@ def test_pagerank_parity_generic_weights(spark, monkeypatch):
     assert set(local) == set(dist)
     for k in local:
         assert local[k] == pytest.approx(dist[k], rel=1e-12, abs=1e-15), k
+
+
+# ---------------------------------------------------------------------------
+# Traversal-family mirrors (round 11): bfs_local / landmark_bfs_local /
+# bellman_ford_local vs the distributed loops, on BOTH id dtypes (the
+# mirrors serve longs too — distances carry no string-hash schedule).
+# ---------------------------------------------------------------------------
+
+
+def _traversal_fixture(spark, dtype):
+    """Two components + duplicate edges + a weight-1 bridge; ids chosen
+    so numeric and lexicographic orders DIFFER (catches a mirror that
+    string-sorts numeric ids: 10 < 2 lexicographically)."""
+    rows = [
+        (2, 10, 1), (10, 30, 2), (2, 30, 9), (30, 400, 3),
+        (400, 5, 1), (2, 10, 4),              # duplicate edge, worse w
+        (1000, 2000, 2), (2000, 3000, 1),     # separate component
+    ]
+    if dtype == "string":
+        rows = [(f"u{a}", f"u{b}", w) for a, b, w in rows]
+        return spark.createDataFrame(
+            rows, "u1 string, u2 string, weight long"
+        )
+    return spark.createDataFrame(rows, "u1 long, u2 long, weight long")
+
+
+def _both_traversal(monkeypatch, fn, edges, keys, **kw):
+    local = {tuple(r[k] for k in keys) for r in fn(edges, **kw).collect()}
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    dist = {tuple(r[k] for k in keys) for r in fn(edges, **kw).collect()}
+    monkeypatch.undo()
+    return local, dist
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_bfs_parity(spark, monkeypatch, dtype):
+    edges = _traversal_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch, G.bfs_distances, edges, ("node", "dist"), max_iter=10
+    )
+    assert local == dist and local
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_bfs_parity_hop_bound_and_seeds(spark, monkeypatch, dtype):
+    edges = _traversal_fixture(spark, dtype)
+    seeds = ["u400", "u1000"] if dtype == "string" else [400, 1000]
+    local, dist = _both_traversal(
+        monkeypatch,
+        G.bfs_distances,
+        edges,
+        ("node", "dist"),
+        seeds=seeds,
+        max_iter=1,  # the 1-hop neighborhood pins the k-hop semantics
+    )
+    assert local == dist and local
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_landmark_bfs_parity(spark, monkeypatch, dtype):
+    edges = _traversal_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch,
+        G.bfs_landmark_distances,
+        edges,
+        ("seed", "node", "dist"),
+        n_landmarks=3,
+        max_iter=10,
+    )
+    assert local == dist and local
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_bellman_ford_parity(spark, monkeypatch, dtype):
+    edges = _traversal_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch,
+        G.bellman_ford_khop,
+        edges,
+        ("node", "cost"),
+        k=4,
+    )
+    assert local == dist and local

@@ -87,6 +87,48 @@ def model_khop_cost(edges, seed, k):
 )
 @given(graph(), st.integers(1, 4))
 def test_traversal_matches_models(spark, edges, bound):
+    """DISTRIBUTED loop vs the models (the local mirror is forced off;
+    tiny graphs would otherwise always take it)."""
+    import echo_chambers_detection_spark.operators.graph as G
+    from echo_chambers_detection_spark.operators.graph import (
+        bellman_ford_khop,
+        bfs_distances,
+    )
+
+    df = spark.createDataFrame(edges, "u1 string, u2 string, weight long")
+    seed = min({u for u, _, _ in edges} | {v for _, v, _ in edges})
+
+    saved = G.LOCAL_TRAVERSAL_EDGE_LIMIT
+    G.LOCAL_TRAVERSAL_EDGE_LIMIT = 0
+    try:
+        got_bfs = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(df, max_iter=bound).collect()
+        }
+        got_cost = {
+            r["node"]: r["cost"]
+            for r in bellman_ford_khop(df, k=bound).collect()
+        }
+    finally:
+        G.LOCAL_TRAVERSAL_EDGE_LIMIT = saved
+    assert got_bfs == model_bfs(edges, seed, bound)
+    assert got_cost == model_khop_cost(edges, seed, bound)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(graph(), st.integers(1, 4))
+def test_traversal_mirror_matches_models(spark, edges, bound):
+    """LOCAL numpy mirror (the default path at this scale) vs the same
+    models — together with the distributed leg above this is a
+    property-level parity proof over random graphs."""
     from echo_chambers_detection_spark.operators.graph import (
         bellman_ford_khop,
         bfs_distances,
