@@ -26,70 +26,19 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 # every oracled query locally every round regardless of the window).
 
 _REGISTRY_ORDER = [
-    # -- ROUND-10 WINDOW (first 50 = the driver's stamp set) -----------
+    # -- ROUND-11 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
-    "regional_supplier_volume",
-    "promo_revenue_share",
+    "landmark_closeness_estimates",
+    # code-touched this round: the traversal family gained local numpy
+    # mirrors (probe + Arrow collect on the SAME catalog plans), and
+    # seeded/weighted random walks gained the weight>=1 replica guard
     "bfs_hop_distances",
     "khop_min_cost_paths",
     "landmark_bfs_distances",
     "seeded_random_walks",
-    "butterfly_counts",
     "weighted_random_walks",
-    "user_cohort_retention",
-    "event_funnel_counts",
-    "event_key_heavy_hitters",
-    "coengagement_weekly_snapshots",
-    "bigram_lm_cross_entropy",
-    "pii_redaction_stats",
-    "ngram_novelty_scores",
-    "shingle_containment_pairs",
-    "user_jaccard_similarity",
-    "event_value_outliers_mad",
-    "event_type_markov_transitions",
-    "event_type_user_diversity",
-    "user_activity_gini",
-    "stratified_sample_exact",
-    # code/oracle touched this round and therefore requiring a fresh
-    # stamp: the leiden/louvain refinement-termination + crossover work,
-    # ktruss's raise-on-exhaustion, the checkpoint-ownership rollout
-    # (metric world, pagerank wrappers, simhash/minhash/keep-list/ANN
-    # carries), the density/hdbscan carry_input_ckpt opt-in, the LPA
-    # argmax-agg rework, and the co-engagement user-encode path
-    "leiden_planted_recovery",
-    "louvain_planted_recovery",
-    "lpa_planted_recovery",
-    "ktruss_planted",
-    "hdbscan_planted_recovery",
-    "coengagement_edges",
-    "conductance_sentinel",
-    "connected_components_strong",
-    "community_metrics_table",
-    "global_echo_metrics",
-    "analysis_run_metrics",
-    "pagerank_user_graph",
-    "pagerank_factored_planted",
-    "coengagement_top_pairs",
-    "knn_graph_ann_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "embedding_lsh_near_dup",
-    "simhash_near_pairs",
-    "simhash64_md5_near_pairs",
-    "near_dup_keep_list",
-    "minhash_jaccard_estimate_error",
-    "semantic_dedup_md5_keep",
-    "density_clusters_lsh_exhaustive",
-    # oldest stamps in the rotation: the round-7 remainder displaced by
-    # the round-9 additions, then the round-8-stamped cohort
-    "source_mixture_rates",
-    "rfc4122_layout_ids",
-    "triangle_counts",
-    "triangle_counts_planted",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    "top_tokens_per_lang",
-    "order_value_quartiles",
-    "event_type_theta_users",
+    # the displaced r7/r8-stamped cohort (the standing round-11 lead,
+    # COVERAGE.md ROUND-11 NOTE / VERDICT r10 #2)
     "tfidf_top_terms",
     "degree_histogram",
     "event_interarrival_stats",
@@ -98,15 +47,10 @@ _REGISTRY_ORDER = [
     "chunk_dedup_scrubbed_docs",
     "daily_hll_user_rollup",
     "events_in_membership_intervals",
-    # displaced by the three new third-session queries (r7/r8 stamps,
-    # untouched code; first to rotate back in round 11)
     "revenue_by_nation",
     "doc_fingerprints",
     "language_id_pred",
     "embedding_near_dup",
-    # displaced from the round-10 window by the six new queries plus
-    # lpa_planted_recovery (the LPA argmax-agg rework needs a fresh
-    # stamp); round-8 stamps; first to rotate back in round 11
     "tumbling_event_counts",
     "engagement_union",
     "sliding_event_counts",
@@ -114,7 +58,10 @@ _REGISTRY_ORDER = [
     "bpe_token_stats",
     "text_scrub_stats",
     "ann_int8_topk",
-    # round-7-stamped remainder (next to rotate in round 11)
+    # pad: oldest remaining stamps (round-7 remainder, then round-8)
+    "top_tokens_per_lang",
+    "order_value_quartiles",
+    "event_type_theta_users",
     "exact_dedup_groups",
     "event_value_percentiles",
     "event_type_user_cube",
@@ -131,20 +78,21 @@ _REGISTRY_ORDER = [
     "ngram_jaccard_pairs",
     "ann_topk",
     "multimodal_blob_stats",
-    # round-8-stamped remainder
     "c4_quality_flags",
     "winnowing_fingerprints",
     "membership_with_labels",
     "top_orders",
     "customers_without_orders",
     "active_customers",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # round-8-stamped remainder
     "top3_orders_per_customer",
     "event_type_stats",
     "ann_extremes",
     "text_token_stats",
     "knn_graph_topk",
     "doc_repetition_scores",
-    # stamped green in round 9 (freshest stamps; rotate last)
+    # stamped green in round 9
     "token_rarity_scores",
     "url_curation_stats",
     "corpus_snapshot_diff",
@@ -183,6 +131,52 @@ _REGISTRY_ORDER = [
     "quality_head_per_lang",
     "benchmark_contamination",
     "corpus_manifest",
+    # stamped green in round 10 (freshest stamps; rotate last)
+    "regional_supplier_volume",
+    "promo_revenue_share",
+    "butterfly_counts",
+    "user_cohort_retention",
+    "event_funnel_counts",
+    "event_key_heavy_hitters",
+    "coengagement_weekly_snapshots",
+    "bigram_lm_cross_entropy",
+    "pii_redaction_stats",
+    "ngram_novelty_scores",
+    "shingle_containment_pairs",
+    "user_jaccard_similarity",
+    "event_value_outliers_mad",
+    "event_type_markov_transitions",
+    "event_type_user_diversity",
+    "user_activity_gini",
+    "stratified_sample_exact",
+    "leiden_planted_recovery",
+    "louvain_planted_recovery",
+    "lpa_planted_recovery",
+    "ktruss_planted",
+    "hdbscan_planted_recovery",
+    "coengagement_edges",
+    "conductance_sentinel",
+    "connected_components_strong",
+    "community_metrics_table",
+    "global_echo_metrics",
+    "analysis_run_metrics",
+    "pagerank_user_graph",
+    "pagerank_factored_planted",
+    "coengagement_top_pairs",
+    "knn_graph_ann_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_lsh_near_dup",
+    "simhash_near_pairs",
+    "simhash64_md5_near_pairs",
+    "near_dup_keep_list",
+    "minhash_jaccard_estimate_error",
+    "semantic_dedup_md5_keep",
+    "density_clusters_lsh_exhaustive",
+    "source_mixture_rates",
+    "rfc4122_layout_ids",
+    "triangle_counts",
+    "triangle_counts_planted",
     # permanently below the window boundary: every rows-only entry
     # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
     # the hash signal, where one exists, in parentheses:

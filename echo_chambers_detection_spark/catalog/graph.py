@@ -1323,6 +1323,73 @@ def q_landmark_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "landmark_closeness_estimates",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+lm AS (
+    SELECT node FROM (
+        SELECT u1 AS node FROM g UNION SELECT u2 AS node FROM g
+    ) ORDER BY node LIMIT 4
+),
+walk(seed, node, d) AS (
+    SELECT node, node, 0 FROM lm
+    UNION
+    SELECT walk.seed, und2.dst, walk.d + 1
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.d < 30
+),
+dmat AS (
+    SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node
+)
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_landmarks_reached,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       CAST(SUM(CASE WHEN dist > 0
+                     THEN CAST(FLOOR(1e9 / dist) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS harmonic_q9,
+       CASE WHEN SUM(dist) > 0
+            THEN CAST(FLOOR((1e9 * COUNT(*)) / SUM(dist)) AS BIGINT)
+       END AS closeness_q9
+FROM dmat GROUP BY node
+""",
+    doc="Landmark-approximated closeness + harmonic centrality over "
+    "the strong-tie backbone (Potamias et al., CIKM'09; the GDS "
+    "centrality-estimate family) — ONE groupBy over the per-seed "
+    "landmark-BFS distance matrix "
+    "(operators/graph.py::landmark_closeness). Exact closeness is "
+    "all-pairs BFS, dead at 100 TB; the k-pivot estimate reuses the "
+    "vectorized one-loop landmark primitive. Integer-quantized "
+    "(floor(1e9*...)) so both engines hash-match: harmonic is integer "
+    "arithmetic after the per-row floor; closeness is one IEEE-754 "
+    "multiply/divide/floor on exactly-representable integers. The "
+    "oracle replays the same 4 binary-smallest landmarks and the same "
+    "30-hop cap through a recursive CTE.",
+)
+def q_landmark_closeness_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        landmark_closeness,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        landmark_closeness(
+            strong_tie_backbone(g, k=10), n_landmarks=4, max_iter=30
+        ),
+        g,
+    )
+
+
+@register(
     "khop_min_cost_paths",
     f"""
 WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},

@@ -783,6 +783,57 @@ def bfs_landmark_distances(
     return carry_ckpt(out, dist)
 
 
+def landmark_closeness(
+    edges: DataFrame, n_landmarks: int = 4, max_iter: int = 30
+) -> DataFrame:
+    """Landmark-approximated closeness + harmonic centrality — one
+    groupBy over the `bfs_landmark_distances` frame (Potamias et al.,
+    CIKM'09, public literature; the centrality-estimate member of the
+    GDS catalog family the reference's projected graph feeds,
+    project/metrics/community_detection.py:49-83). Exact closeness is
+    all-pairs BFS — O(n·E), dead at scale; the landmark estimate uses
+    k pivots' distances, which this module already computes in one
+    vectorized loop.
+
+    Per node over the k binary-smallest-id landmarks:
+    ``closeness_q9  = floor(1e9 * reached / Σ dist)`` (NULL when the
+    node only ever sees dist-0 landmarks, i.e. Σ = 0) and
+    ``harmonic_q9   = Σ floor(1e9 / dist)`` over dist > 0.
+    Both are integer-quantized so the DuckDB oracle hash-matches:
+    harmonic is pure integer arithmetic after the per-row floor, and
+    closeness is one IEEE-754 multiply + divide + floor on exactly-
+    representable integers — bit-identical across engines. Returns
+    (node, n_landmarks_reached, dist_sum, harmonic_q9, closeness_q9).
+    """
+    d = bfs_landmark_distances(
+        edges, n_landmarks=n_landmarks, max_iter=max_iter
+    )
+    out = (
+        d.groupBy("node")
+        .agg(
+            F.count("*").alias("n_landmarks_reached"),
+            F.sum("dist").alias("dist_sum"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    F.floor(F.lit(1e9) / F.col("dist")).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("harmonic_q9"),
+        )
+        .withColumn(
+            "closeness_q9",
+            F.when(
+                F.col("dist_sum") > 0,
+                F.floor(
+                    (F.lit(1e9) * F.col("n_landmarks_reached"))
+                    / F.col("dist_sum")
+                ).cast("bigint"),
+            ),
+        )
+    )
+    return carry_ckpt(out, d)
+
+
 def seeded_random_walks(
     edges: DataFrame,
     length: int = 8,
