@@ -328,20 +328,64 @@ def _graph_scale_probes(spark, timings: dict) -> None:
         ranks.unpersist()
 
     _check_pagerank_uniform("bench_pagerank_planted_5m")
-    run(
-        "bench_louvain_planted_5m",
-        e25b,
-        lambda e: G.louvain(e, max_levels=2, max_rounds=4),
-    )
-    # Leiden needs the denser d=31 fixture (6.2M directed rows) for
-    # >=0.9 recovery at 4 rounds — measured 0.954 there vs 0.833 at
-    # d=25 (refinement converges with the ~2x intra/inter contrast)
-    run(
-        "bench_leiden_planted_6m",
-        lambda: planted_partition_edges(
-            spark, NB, BS, 31, bridges=True, partitions=64
-        ),
-        lambda e: G.leiden(e, max_levels=2, max_rounds=4),
+
+    # ---- paired interleaved Leiden/Louvain medians (VERDICT r10 #1) --
+    # The planted loop rows individually swing ~2x with host sampling:
+    # three same-day r10 reads of the leiden/louvain ratio were 1.30 /
+    # 1.73 / 1.005, yet the single-shot official record landed 2.89.
+    # Interleaving A/B/A/B/A/B inside ONE bench run puts the sampling
+    # variance in the artifact itself: the official rows are the MEDIAN
+    # of 3, the per-rep rows stay visible, and the ratio row is
+    # median/median — host scheduling noise now has to bias three
+    # alternating pairs the same way to fake a plan regression (the
+    # job-count ceilings in tests/test_structural_jobcounts.py guard
+    # the plan itself). Fixtures are built ONCE and checkpointed so
+    # reps time the algorithm, not the generator; recovery is asserted
+    # on rep 1 only (the algorithms are deterministic on a fixed
+    # fixture — reps 2-3 recompute the identical partition).
+    # Leiden keeps the denser d=31 fixture (6.2M directed rows) it has
+    # had since r8: >=0.9 recovery at 4 rounds needs the ~2x
+    # intra/inter contrast (measured 0.954 there vs 0.833 at d=25).
+    e_lou = e25b().localCheckpoint(eager=True)
+    e_lei = planted_partition_edges(
+        spark, NB, BS, 31, bridges=True, partitions=64
+    ).localCheckpoint(eager=True)
+    paired_reps: dict[str, list] = {"louvain": [], "leiden": []}
+    for rep in range(3):
+        for algo_name, fixture, algo in (
+            (
+                "louvain",
+                e_lou,
+                lambda e: G.louvain(e, max_levels=2, max_rounds=4),
+            ),
+            (
+                "leiden",
+                e_lei,
+                lambda e: G.leiden(e, max_levels=2, max_rounds=4),
+            ),
+        ):
+            t0 = time.perf_counter()
+            out = algo(fixture).localCheckpoint(eager=True)
+            dt = round(time.perf_counter() - t0, 3)
+            paired_reps[algo_name].append(dt)
+            timings[f"bench_{algo_name}_paired_rep{rep + 1}"] = dt
+            if rep == 0:
+                sp, mg = planted_recovery_stats(out, BS)
+                if min(sp, mg) < 0.9:
+                    raise AssertionError(
+                        f"bench_{algo_name}_paired: planted recovery "
+                        f"below bar — split={sp:.4f} merge={mg:.4f}"
+                    )
+            out.unpersist()
+        spark.sparkContext._jvm.System.gc()
+    e_lou.unpersist()
+    e_lei.unpersist()
+    _median3 = lambda xs: sorted(xs)[1]  # noqa: E731
+    timings["bench_louvain_planted_5m"] = _median3(paired_reps["louvain"])
+    timings["bench_leiden_planted_6m"] = _median3(paired_reps["leiden"])
+    timings["bench_leiden_louvain_paired_ratio"] = round(
+        _median3(paired_reps["leiden"]) / _median3(paired_reps["louvain"]),
+        3,
     )
 
     # Triangle counting on 50 circulant C_2000(1..25) blocks (2.5M
@@ -937,13 +981,36 @@ def main() -> None:
     }
     # the driver archives only the last ~2000 chars of stdout, which
     # truncates the per-query rows (BENCH_r09 lost half the record) —
-    # persist the full payload as its own artifact too
-    timings_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_timings.json"
-    )
+    # persist the full payload as its own artifact too, PLUS a
+    # round-stamped copy (VERDICT r10 hygiene #3: bench_timings.json
+    # alone is overwritten every run, so earlier rounds' full row sets
+    # were lost). Round number = 1 + the highest BENCH_r*.json already
+    # committed (the driver writes the current round's AFTER bench),
+    # overridable via SPARK_GRAFT_ROUND.
+    _repo_dir = os.path.dirname(os.path.abspath(__file__))
+    timings_path = os.path.join(_repo_dir, "bench_timings.json")
     with open(timings_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"full timings written to {timings_path}", file=sys.stderr)
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re as _re
+
+            stamped = [
+                int(m.group(1))
+                for f in os.listdir(_repo_dir)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(stamped) + 1 if stamped else 1)
+        round_path = os.path.join(
+            _repo_dir, f"bench_timings_r{int(rnd):02d}.json"
+        )
+        with open(round_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"round archive written to {round_path}", file=sys.stderr)
+    except Exception as exc:  # the archive must never fail the bench
+        print(f"round archive skipped: {exc}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
 
