@@ -11,7 +11,17 @@ and answer point queries with pure numpy — no Spark session required.
 """
 
 from echo_chambers_detection_spark.serving.graph_probe import GraphAnnProbe
+from echo_chambers_detection_spark.serving.http_api import (
+    ServingApp,
+    start_server,
+)
 from echo_chambers_detection_spark.serving.ivf_probe import IvfProbe
 from echo_chambers_detection_spark.serving.pq_probe import PqProbe
 
-__all__ = ["GraphAnnProbe", "IvfProbe", "PqProbe"]
+__all__ = [
+    "GraphAnnProbe",
+    "IvfProbe",
+    "PqProbe",
+    "ServingApp",
+    "start_server",
+]
