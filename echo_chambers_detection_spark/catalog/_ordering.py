@@ -29,6 +29,7 @@ _REGISTRY_ORDER = [
     # -- ROUND-11 WINDOW (first 50 = the driver's stamp set) -----------
     # new this round (never stamped)
     "landmark_closeness_estimates",
+    "landmark_path_counts",
     # code-touched this round: the traversal family gained local numpy
     # mirrors (probe + Arrow collect on the SAME catalog plans), and
     # seeded/weighted random walks gained the weight>=1 replica guard
@@ -83,9 +84,10 @@ _REGISTRY_ORDER = [
     "membership_with_labels",
     "top_orders",
     "customers_without_orders",
-    "active_customers",
     # -- TAIL (51+): everything below is outside the driver stamp set --
-    # round-8-stamped remainder
+    # round-8-stamped remainder (active_customers displaced from the
+    # window pad by landmark_path_counts)
+    "active_customers",
     "top3_orders_per_customer",
     "event_type_stats",
     "ann_extremes",
@@ -198,6 +200,7 @@ _REGISTRY_ORDER = [
     "density_clusters_lsh",  # (density_clusters_lsh_exhaustive)
     "ktruss_user_graph",  # (ktruss_planted)
     "semantic_dedup_keep_list",  # (semantic_dedup_md5_keep)
+    "betweenness_sampled_scores",  # (landmark_path_counts) + closed-form dyadic fixtures
 ]
 
 

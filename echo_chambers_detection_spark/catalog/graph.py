@@ -1323,6 +1323,101 @@ def q_landmark_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "landmark_path_counts",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+lm AS (
+    SELECT node FROM (
+        SELECT u1 AS node FROM g UNION SELECT u2 AS node FROM g
+    ) ORDER BY node LIMIT 4
+),
+walk(seed, node, d) AS (
+    SELECT node, node, 0 FROM lm
+    UNION ALL
+    SELECT walk.seed, und2.dst, walk.d + 1
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.d < 4
+),
+md AS (
+    SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node
+)
+SELECT w.seed, w.node, CAST(m.dist AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS sigma
+FROM walk w
+JOIN md m ON w.seed = m.seed AND w.node = m.node AND w.d = m.dist
+GROUP BY w.seed, w.node, m.dist
+""",
+    doc="Shortest-path COUNTS from the 4 binary-smallest pivots over "
+    "the strong-tie backbone — the exact-integer σ half of Brandes' "
+    "betweenness (operators/graph.py::shortest_path_counts), "
+    "differential-tested end to end: a shortest path is a minimal-"
+    "length walk, so the recursive-CTE oracle enumerates every walk "
+    "of length <= 4 as a row (UNION ALL keeps duplicates) and counts "
+    "the rows sitting at each node's min depth. The Spark side is the "
+    "level-synchronous sum-combining loop (σ(v) = Σ σ(pred)), capped "
+    "at the SAME 4 hops — path counts are bigints on both sides, "
+    "hash-exact. The 4-hop cap keeps the oracle's walk enumeration "
+    "polynomial (Σ deg^4 rows) where the Spark loop stays linear per "
+    "level — the oracle pays exponent, the engine doesn't.",
+)
+def q_landmark_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        shortest_path_counts,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        shortest_path_counts(
+            strong_tie_backbone(g, k=10), n_sources=4, max_iter=4
+        ),
+        g,
+    )
+
+
+@register(
+    "betweenness_sampled_scores",
+    None,
+    doc="Pivot-sampled betweenness centrality (Brandes 2001 dependency "
+    "accumulation from the 4 binary-smallest pivots, "
+    "operators/graph.py::brandes_betweenness) over the strong-tie "
+    "backbone — the gds.betweenness.stream member of the reference's "
+    "GDS catalog family. Dependencies are float ratios, so no SQL "
+    "hash oracle; the hash-green twin is landmark_path_counts (the "
+    "exact-integer σ forward pass this operator consumes), and "
+    "closed-form fixtures (path/star/C4, where every σ ratio is "
+    "dyadic and the arithmetic exact) pin the δ backward pass plus "
+    "local-vs-distributed bit parity in tests/test_round11_queries.py. "
+    "Top-50 by score with (score desc, node) determinism.",
+)
+def q_betweenness_sampled_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        brandes_betweenness,
+        carry_ckpt,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    bc = brandes_betweenness(
+        strong_tie_backbone(g, k=10), n_sources=4, max_iter=30
+    )
+    return carry_ckpt(
+        bc.orderBy(F.col("betweenness").desc(), "node").limit(50), g
+    )
+
+
+@register(
     "landmark_closeness_estimates",
     f"""
 WITH RECURSIVE {_ORACLE_BACKBONE_CTE},

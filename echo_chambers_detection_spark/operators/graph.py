@@ -834,6 +834,250 @@ def landmark_closeness(
     return carry_ckpt(out, d)
 
 
+def _sigma_forward(sym, seeds_df, max_iter, hint):
+    """Brandes forward pass, vectorized over seeds: state frame
+    (seed, node, dist, sigma) where sigma = number of shortest
+    s->node paths (exact bigint — sums of path counts, no floats).
+    Per round: one frontier join + one (seed, node) sum-combining
+    groupBy + one O(n·k) left-join update, the module's standard loop
+    shape. Returns (state, D) with D = deepest populated level."""
+    nodes = _nodes_of_sym(sym)
+    state = _materialize(
+        nodes.crossJoin(F.broadcast(seeds_df)).select(
+            "seed",
+            "node",
+            F.when(F.col("node") == F.col("seed"), F.lit(0))
+            .cast("int")
+            .alias("dist"),
+            F.when(F.col("node") == F.col("seed"), F.lit(1))
+            .cast("bigint")
+            .alias("sigma"),
+        )
+    )
+    depth = 0
+    for d in range(1, max_iter + 1):
+        frontier = state.where(F.col("dist") == d - 1).select(
+            "seed", F.col("node").alias("src"), "sigma"
+        )
+        contrib = (
+            sym.join(hint(frontier), "src")
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("_s"))
+        )
+        new_state = _materialize(
+            state.join(hint(contrib), ["seed", "node"], "left").select(
+                "seed",
+                "node",
+                F.coalesce(
+                    "dist",
+                    F.when(F.col("_s").isNotNull(), F.lit(d)).cast("int"),
+                ).alias("dist"),
+                F.coalesce("sigma", "_s").alias("sigma"),
+            )
+        )
+        grew = int(
+            new_state.agg(
+                F.sum((F.col("dist") == d).cast("long")).alias("c")
+            ).first()["c"]
+            or 0
+        )
+        _release_checkpoint(state)
+        state = new_state
+        if grew == 0:
+            break
+        depth = d
+    return state, depth
+
+
+def shortest_path_counts(
+    edges: DataFrame, n_sources: int = 4, max_iter: int = 30
+) -> DataFrame:
+    """Number of shortest paths from each of the ``n_sources``
+    binary-smallest pivot nodes — the σ half of Brandes' betweenness
+    algorithm (Brandes 2001, public literature; the centrality family
+    of the GDS catalog the reference's projected graph feeds,
+    project/metrics/community_detection.py:49-83), exposed standalone
+    because σ is EXACT INTEGER arithmetic and therefore fully
+    differential-testable: a shortest path count is the number of
+    minimal-length walks, which a recursive-CTE oracle enumerates
+    row-by-row at the same hop cap. Returns
+    (seed, node, dist: bigint, sigma: bigint) for reached pairs.
+
+    Below LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
+    (localgraph.path_counts_local) answers driver-side.
+    """
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            path_counts_local,
+        )
+        from pyspark.sql.types import LongType
+
+        node_t = edges.schema["u1"].dataType
+        return _traversal_result(
+            edges.sparkSession,
+            path_counts_local(
+                tbl, n_sources=n_sources, max_iter=max_iter
+            ),
+            [
+                ("seed", node_t),
+                ("node", node_t),
+                ("dist", LongType()),
+                ("sigma", LongType()),
+            ],
+        )
+    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    nodes = _nodes_of_sym(sym)
+    seeds_df = F.broadcast(
+        nodes.orderBy("node").limit(n_sources).withColumnRenamed(
+            "node", "seed"
+        )
+    )
+    hint = _state_hint(_probe_small(nodes))
+    state, _ = _sigma_forward(sym, seeds_df, max_iter, hint)
+    out = state.where(F.col("dist").isNotNull()).select(
+        "seed",
+        "node",
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("sigma").cast("bigint").alias("sigma"),
+    )
+    _release_checkpoint(sym)
+    return carry_ckpt(out, state)
+
+
+def brandes_betweenness(
+    edges: DataFrame, n_sources: int = 4, max_iter: int = 30
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality (Brandes 2001; the sampled
+    estimator of Bader et al. / Brandes-Pich, public literature):
+    bc(v) = Σ over the ``n_sources`` binary-smallest pivots s of the
+    dependency δ_s(v) = Σ_{w: v ∈ pred(w)} σ_sv/σ_sw · (1 + δ_s(w)).
+    With pivots = all nodes this is exact (ordered-pair convention —
+    halve for the undirected textbook number); with k pivots it is the
+    standard unscaled sample sum. ``max_iter`` caps the forward BFS,
+    so the estimate is over the ≤max_iter-hop DAG (same k-hop
+    semantics contract as the rest of the traversal family).
+
+    Distributed shape: the σ forward loop (one edge join + one
+    combining agg per level), ONE materialized DAG join (edge frame
+    against the state frame on both endpoints, dist_w = dist_v + 1),
+    then D backward rounds of one level-filtered join + one
+    sum-combining agg each — δ for a level is complete in one round
+    because dependencies flow strictly level-by-level. Returns
+    (node, betweenness: double) over ALL nodes (0.0 where no shortest
+    path passes). Dependency sums are floats; on fixtures whose σ
+    ratios are dyadic the result is exact and the local mirror
+    (localgraph.betweenness_local, below LOCAL_TRAVERSAL_EDGE_LIMIT)
+    matches bit-for-bit — tests pin that plus closed forms.
+    """
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            betweenness_local,
+        )
+        from pyspark.sql.types import DoubleType
+
+        return _traversal_result(
+            edges.sparkSession,
+            betweenness_local(
+                tbl, n_sources=n_sources, max_iter=max_iter
+            ),
+            [
+                ("node", edges.schema["u1"].dataType),
+                ("betweenness", DoubleType()),
+            ],
+        )
+    sym = _materialize_wide(_symmetrize(edges, weighted=False))
+    nodes = _materialize(_nodes_of_sym(sym))
+    seeds_df = F.broadcast(
+        nodes.orderBy("node").limit(n_sources).withColumnRenamed(
+            "node", "seed"
+        )
+    )
+    hint = _state_hint(_probe_small(nodes))
+    state, depth = _sigma_forward(sym, seeds_df, max_iter, hint)
+    # DAG edges (v at dist, w at dist+1) with both endpoints' sigma —
+    # one materialized join; every backward round is a filter on it
+    sv = state.where(F.col("dist").isNotNull()).select(
+        "seed",
+        F.col("node").alias("src"),
+        F.col("dist").alias("_dv"),
+        F.col("sigma").alias("_sv"),
+    )
+    sw = state.where(F.col("dist").isNotNull()).select(
+        "seed",
+        F.col("node").alias("dst"),
+        F.col("dist").alias("_dw"),
+        F.col("sigma").alias("_sw"),
+    )
+    dag = _materialize(
+        sym.join(hint(sv), "src")
+        .join(hint(sw), ["seed", "dst"])
+        .where(F.col("_dw") == F.col("_dv") + 1)
+        .select(
+            "seed",
+            F.col("src").alias("v"),
+            F.col("dst").alias("w"),
+            "_dv",
+            "_sv",
+            "_sw",
+        )
+    )
+    delta_prev = None  # δ of the level just computed (starts: deepest = 0)
+    bc_parts = []
+    for d in range(depth, 0, -1):
+        lvl = dag.where(F.col("_dv") == d - 1)
+        if delta_prev is not None:
+            lvl = lvl.join(
+                hint(
+                    delta_prev.select(
+                        "seed", F.col("node").alias("w"), "_delta"
+                    )
+                ),
+                ["seed", "w"],
+                "left",
+            ).na.fill({"_delta": 0.0})
+        else:
+            lvl = lvl.withColumn("_delta", F.lit(0.0))
+        contrib = _materialize(
+            lvl.groupBy("seed", F.col("v").alias("node")).agg(
+                F.sum(
+                    (F.col("_sv") / F.col("_sw"))
+                    * (F.lit(1.0) + F.col("_delta"))
+                ).alias("_delta")
+            )
+        )
+        # NOTE: delta_prev frames are NOT released in-loop — every one
+        # except the final level-0 output is also a bc_parts member the
+        # closing union still reads; all are freed together below.
+        delta_prev = contrib
+        if d - 1 >= 1:
+            # level-0 nodes are the pivots themselves: δ_s(s) is
+            # excluded from bc by definition, and d=1's output is the
+            # last round anyway
+            bc_parts.append(contrib)
+    acc = None
+    for p in bc_parts:
+        q = p.select("node", "_delta")
+        acc = q if acc is None else acc.unionByName(q)
+    if acc is None:
+        out = nodes.select("node", F.lit(0.0).alias("betweenness"))
+    else:
+        bc = acc.groupBy("node").agg(F.sum("_delta").alias("_bc"))
+        out = (
+            nodes.join(hint(bc), "node", "left")
+            .na.fill({"_bc": 0.0})
+            .select("node", F.col("_bc").alias("betweenness"))
+        )
+    out = tracked_checkpoint(out)
+    _release_checkpoint(sym, state, dag, nodes)
+    if delta_prev is not None:
+        _release_checkpoint(delta_prev)
+    for p in bc_parts:
+        _release_checkpoint(p)
+    return out
+
+
 def seeded_random_walks(
     edges: DataFrame,
     length: int = 8,

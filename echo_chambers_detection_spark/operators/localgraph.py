@@ -898,3 +898,80 @@ def bellman_ford_local(tbl, seeds=None, k=10):
         cost[seg_dst] = new
     reached = cost < INF
     return pd.DataFrame({"node": ids[reached], "cost": cost[reached]})
+
+
+def _sigma_np(n, e_src, e_dst, seed_i, max_iter):
+    """Forward Brandes per seed: (dist, sigma) arrays. sigma is exact
+    int64 (sums of path counts, level by level over the BFS DAG)."""
+    np = _np()
+    dist = _bfs_np(n, e_src, e_dst, [seed_i], max_iter)
+    sigma = np.zeros(n, dtype=np.int64)
+    sigma[seed_i] = 1
+    maxd = int(dist.max())
+    de_src = dist[e_src]
+    de_dst = dist[e_dst]
+    for d in range(1, maxd + 1):
+        m = (de_src == d - 1) & (de_dst == d)
+        np.add.at(sigma, e_dst[m], sigma[e_src[m]])
+    return dist, sigma, maxd
+
+
+def path_counts_local(tbl, n_sources=4, max_iter=30):
+    """Mirror of graph.shortest_path_counts: per-pivot (dist, sigma)
+    via level-masked accumulation — exact int64, bit-parity with the
+    distributed sum-combining groupBy. Returns a pandas DataFrame
+    (seed, node, dist, sigma) for reached pairs."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, _ = _raw_edge_arrays(tbl)
+    n = len(ids)
+    parts = []
+    for i in range(min(n_sources, n)):
+        dist, sigma, _ = _sigma_np(n, e_src, e_dst, i, max_iter)
+        reached = dist >= 0
+        parts.append(
+            pd.DataFrame(
+                {
+                    "seed": np.repeat(ids[i : i + 1], int(reached.sum())),
+                    "node": ids[reached],
+                    "dist": dist[reached],
+                    "sigma": sigma[reached],
+                }
+            )
+        )
+    if not parts:
+        z = np.array([], np.int64)
+        return pd.DataFrame(
+            {"seed": ids, "node": ids, "dist": z, "sigma": z}
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def betweenness_local(tbl, n_sources=4, max_iter=30):
+    """Mirror of graph.brandes_betweenness: per-pivot dependency
+    accumulation δ(v) = Σ σv/σw (1 + δw) processed deepest level
+    first, summed over pivots. Returns a pandas DataFrame
+    (node, betweenness) over ALL nodes. On fixtures with dyadic σ
+    ratios (trees, C4) every float op is exact, so the mirror is
+    bit-identical to the distributed path there (parity-tested)."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, _ = _raw_edge_arrays(tbl)
+    n = len(ids)
+    bc = np.zeros(n, dtype=np.float64)
+    for i in range(min(n_sources, n)):
+        dist, sigma, maxd = _sigma_np(n, e_src, e_dst, i, max_iter)
+        delta = np.zeros(n, dtype=np.float64)
+        de_src = dist[e_src]
+        de_dst = dist[e_dst]
+        for d in range(maxd, 0, -1):
+            m = (de_src == d - 1) & (de_dst == d)
+            contrib = (
+                sigma[e_src[m]].astype(np.float64) / sigma[e_dst[m]]
+            ) * (1.0 + delta[e_dst[m]])
+            np.add.at(delta, e_src[m], contrib)
+        delta[i] = 0.0  # δ_s(s) never counts
+        bc += delta
+    return pd.DataFrame({"node": ids, "betweenness": bc})

@@ -60,3 +60,97 @@ def test_landmark_closeness_hop_bound(spark):
     )
     assert ("d", 1, 1, 1_000_000_000, 1_000_000_000) in got
     assert ("a", 2, 1, 1_000_000_000, 2_000_000_000) in got
+
+
+# ---------------------------------------------------------------------------
+# Brandes betweenness + shortest-path counts (round 11): closed forms
+# on fixtures whose sigma ratios are dyadic (path / star / C4), so
+# every float op is exact and local-vs-distributed parity is exact too.
+# ---------------------------------------------------------------------------
+
+
+def _fixture(spark, name):
+    rows = {
+        # a - b - c - d
+        "path": [("a", "b"), ("b", "c"), ("c", "d")],
+        # center a, leaves b c d
+        "star": [("a", "b"), ("a", "c"), ("a", "d")],
+        # 4-cycle
+        "c4": [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+    }[name]
+    return spark.createDataFrame(rows, "u1 string, u2 string")
+
+
+# ordered-pair dependency sums over ALL nodes as pivots (closed forms
+# derived by hand in the test module docstring's convention)
+_BC_EXPECT = {
+    "path": {"a": 0.0, "b": 4.0, "c": 4.0, "d": 0.0},
+    "star": {"a": 6.0, "b": 0.0, "c": 0.0, "d": 0.0},
+    "c4": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+}
+
+
+@pytest.mark.parametrize("name", ["path", "star", "c4"])
+def test_betweenness_closed_form_and_parity(spark, monkeypatch, name):
+    edges = _fixture(spark, name)
+    local = {
+        r["node"]: r["betweenness"]
+        for r in G.brandes_betweenness(edges, n_sources=4).collect()
+    }
+    assert local == _BC_EXPECT[name]
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    dist = {
+        r["node"]: r["betweenness"]
+        for r in G.brandes_betweenness(edges, n_sources=4).collect()
+    }
+    assert dist == _BC_EXPECT[name]  # dyadic arithmetic: exact equality
+
+
+def test_path_counts_closed_form_and_parity(spark, monkeypatch):
+    edges = _fixture(spark, "c4")
+    expect = set()
+    for s, opp in (("a", "c"), ("b", "d"), ("c", "a"), ("d", "b")):
+        expect.add((s, s, 0, 1))
+        expect.add((s, opp, 2, 2))  # two shortest paths around the cycle
+        for n in "abcd":
+            if n not in (s, opp):
+                expect.add((s, n, 1, 1))
+    local = {
+        (r["seed"], r["node"], r["dist"], r["sigma"])
+        for r in G.shortest_path_counts(edges, n_sources=4).collect()
+    }
+    assert local == expect
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    dist = {
+        (r["seed"], r["node"], r["dist"], r["sigma"])
+        for r in G.shortest_path_counts(edges, n_sources=4).collect()
+    }
+    assert dist == expect
+
+
+def test_path_counts_hop_bound(spark):
+    # max_iter=1 on the path: each pivot sees only itself + neighbors
+    got = {
+        (r["seed"], r["node"], r["dist"], r["sigma"])
+        for r in G.shortest_path_counts(
+            _fixture(spark, "path"), n_sources=4, max_iter=1
+        ).collect()
+    }
+    assert got == {
+        ("a", "a", 0, 1), ("a", "b", 1, 1),
+        ("b", "b", 0, 1), ("b", "a", 1, 1), ("b", "c", 1, 1),
+        ("c", "c", 0, 1), ("c", "b", 1, 1), ("c", "d", 1, 1),
+        ("d", "d", 0, 1), ("d", "c", 1, 1),
+    }
+
+
+def test_betweenness_sampled_subset_of_pivots(spark):
+    # pivots = {a, b} on the path: bc(b) = delta_a(b) = 2 (pairs a->c,
+    # a->d); bc(c) = delta_a(c) + delta_b(c) = 1 + 1
+    got = {
+        r["node"]: r["betweenness"]
+        for r in G.brandes_betweenness(
+            _fixture(spark, "path"), n_sources=2
+        ).collect()
+    }
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
