@@ -30,47 +30,29 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r10 = {
-        # round-10 window intent (see catalog/_ordering.py): every
-        # query whose code/oracle the round touched (leiden/louvain
-        # termination + crossover, ktruss raise, checkpoint-ownership
-        # rollout), then the oldest stamps (round-7 remainder + the
-        # round-8 cohort); every rows-only entry stays pinned below
-        # the window boundary
-        "leiden_planted_recovery", "louvain_planted_recovery",
-        "ktruss_planted", "hdbscan_planted_recovery",
-        "conductance_sentinel", "connected_components_strong",
-        "community_metrics_table", "global_echo_metrics",
-        "analysis_run_metrics", "pagerank_user_graph",
-        "pagerank_factored_planted", "coengagement_top_pairs",
-        "knn_graph_ann_topk", "ann_ivf_topk", "ann_pq_topk",
-        "embedding_lsh_near_dup", "simhash_near_pairs",
-        "simhash64_md5_near_pairs", "near_dup_keep_list",
-        "minhash_jaccard_estimate_error", "semantic_dedup_md5_keep",
-        "density_clusters_lsh_exhaustive",
-        "source_mixture_rates", "rfc4122_layout_ids",
-        "triangle_counts", "triangle_counts_planted",
-                                        "lpa_planted_recovery", "coengagement_edges",
+    must_stamp_r11 = {
+        # round-11 window intent (see catalog/_ordering.py): the two
+        # new centrality queries, the code-touched traversal/walk
+        # family (local numpy mirrors + the weight>=1 replica guard),
+        # then the displaced r7/r8-stamped cohort the round-10 close
+        # flagged as the mandatory round-11 lead (COVERAGE.md
+        # ROUND-11 NOTE / VERDICT r10 #2); every rows-only entry stays
+        # pinned below the window boundary
+        "landmark_closeness_estimates", "landmark_path_counts",
         "bfs_hop_distances", "khop_min_cost_paths",
         "landmark_bfs_distances", "seeded_random_walks",
-        "butterfly_counts", "weighted_random_walks",
-        "user_cohort_retention", "event_funnel_counts",
-        "event_key_heavy_hitters", "coengagement_weekly_snapshots",
-        "regional_supplier_volume", "promo_revenue_share",
-        "bigram_lm_cross_entropy",
-        "pii_redaction_stats",
-        # tumbling_event_counts / engagement_union /
-        # sliding_event_counts / language_id_trigram_pred /
-        # bpe_token_stats / text_scrub_stats / ann_int8_topk displaced
-        # to the tail by the six new round-10 queries + the LPA rework
-        # (round-8 stamps, untouched code; first to rotate back in
-        # round 11)
-        "ngram_novelty_scores", "shingle_containment_pairs",
-        "user_jaccard_similarity", "event_value_outliers_mad",
-        "event_type_markov_transitions", "event_type_user_diversity",
-        "user_activity_gini", "stratified_sample_exact",
+        "weighted_random_walks",
+        "tfidf_top_terms", "degree_histogram",
+        "event_interarrival_stats", "incremental_dedup_new_batch",
+        "user_session_stats", "chunk_dedup_scrubbed_docs",
+        "daily_hll_user_rollup", "events_in_membership_intervals",
+        "revenue_by_nation", "doc_fingerprints", "language_id_pred",
+        "embedding_near_dup", "tumbling_event_counts",
+        "engagement_union", "sliding_event_counts",
+        "language_id_trigram_pred", "bpe_token_stats",
+        "text_scrub_stats", "ann_int8_topk",
     }
-    missing = must_stamp_r10 - set(window)
+    missing = must_stamp_r11 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # every window slot must carry a hash oracle — a no_oracle stamp is
     # a wasted slot (VERDICT r6 what's-wrong #3)
