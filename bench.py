@@ -304,6 +304,72 @@ def _graph_scale_probes(spark, timings: dict) -> None:
 
     _check_bfs_layered("bench_bfs_layered_500k")
 
+    # Brandes betweenness on a 250k-node layered expander (5.05M input
+    # edges), FORCED onto the distributed path — the honest 100 TB code
+    # path; the traversal mirror would otherwise absorb this fixture.
+    # Closed form from the layer-0 seed: every layer-k node has
+    # in-degree exactly 25 (gcd(7, M) = 1 coverage), so
+    # sigma(layer k) = 25^(k-1) and the dependency telescopes:
+    # delta(v) = 1 + delta(layer+1), i.e. bc(v) = L - layer(v) (0 for
+    # the seed and the leaf layer). Verified distributedly over ALL
+    # nodes with 1e-8 tolerance — the 1/25 sigma ratios are non-dyadic,
+    # so float association noise is expected here, unlike the dyadic
+    # parity fixtures in tests/test_round11_queries.py.
+    def _check_betweenness_layered(timings_key: str) -> None:
+        from pyspark.sql import functions as F
+
+        L, M, D = 5, 50_000, 25
+        nid = lambda layer, i: F.lit(layer) * 10_000_000 + i  # noqa: E731
+        fan = spark.range(D).select(F.col("id").alias("j"))
+        parts = [
+            spark.range(0, M, 1, 32).select(
+                F.lit(0).cast("long").alias("u1"),
+                nid(1, F.col("id")).alias("u2"),
+            )
+        ]
+        for k in range(1, L):
+            parts.append(
+                spark.range(0, M, 1, 32)
+                .crossJoin(fan)
+                .select(
+                    nid(k, F.col("id")).alias("u1"),
+                    nid(
+                        k + 1, (F.col("id") * 7 + F.col("j") * 13) % M
+                    ).alias("u2"),
+                )
+            )
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionAll(p)
+        edges = edges.localCheckpoint(eager=True)
+        saved = G.LOCAL_TRAVERSAL_EDGE_LIMIT
+        G.LOCAL_TRAVERSAL_EDGE_LIMIT = 0
+        try:
+            t0 = time.perf_counter()
+            bc = G.brandes_betweenness(
+                edges, n_sources=1, max_iter=L + 1
+            ).localCheckpoint(eager=True)
+            timings[timings_key] = round(time.perf_counter() - t0, 3)
+        finally:
+            G.LOCAL_TRAVERSAL_EDGE_LIMIT = saved
+        layer = F.floor(F.col("node") / 10_000_000)
+        expected = F.when(layer == 0, F.lit(0.0)).otherwise(
+            (F.lit(L) - layer).cast("double")
+        )
+        total = bc.count()
+        bad = bc.where(
+            F.abs(F.col("betweenness") - expected) > 1e-8
+        ).count()
+        if total != L * M + 1 or bad:
+            raise AssertionError(
+                f"{timings_key}: {total}/{L * M + 1} nodes, {bad} "
+                "betweenness values off the telescoped closed form"
+            )
+        bc.unpersist()
+        edges.unpersist()
+
+    _check_betweenness_layered("bench_betweenness_layered_250k")
+
     # PageRank on the 50-regular fixture: the exact fixpoint is uniform
     # 1/n, so correctness is a closed-form max-deviation assertion —
     # floating error only (each round re-derives uniform from uniform)

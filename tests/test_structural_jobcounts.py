@@ -177,3 +177,21 @@ def test_triangle_counts_job_count(spark):
         spark, lambda: triangle_counts(e.select("u1", "u2")).count()
     )
     assert n <= 6, f"triangle_counts grew to {n} jobs (was 4)"
+
+
+def test_brandes_distributed_job_count(spark, monkeypatch):
+    """Forward sigma loop + ONE DAG join + level-by-level backward aggs:
+    an extra per-level pass (e.g. losing the materialized DAG and
+    re-joining state every round) roughly doubles this."""
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    e = planted_partition_edges(
+        spark, 4, 60, 5, bridges=True, partitions=4
+    ).localCheckpoint(eager=True)
+    n = _count_jobs(
+        spark,
+        lambda: G.brandes_betweenness(
+            e.select("u1", "u2"), n_sources=4, max_iter=8
+        ).count(),
+    )
+    e.unpersist()
+    assert n <= 117, f"distributed brandes grew to {n} jobs (was 90)"
