@@ -900,7 +900,11 @@ def shortest_path_counts(
     because σ is EXACT INTEGER arithmetic and therefore fully
     differential-testable: a shortest path count is the number of
     minimal-length walks, which a recursive-CTE oracle enumerates
-    row-by-row at the same hop cap. Returns
+    row-by-row at the same hop cap. MULTIGRAPH convention: duplicate
+    edge rows are parallel edges, each a distinct shortest path (the
+    walk oracle enumerates them the same way; the co-engagement
+    projections feeding the catalog are dedup'd, so there the two
+    conventions coincide). Returns
     (seed, node, dist: bigint, sigma: bigint) for reached pairs.
 
     Below LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
@@ -956,7 +960,11 @@ def brandes_betweenness(
     halve for the undirected textbook number); with k pivots it is the
     standard unscaled sample sum. ``max_iter`` caps the forward BFS,
     so the estimate is over the ≤max_iter-hop DAG (same k-hop
-    semantics contract as the rest of the traversal family).
+    semantics contract as the rest of the traversal family). σ and δ
+    follow the MULTIGRAPH convention of `shortest_path_counts`:
+    duplicate edge rows are parallel edges (each DAG row ships its own
+    δ contribution) — pinned by the exact-rational hypothesis model in
+    tests/test_traversal_property.py.
 
     Distributed shape: the σ forward loop (one edge join + one
     combining agg per level), ONE materialized DAG join (edge frame

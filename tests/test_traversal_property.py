@@ -148,3 +148,127 @@ def test_traversal_mirror_matches_models(spark, edges, bound):
         for r in bellman_ford_khop(df, k=bound).collect()
     }
     assert got_cost == model_khop_cost(edges, seed, bound)
+
+
+def model_betweenness(edges, sources, max_iter):
+    """Exact-rational Brandes (fractions.Fraction), so the model has
+    ZERO float error — the operator's float output is compared within
+    1e-9, which only the true value can satisfy on these tiny graphs.
+
+    MULTIGRAPH convention, matching the operator AND its
+    walk-enumeration σ oracle: duplicate edge rows are parallel edges,
+    each a distinct shortest path (σ sums carry the multiplicity, and
+    each parallel edge ships its own δ contribution)."""
+    from fractions import Fraction
+
+    mult: dict = {}
+    for u, v, _ in edges:
+        mult.setdefault(u, {})[v] = mult.get(u, {}).get(v, 0) + 1
+        mult.setdefault(v, {})[u] = mult.get(v, {}).get(u, 0) + 1
+    bc = {v: Fraction(0) for v in mult}
+    for s in sources:
+        dist = model_bfs(edges, s, max_iter)
+        sigma = {v: 0 for v in mult}
+        sigma[s] = 1
+        maxd = max(dist.values(), default=0)
+        by_level = {}
+        for v, d in dist.items():
+            by_level.setdefault(d, []).append(v)
+        for d in range(1, maxd + 1):
+            for w in by_level.get(d, []):
+                sigma[w] = sum(
+                    sigma[u] * m
+                    for u, m in mult.get(w, {}).items()
+                    if dist.get(u) == d - 1
+                )
+        delta = {v: Fraction(0) for v in mult}
+        for d in range(maxd, 0, -1):
+            for w in by_level.get(d, []):
+                for u, m in mult.get(w, {}).items():
+                    if dist.get(u) == d - 1:
+                        delta[u] += (
+                            m
+                            * Fraction(sigma[u], sigma[w])
+                            * (1 + delta[w])
+                        )
+        delta[s] = Fraction(0)
+        for v in mult:
+            bc[v] += delta[v]
+    return bc
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(graph(), st.integers(2, 4), st.integers(2, 6))
+def test_betweenness_mirror_matches_rational_model(
+    spark, edges, n_sources, bound
+):
+    """Brandes mirror (the default path at this scale) vs the
+    exact-rational model on random graphs, including the hop bound and
+    the pivot-subset rule (n_sources binary-smallest nodes)."""
+    from echo_chambers_detection_spark.operators.graph import (
+        brandes_betweenness,
+    )
+
+    df = spark.createDataFrame(edges, "u1 string, u2 string, weight long")
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    want = model_betweenness(edges, nodes[:n_sources], bound)
+    got = {
+        r["node"]: r["betweenness"]
+        for r in brandes_betweenness(
+            df, n_sources=n_sources, max_iter=bound
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - float(want[v])) < 1e-9, (
+            v, got[v], want[v], edges,
+        )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(graph(), st.integers(2, 3))
+def test_betweenness_distributed_matches_rational_model(
+    spark, edges, n_sources
+):
+    """The distributed forward/DAG/backward legs vs the same model
+    (mirror forced off) — fewer examples, each costs real Spark jobs."""
+    import echo_chambers_detection_spark.operators.graph as G
+    from echo_chambers_detection_spark.operators.graph import (
+        brandes_betweenness,
+    )
+
+    df = spark.createDataFrame(edges, "u1 string, u2 string, weight long")
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    want = model_betweenness(edges, nodes[:n_sources], 6)
+    saved = G.LOCAL_TRAVERSAL_EDGE_LIMIT
+    G.LOCAL_TRAVERSAL_EDGE_LIMIT = 0
+    try:
+        got = {
+            r["node"]: r["betweenness"]
+            for r in brandes_betweenness(
+                df, n_sources=n_sources, max_iter=6
+            ).collect()
+        }
+    finally:
+        G.LOCAL_TRAVERSAL_EDGE_LIMIT = saved
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - float(want[v])) < 1e-9, (
+            v, got[v], want[v], edges,
+        )
