@@ -44,6 +44,8 @@ _WARMUP_QUERIES = [
     "token_pmi_collocations",     # incidence self-join + broadcast dfs
     "triangle_counts",            # oriented wedge + closure joins
     "chunk_dedup_stats",          # chunk explode + freq join-back
+    "bfs_hop_distances",          # traversal mirror: probe + Arrow collect
+    "betweenness_sampled_scores",  # Brandes mirror: sigma + backward sweep
 ]
 _WARMUP_SF_DIR = os.environ.get(
     "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
