@@ -1190,6 +1190,74 @@ def q_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "walk_skipgram_pairs",
+    f"""
+WITH RECURSIVE {_ORACLE_BACKBONE_CTE},
+und2 AS (
+    SELECT u1 AS src, u2 AS dst FROM g
+    UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+walk(wid, step, node) AS (
+    SELECT node, 0, node FROM (
+        SELECT DISTINCT src AS node FROM und2
+    )
+    UNION ALL
+    SELECT w.wid, w.step + 1,
+           arg_min(u.dst,
+                   md5(w.wid || '|' || CAST(w.step + 1 AS VARCHAR)
+                       || '|' || u.dst) || '|' || u.dst)
+    FROM walk w JOIN und2 u ON u.src = w.node
+    WHERE w.step < 8
+    GROUP BY w.wid, w.step
+)
+SELECT a.node AS node, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM walk a
+JOIN walk b ON a.wid = b.wid
+           AND b.step > a.step AND b.step <= a.step + 2
+GROUP BY 1, 2
+""",
+    doc="Skip-gram positive pairs from the deterministic random walks "
+    "— the node2vec/DeepWalk training-data step (walk corpus -> "
+    "(center, context) pairs within a window of 2) over the same "
+    "replayable walk set as `seeded_random_walks`. Spark side is ONE "
+    "window pass (lead(node, 1..w) over each walk ordered by step, "
+    "exploded and counted) — no self-join; the DuckDB oracle replays "
+    "the walks recursively and self-joins on (wid, step distance). "
+    "Integer pair counts, hash-exact. At 100 TB the walk corpus is "
+    "O(walkers x length) rows and the window partitions by wid — one "
+    "exchange, then map-side-combined counting.",
+)
+def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from echo_chambers_detection_spark.operators.graph import (
+        carry_ckpt,
+        seeded_random_walks,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    walks = seeded_random_walks(strong_tie_backbone(g, k=10), length=8)
+    w = Window.partitionBy("wid").orderBy("step")
+    pairs = (
+        walks.select(
+            "node",
+            F.array(
+                F.lead("node", 1).over(w), F.lead("node", 2).over(w)
+            ).alias("_ctx"),
+        )
+        .select("node", F.explode("_ctx").alias("context"))
+        .where(F.col("context").isNotNull())
+        .groupBy("node", "context")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    return carry_ckpt(pairs, walks, g)
+
+
+@register(
     "weighted_random_walks",
     f"""
 WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},

@@ -154,3 +154,43 @@ def test_betweenness_sampled_subset_of_pivots(spark):
         ).collect()
     }
     assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+
+
+def test_walk_skipgram_pairs_closed_form(spark):
+    """On the 2-node path every walk is forced (a,b,a,b,...), so the
+    window-2 pair counts are closed-form: each 9-step walk yields 8
+    distance-1 pairs (alternating ab/ba) and 7 distance-2 pairs (same
+    node), summed over the two walks."""
+    from echo_chambers_detection_spark.operators.graph import (
+        seeded_random_walks,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([("a", "b")], "u1 string, u2 string")
+    walks = seeded_random_walks(edges, length=8)
+    w = Window.partitionBy("wid").orderBy("step")
+    got = {
+        (r["node"], r["context"]): r["pair_count"]
+        for r in (
+            walks.select(
+                "node",
+                F.array(
+                    F.lead("node", 1).over(w), F.lead("node", 2).over(w)
+                ).alias("_ctx"),
+            )
+            .select("node", F.explode("_ctx").alias("context"))
+            .where(F.col("context").isNotNull())
+            .groupBy("node", "context")
+            .agg(F.count("*").alias("pair_count"))
+            .collect()
+        )
+    }
+    # walk from a: a b a b a b a b a -> (a,b) x4, (b,a) x4 at dist 1;
+    # (a,a) x4, (b,b) x3 at dist 2. Walk from b mirrors it.
+    assert got == {
+        ("a", "b"): 8,
+        ("b", "a"): 8,
+        ("a", "a"): 7,
+        ("b", "b"): 7,
+    }
