@@ -419,7 +419,8 @@ def _graph_scale_probes(spark, timings: dict) -> None:
         spark, NB, BS, 31, bridges=True, partitions=64
     ).localCheckpoint(eager=True)
     paired_reps: dict[str, list] = {"louvain": [], "leiden": []}
-    for rep in range(3):
+
+    def _paired_rep(rep: int) -> None:
         for algo_name, fixture, algo in (
             (
                 "louvain",
@@ -446,13 +447,30 @@ def _graph_scale_probes(spark, timings: dict) -> None:
                     )
             out.unpersist()
         spark.sparkContext._jvm.System.gc()
+
+    for rep in range(3):
+        _paired_rep(rep)
+    # ADAPTIVE extension: the host's latency bursts last minutes, so 3
+    # consecutive draws can ALL land inside one (observed: leiden
+    # 57/79/35 with loop_drift 1.66 pre / 0.92 post — the burst ended
+    # right after). When the spread says a burst hit, buy up to 2 more
+    # pairs: bursts end, and one clean draw is all min/min needs.
+    # Clean samples (spread < 1.6) pay nothing.
+    spread = lambda xs: max(xs) / min(xs)  # noqa: E731
+    extra = 0
+    while extra < 2 and (
+        spread(paired_reps["leiden"]) > 1.6
+        or spread(paired_reps["louvain"]) > 1.6
+    ):
+        _paired_rep(3 + extra)
+        extra += 1
     e_lou.unpersist()
     e_lei.unpersist()
-    _median3 = lambda xs: sorted(xs)[1]  # noqa: E731
-    timings["bench_louvain_planted_5m"] = _median3(paired_reps["louvain"])
-    timings["bench_leiden_planted_6m"] = _median3(paired_reps["leiden"])
+    _median = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    timings["bench_louvain_planted_5m"] = _median(paired_reps["louvain"])
+    timings["bench_leiden_planted_6m"] = _median(paired_reps["leiden"])
     timings["bench_leiden_louvain_paired_ratio"] = round(
-        _median3(paired_reps["leiden"]) / _median3(paired_reps["louvain"]),
+        _median(paired_reps["leiden"]) / _median(paired_reps["louvain"]),
         3,
     )
     # min/min is the STRUCTURAL ratio: characterized in round 11 (GC
