@@ -31,6 +31,7 @@ _REGISTRY_ORDER = [
     "landmark_closeness_estimates",
     "landmark_path_counts",
     "walk_skipgram_pairs",
+    "landmark_weighted_costs",
     # code-touched this round: the traversal family gained local numpy
     # mirrors (probe + Arrow collect on the SAME catalog plans), and
     # seeded/weighted random walks gained the weight>=1 replica guard
@@ -83,11 +84,11 @@ _REGISTRY_ORDER = [
     "c4_quality_flags",
     "winnowing_fingerprints",
     "membership_with_labels",
-    "top_orders",
     # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-8-stamped remainder (active_customers displaced from the
     # window pad by landmark_path_counts; customers_without_orders by
-    # walk_skipgram_pairs)
+    # walk_skipgram_pairs; top_orders by landmark_weighted_costs)
+    "top_orders",
     "customers_without_orders",
     "active_customers",
     "top3_orders_per_customer",

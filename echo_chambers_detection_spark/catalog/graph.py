@@ -1618,6 +1618,79 @@ def q_khop_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "landmark_weighted_costs",
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gw
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gw
+),
+gb AS (
+    SELECT DISTINCT LEAST(src, dst) AS u1, GREATEST(src, dst) AS u2, w
+    FROM (
+        SELECT src, dst, w,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM und
+    ) WHERE rk <= 10
+),
+und2 AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gb
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gb
+),
+lm AS (
+    SELECT node FROM (
+        SELECT u1 AS node FROM gb UNION SELECT u2 AS node FROM gb
+    ) ORDER BY node LIMIT 4
+),
+walk(seed, node, h, c) AS (
+    SELECT node, node, 0, CAST(0 AS BIGINT) FROM lm
+    UNION
+    SELECT walk.seed, und2.dst, walk.h + 1, walk.c + und2.w
+    FROM walk JOIN und2 ON und2.src = walk.node
+    WHERE walk.h < 6
+)
+SELECT seed, node, CAST(MIN(c) AS BIGINT) AS cost
+FROM walk GROUP BY seed, node
+""",
+    doc="Per-landmark k-hop min-cost distance matrix over the WEIGHTED "
+    "strong-tie backbone — the weighted companion of "
+    "landmark_bfs_distances (Dijkstra-per-pivot / weighted "
+    "distance-oracle primitive, "
+    "operators/graph.py::bellman_ford_landmark): all 4 binary-"
+    "smallest landmarks advance through ONE shared min-plus loop "
+    "keyed (seed, node), edge cost = the integer co-engagement "
+    "weight, 6 relaxation rounds pinning <=6-edge-path semantics. "
+    "The recursive-CTE oracle seeds the same landmark set and caps "
+    "at the same hop bound (UNION dedups (seed, node, hops, cost) "
+    "states); exact integer path costs, hash-exact.",
+)
+def q_landmark_weighted_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        bellman_ford_landmark,
+        carry_ckpt,
+    )
+    from echo_chambers_detection_spark.operators.triangles import (
+        strong_tie_backbone,
+    )
+
+    g = _user_graph(spark, sf_dir)
+    return carry_ckpt(
+        bellman_ford_landmark(
+            strong_tie_backbone(g, k=10, keep_weight=True),
+            n_landmarks=4,
+            k=6,
+        ),
+        g,
+    )
+
+
+@register(
     "degree_assortativity_moments",
     f"""
 WITH {_ORACLE_USER_GRAPH_CTE},

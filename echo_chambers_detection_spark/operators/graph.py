@@ -834,6 +834,100 @@ def landmark_closeness(
     return carry_ckpt(out, d)
 
 
+def bellman_ford_landmark(
+    edges: DataFrame, n_landmarks: int = 4, k: int = 10
+) -> DataFrame:
+    """Per-landmark k-hop min-cost distances, ALL landmarks advanced by
+    one shared min-plus loop — the weighted companion of
+    `bfs_landmark_distances` (Dijkstra-per-pivot / weighted
+    distance-oracle primitive, Potamias et al.; the GDS shortest-path
+    family over the same projected graph,
+    project/metrics/community_detection.py:49-83). The state frame is
+    keyed (seed, node), so ``n_landmarks`` pivots cost one relaxation
+    join per round, not n loops; landmarks are the binary-smallest node
+    ids, costs are exact integer arithmetic (edge cost = the input's
+    integer ``weight``), and ``k`` pins <=k-edge-path semantics the
+    same way `bellman_ford_khop.k` does. Returns
+    (seed, node, cost: bigint) for reached pairs. Below
+    LOCAL_TRAVERSAL_EDGE_LIMIT the parity-tested numpy mirror
+    (localgraph.bellman_ford_landmark_local) answers driver-side.
+    """
+    tbl = _traversal_local_tbl(edges, weighted=True)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            bellman_ford_landmark_local,
+        )
+        from pyspark.sql.types import LongType
+
+        node_t = edges.schema["u1"].dataType
+        return _traversal_result(
+            edges.sparkSession,
+            bellman_ford_landmark_local(
+                tbl, n_landmarks=n_landmarks, k=k
+            ),
+            [("seed", node_t), ("node", node_t), ("cost", LongType())],
+        )
+    sym = _materialize_wide(_symmetrize(edges, weighted=True))
+    nodes = _nodes_of_sym(sym)
+    seeds_df = F.broadcast(
+        nodes.orderBy("node").limit(n_landmarks).withColumnRenamed(
+            "node", "seed"
+        )
+    )
+    dist = _materialize(
+        nodes.crossJoin(seeds_df).select(
+            "seed",
+            "node",
+            F.when(F.col("node") == F.col("seed"), F.lit(0))
+            .cast("bigint")
+            .alias("cost"),
+        )
+    )
+    hint = _state_hint(_probe_small(dist))
+    for _ in range(k):
+        best = (
+            sym.join(
+                hint(
+                    dist.where(F.col("cost").isNotNull()).select(
+                        "seed", F.col("node").alias("src"), "cost"
+                    )
+                ),
+                "src",
+            )
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("weight").cast("bigint")).alias("nc"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new_dist = _materialize(
+            dist.join(hint(best), ["seed", "node"], "left").select(
+                "seed",
+                "node",
+                F.least("cost", "nc").alias("cost"),
+                (~F.least("cost", "nc").eqNullSafe(F.col("cost"))).alias(
+                    "_chg"
+                ),
+            )
+        )
+        changed = int(
+            new_dist.agg(F.sum(F.col("_chg").cast("long")).alias("c"))
+            .first()["c"]
+            or 0
+        )
+        _release_checkpoint(dist)
+        dist = new_dist
+        if changed == 0:
+            break
+    _release_checkpoint(sym)
+    out = dist.where(F.col("cost").isNotNull()).select(
+        "seed", "node", F.col("cost").cast("bigint").alias("cost")
+    )
+    return carry_ckpt(out, dist)
+
+
 def _sigma_forward(sym, seeds_df, max_iter, hint):
     """Brandes forward pass, vectorized over seeds: state frame
     (seed, node, dist, sigma) where sigma = number of shortest

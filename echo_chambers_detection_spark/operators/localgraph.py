@@ -975,3 +975,47 @@ def betweenness_local(tbl, n_sources=4, max_iter=30):
         delta[i] = 0.0  # δ_s(s) never counts
         bc += delta
     return pd.DataFrame({"node": ids, "betweenness": bc})
+
+
+def bellman_ford_landmark_local(tbl, n_landmarks=4, k=10):
+    """Mirror of graph.bellman_ford_landmark: one k-round min-plus
+    relaxation per landmark (the k binary-smallest ids), sharing ONE
+    dst-sorted edge ordering across all landmarks. Returns a pandas
+    DataFrame (seed, node, cost) for reached pairs."""
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, e_w = _raw_edge_arrays(tbl, weighted=True)
+    n = len(ids)
+    if n == 0:
+        z = np.array([], np.int64)
+        return pd.DataFrame({"seed": ids, "node": ids, "cost": z})
+    w = e_w.astype(np.int64)
+    INF = np.int64(1) << 62
+    order = np.argsort(e_dst, kind="stable")
+    ss, ws = e_src[order], w[order]
+    ds = e_dst[order]
+    starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+    seg_dst = ds[starts]
+    parts = []
+    for i in range(min(n_landmarks, n)):
+        cost = np.full(n, INF, dtype=np.int64)
+        cost[i] = 0
+        for _ in range(k):
+            best = np.minimum.reduceat(cost[ss] + ws, starts)
+            cur = cost[seg_dst]
+            new = np.minimum(cur, best)
+            if np.array_equal(new, cur):
+                break
+            cost[seg_dst] = new
+        reached = cost < INF
+        parts.append(
+            pd.DataFrame(
+                {
+                    "seed": np.repeat(ids[i : i + 1], int(reached.sum())),
+                    "node": ids[reached],
+                    "cost": cost[reached],
+                }
+            )
+        )
+    return pd.concat(parts, ignore_index=True)

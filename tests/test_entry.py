@@ -39,7 +39,7 @@ def test_registry_window_covers_unverified_queries():
         # ROUND-11 NOTE / VERDICT r10 #2); every rows-only entry stays
         # pinned below the window boundary
         "landmark_closeness_estimates", "landmark_path_counts",
-        "walk_skipgram_pairs",
+        "walk_skipgram_pairs", "landmark_weighted_costs",
         "bfs_hop_distances", "khop_min_cost_paths",
         "landmark_bfs_distances", "seeded_random_walks",
         "weighted_random_walks",

@@ -194,3 +194,44 @@ def test_walk_skipgram_pairs_closed_form(spark):
         ("a", "a"): 7,
         ("b", "b"): 7,
     }
+
+
+def test_bellman_ford_landmark_closed_form_and_parity(spark, monkeypatch):
+    """Weighted chain a -5- b -1- c -3- d, landmarks a,b,c (3 smallest):
+    k-hop min costs are closed-form; mirror and distributed must agree
+    exactly (integer arithmetic)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 1.0), ("c", "d", 3.0)],
+        "u1 string, u2 string, weight double",
+    )
+    expect = {
+        ("a", "a", 0), ("a", "b", 5), ("a", "c", 6), ("a", "d", 9),
+        ("b", "a", 5), ("b", "b", 0), ("b", "c", 1), ("b", "d", 4),
+        ("c", "a", 6), ("c", "b", 1), ("c", "c", 0), ("c", "d", 3),
+    }
+    rows = lambda df: {  # noqa: E731
+        (r["seed"], r["node"], r["cost"]) for r in df.collect()
+    }
+    local = rows(G.bellman_ford_landmark(edges, n_landmarks=3, k=5))
+    assert local == expect
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    dist = rows(G.bellman_ford_landmark(edges, n_landmarks=3, k=5))
+    assert dist == expect
+
+
+def test_bellman_ford_landmark_hop_bound(spark):
+    # k=1: each landmark reaches only itself + direct neighbors
+    edges = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 1.0), ("c", "d", 3.0)],
+        "u1 string, u2 string, weight double",
+    )
+    got = {
+        (r["seed"], r["node"], r["cost"])
+        for r in G.bellman_ford_landmark(
+            edges, n_landmarks=2, k=1
+        ).collect()
+    }
+    assert got == {
+        ("a", "a", 0), ("a", "b", 5),
+        ("b", "a", 5), ("b", "b", 0), ("b", "c", 1),
+    }
