@@ -95,32 +95,62 @@ def _local_path_ok(edges: DataFrame, sym_rows: int) -> bool:
 
 
 def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
-    """Gate + collect for the traversal mirrors: a bounded limit-probe
+    """Gate + collect for the traversal mirrors: a bounded take-probe
     on the RAW edge list (sym rows = exactly 2x input rows — unionAll,
     no dedup), then one Arrow collect of the raw edges (half the bytes
     of the symmetrized frame; symmetrization is two numpy concatenates
-    in the mirror). The probe is a CollectLimit — it scans until
-    half-the-bound + 1 rows and stops, so at 100 TB it costs a bounded
-    partial read, not a full count; the full collect only ever runs on
-    graphs that passed the gate. NULL endpoints are dropped up front —
-    the distributed joins never match them and the final isNotNull
-    filter would drop their rows anyway. Returns None (use the
-    distributed loop) when over the bound or for un-mirrorable id
-    types."""
+    in the mirror). The probe is `take(half + 1)` on a constant-1
+    projection — take() drives an INCREMENTAL CollectLimit (growing
+    partition prefixes, stops as soon as half+1 rows exist), unlike
+    `limit(n).count()` whose LocalLimit→single-partition Exchange would
+    ship up to half+1 rows from EVERY input partition through one
+    shuffle task; the lit(1) projection keeps the collected probe rows
+    one tiny column regardless of id width. At 100 TB the probe
+    therefore reads roughly one partition and stops. CAVEAT (same as
+    coengagement's encode probe): the probe EAGERLY executes the
+    caller's upstream plan at gate time — callers with expensive lazy
+    inputs (e.g. the co-engagement projection) should materialize
+    first. The full collect only ever runs on graphs that passed the
+    gate. NULL endpoints are dropped up front — the distributed joins
+    never match them and the final isNotNull filter would drop their
+    rows anyway. Weighted traversals with NULL or NaN weights BAIL to
+    the distributed loop: the distributed min-plus join produces NULL
+    (or NaN-ordered-last) cost+weight which min() ignores, yet the
+    edge's ENDPOINTS still count toward the node set and landmark
+    selection — the mirror can't drop the row (loses the endpoints)
+    nor keep it (its int64 cast turns NaN into INT64_MIN, a fake
+    hugely-negative weight), so parity demands the distributed path.
+    Returns None (use the distributed loop) when over the bound, when
+    the bound is <= 0 (forced distributed mode), for un-mirrorable id
+    types, or for NULL/NaN weights."""
     from pyspark.sql.types import IntegerType, LongType, StringType
 
+    if LOCAL_TRAVERSAL_EDGE_LIMIT <= 0:
+        return None
     if not isinstance(
         edges.schema["u1"].dataType, (StringType, LongType, IntegerType)
     ):
         return None
     half = LOCAL_TRAVERSAL_EDGE_LIMIT // 2
     e = edges.where(F.col("u1").isNotNull() & F.col("u2").isNotNull())
-    if e.select("u1", "u2").limit(half + 1).count() > half:
-        return None
     cols = ["u1", "u2"]
     if weighted and "weight" in edges.columns:
         cols.append("weight")
-    return e.select(*cols).toArrow()
+    if len(e.select(F.lit(1).alias("p")).take(half + 1)) > half:
+        return None
+    tbl = e.select(*cols).toArrow()
+    if weighted and "weight" in cols:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        wcol = tbl.column("weight")
+        if wcol.null_count:
+            return None
+        if pa.types.is_floating(wcol.type) and bool(
+            pc.any(pc.is_nan(wcol.combine_chunks())).as_py()
+        ):
+            return None
+    return tbl
 
 
 def _traversal_result(spark, pdf, cols_types):

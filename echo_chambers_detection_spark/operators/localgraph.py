@@ -878,8 +878,10 @@ def landmark_bfs_local(tbl, n_landmarks=4, max_iter=30):
             )
         )
     if not parts:
+        # ids[:0] so every column is length 0 even when the graph is
+        # non-empty but n_landmarks == 0 (ADVICE r11).
         return pd.DataFrame(
-            {"seed": ids, "node": ids, "dist": np.array([], np.int64)}
+            {"seed": ids[:0], "node": ids[:0], "dist": np.array([], np.int64)}
         )
     return pd.concat(parts, ignore_index=True)
 
@@ -892,7 +894,11 @@ def bellman_ford_local(tbl, seeds=None, k=10):
     zero. Per round one gather + one per-dst minimum.reduceat over an
     edge list pre-sorted by dst (duplicate edges all participate, so
     the min-weight duplicate wins exactly as in the distributed join).
-    Returns a pandas DataFrame (node, cost) of reached nodes."""
+    Unreached sources are MASKED out of each relaxation (the
+    distributed join only relaxes from non-NULL costs; without the
+    mask a negative weight would make INF + w < INF and 'reach' nodes
+    the distributed loop never does). Returns a pandas DataFrame
+    (node, cost) of reached nodes."""
     import pandas as pd
 
     np = _np()
@@ -913,7 +919,9 @@ def bellman_ford_local(tbl, seeds=None, k=10):
     starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
     seg_dst = ds[starts]
     for _ in range(k):
-        best = np.minimum.reduceat(cost[ss] + ws, starts)
+        src_cost = cost[ss]
+        cand = np.where(src_cost < INF, src_cost + ws, INF)
+        best = np.minimum.reduceat(cand, starts)
         cur = cost[seg_dst]
         new = np.minimum(cur, best)
         if np.array_equal(new, cur):
@@ -966,7 +974,7 @@ def path_counts_local(tbl, n_sources=4, max_iter=30):
     if not parts:
         z = np.array([], np.int64)
         return pd.DataFrame(
-            {"seed": ids, "node": ids, "dist": z, "sigma": z}
+            {"seed": ids[:0], "node": ids[:0], "dist": z, "sigma": z}
         )
     return pd.concat(parts, ignore_index=True)
 
@@ -1025,7 +1033,9 @@ def bellman_ford_landmark_local(tbl, n_landmarks=4, k=10):
         cost = np.full(n, INF, dtype=np.int64)
         cost[i] = 0
         for _ in range(k):
-            best = np.minimum.reduceat(cost[ss] + ws, starts)
+            src_cost = cost[ss]
+            cand = np.where(src_cost < INF, src_cost + ws, INF)
+            best = np.minimum.reduceat(cand, starts)
             cur = cost[seg_dst]
             new = np.minimum(cur, best)
             if np.array_equal(new, cur):
@@ -1040,5 +1050,9 @@ def bellman_ford_landmark_local(tbl, n_landmarks=4, k=10):
                     "cost": cost[reached],
                 }
             )
+        )
+    if not parts:
+        return pd.DataFrame(
+            {"seed": ids[:0], "node": ids[:0], "cost": np.array([], np.int64)}
         )
     return pd.concat(parts, ignore_index=True)

@@ -356,3 +356,90 @@ def test_bellman_ford_parity(spark, monkeypatch, dtype):
         k=4,
     )
     assert local == dist and local
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11: pathological weights. Negative weights must not let the
+# mirror "reach" nodes the distributed loop (which only relaxes from
+# non-NULL costs) never reaches; NULL/NaN weights must bail to the
+# distributed path because their edges are relax-inert there but still
+# contribute endpoints to the node set / landmark selection.
+# ---------------------------------------------------------------------------
+
+
+def test_bellman_ford_parity_negative_weights(spark, monkeypatch):
+    # chain 1-2-3 with a negative bridge, plus an UNREACHABLE pair
+    # (7,8): without the INF mask, INF + (-5) < INF falsely reaches it.
+    rows = [(1, 2, -5), (2, 3, 2), (7, 8, -5)]
+    edges = spark.createDataFrame(rows, "u1 long, u2 long, weight long")
+    local, dist = _both_traversal(
+        monkeypatch, G.bellman_ford_khop, edges, ("node", "cost"),
+        seeds=[1], k=3,
+    )
+    assert local == dist and local
+    assert not any(n in (7, 8) for n, _ in local)
+
+
+def test_bellman_ford_landmark_parity_negative_weights(spark, monkeypatch):
+    rows = [(1, 2, -5), (2, 3, 2), (7, 8, -5)]
+    edges = spark.createDataFrame(rows, "u1 long, u2 long, weight long")
+    local, dist = _both_traversal(
+        monkeypatch, G.bellman_ford_landmark, edges,
+        ("seed", "node", "cost"), n_landmarks=2, k=3,
+    )
+    assert local == dist and local
+
+
+def test_bellman_ford_null_weight_bails_to_distributed(spark, monkeypatch):
+    # node 0 is binary-smallest and connected ONLY via a NULL-weight
+    # edge: it must still be picked as a landmark (seed, seed, 0) but
+    # never relax anything — only the distributed path gets both right,
+    # so the gate must return None here.
+    rows = [(0, 5, None), (1, 2, 3), (2, 3, 1)]
+    edges = spark.createDataFrame(rows, "u1 long, u2 long, weight long")
+    assert G._traversal_local_tbl(edges, weighted=True) is None
+    out = {
+        (r["seed"], r["node"], r["cost"])
+        for r in G.bellman_ford_landmark(edges, n_landmarks=2, k=3).collect()
+    }
+    assert (0, 0, 0) in out
+    assert not any(s == 0 and n == 5 for s, n, _ in out)
+
+
+def test_bellman_ford_nan_weight_bails_to_distributed(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, float("nan")), (2, 3, 2.0)],
+        "u1 long, u2 long, weight double",
+    )
+    assert G._traversal_local_tbl(edges, weighted=True) is None
+
+
+def test_unweighted_gate_keeps_null_weight_rows(spark):
+    # weighted=False must NOT bail on NULL weights (BFS ignores them)
+    edges = spark.createDataFrame(
+        [(1, 2, None), (2, 3, 2)], "u1 long, u2 long, weight long"
+    )
+    assert G._traversal_local_tbl(edges, weighted=False) is not None
+
+
+def test_forced_distributed_gate_rejects_empty_frame(spark, monkeypatch):
+    # ADVICE r11: with the limit forced to 0 an EMPTY frame used to
+    # pass the gate (0 > 0 is false) and silently exercise the mirror.
+    monkeypatch.setattr(G, "LOCAL_TRAVERSAL_EDGE_LIMIT", 0)
+    edges = spark.createDataFrame([], "u1 long, u2 long, weight long")
+    assert G._traversal_local_tbl(edges) is None
+
+
+def test_local_fallbacks_zero_landmarks(spark):
+    # ids[:0] fallback shapes: n_landmarks=0 / n_sources=0 on a
+    # NON-empty graph must return empty frames, not raise (ADVICE r11).
+    from echo_chambers_detection_spark.operators import localgraph as LG
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1)], "u1 long, u2 long, weight long"
+    )
+    tbl = G._traversal_local_tbl(edges, weighted=True)
+    assert tbl is not None
+    assert len(LG.landmark_bfs_local(tbl, n_landmarks=0)) == 0
+    assert len(LG.path_counts_local(tbl, n_sources=0)) == 0
+    assert len(LG.bellman_ford_landmark_local(tbl, n_landmarks=0)) == 0
