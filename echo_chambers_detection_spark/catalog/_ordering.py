@@ -26,8 +26,16 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 # every oracled query locally every round regardless of the window).
 
 _REGISTRY_ORDER = [
-    # -- ROUND-11 WINDOW (first 50 = the driver's stamp set) -----------
-    # new this round (never stamped)
+    # -- ROUND-12 WINDOW (first 50 = the driver's stamp set) -----------
+    # new this round (never stamped): recursive-CTE k-core peel oracles
+    # (VERDICT r11 #1) — kcore_user_graph converted from rows-only,
+    # kcore_strong_backbone exercises the multi-round jump/orphan peel
+    "kcore_user_graph",
+    "kcore_strong_backbone",
+    "ktruss_user_graph",
+    "betweenness_diamond_quantized",
+    # (window below is still the round-11 composition; rebuilt at the
+    # end of round 12 per the standing policy)
     "landmark_closeness_estimates",
     "landmark_path_counts",
     "walk_skipgram_pairs",
@@ -190,7 +198,6 @@ _REGISTRY_ORDER = [
     "event_user_cardinalities",  # HLL sketch; error-bound test
     "graph_ann_embeddings_topk",  # (graph_ann_planted_topk)
     "label_propagation_communities",  # (lpa_planted_recovery)
-    "kcore_user_graph",  # (kcore_planted_cores)
     "rfc4122_point_ids",  # (rfc4122_layout_ids) + CPython bit-parity test
     "density_clusters",  # (density_clusters_lsh_exhaustive)
     "fastrp_embeddings",  # (fastrp_step_recovery) + plan-pinned tests
@@ -201,7 +208,6 @@ _REGISTRY_ORDER = [
     "louvain_user_communities",  # (louvain_planted_recovery)
     "simhash64_near_pairs",  # (simhash64_md5_near_pairs)
     "density_clusters_lsh",  # (density_clusters_lsh_exhaustive)
-    "ktruss_user_graph",  # (ktruss_planted)
     "semantic_dedup_keep_list",  # (semantic_dedup_md5_keep)
     "betweenness_sampled_scores",  # (landmark_path_counts) + closed-form dyadic fixtures
 ]

@@ -80,17 +80,95 @@ def _post_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-core peel as a DuckDB recursive CTE (VERDICT r11 #1): the working
+# table carries the alive node set + the current peel level k; each
+# generation recomputes alive degrees against the static symmetric
+# edge list (alive-neighbor test = EXISTS against the previous
+# generation), jumps k to max(k, min alive degree) — the engine's
+# min-degree-jump, operators/graph.py::kcore — and emits peeled nodes
+# as terminal (peeled=true) rows that the next generation does not
+# consume. Orphans (deg 0 after their neighbors peeled) peel at the
+# CURRENT k exactly like the engine's star-center rule. Expects a CTE
+# named g(u1, u2) in scope.
+_KCORE_PEEL_SQL = """
+sym AS (
+  SELECT u1 AS s, u2 AS d FROM g
+  UNION ALL SELECT u2 AS s, u1 AS d FROM g
+),
+vertices AS (SELECT DISTINCT s AS node FROM sym),
+peel(node, k, peeled) AS (
+  SELECT node, 0, false FROM vertices
+  UNION ALL
+  SELECT d.node, d.k_new, d.deg <= d.k_new
+  FROM (
+    SELECT a.node, a.deg,
+           GREATEST(a.k, MIN(a.deg) OVER ()) AS k_new
+    FROM (
+      SELECT p.node, p.k,
+             (SELECT COUNT(*) FROM sym e2
+               WHERE e2.s = p.node
+                 AND EXISTS (SELECT 1 FROM peel q
+                             WHERE NOT q.peeled AND q.node = e2.d)
+             ) AS deg
+      FROM peel p WHERE NOT p.peeled
+    ) a
+  ) d
+)
+SELECT node, CAST(k AS BIGINT) AS core_value FROM peel WHERE peeled
+"""
+
+
 @register(
     "kcore_user_graph",
-    None,
-    doc="k-core decomposition of the weighted user co-engagement graph "
-    "(reference gds.kcore.stream; SURVEY.md G4). Invariants in tests.",
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+g AS (
+    SELECT a.user_did AS u1, b.user_did AS u2
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+{_KCORE_PEEL_SQL}
+""",
+    doc="k-core decomposition of the user co-engagement graph "
+    "(reference gds.kcore.stream; SURVEY.md G4) vs a recursive-CTE "
+    "peel oracle with the same min-degree-jump semantics.",
 )
 def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import carry_ckpt, kcore
 
     g = _user_graph(spark, sf_dir)
     return carry_ckpt(kcore(g.select("u1", "u2")), g)
+
+
+@register(
+    "kcore_strong_backbone",
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+pe AS (
+    SELECT a.post_uri AS u1, b.post_uri AS u2, COUNT(*) AS weight
+    FROM e a JOIN e b ON a.user_did = b.user_did AND a.post_uri < b.post_uri
+    GROUP BY 1, 2
+),
+thr AS (SELECT 1.2 * AVG(weight) AS t FROM pe),
+g AS (SELECT u1, u2 FROM pe, thr WHERE weight >= t),
+{_KCORE_PEEL_SQL}
+""",
+    doc="k-core decomposition of the strong (above 1.2x mean weight) "
+    "post co-engagement backbone — unlike the raw sf0.01 projections "
+    "(complete graphs, single-round peel), the thresholded backbone "
+    "has a full 1..10 core spectrum, so the recursive-CTE peel oracle "
+    "exercises every multi-round jump/orphan branch of "
+    "operators/graph.py::kcore.",
+)
+def q_kcore_strong_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import carry_ckpt, kcore
+
+    pg = _post_graph(spark, sf_dir)
+    thr = pg.agg((1.2 * F.avg("weight")).alias("t"))
+    strong = pg.crossJoin(F.broadcast(thr)).where(
+        F.col("weight") >= F.col("t")
+    ).select("u1", "u2")
+    return carry_ckpt(kcore(strong), pg)
 
 
 @register(
@@ -1485,6 +1563,153 @@ def q_betweenness_sampled_scores(
     )
 
 
+def _diamond_chain(spark: SparkSession, n_diamonds: int) -> DataFrame:
+    """Chain of ``n_diamonds`` diamonds: m_i -(a_i|b_i)- m_{i+1} with
+    m_i = 3i, a_i = 3i+1, b_i = 3i+2 (lpad string ids, the planted-
+    fixture convention). Every shortest-path count from every node is
+    a power of 2 (each diamond doubles σ), so all Brandes σ ratios are
+    DYADIC and the δ backward sweep is exact in IEEE-754 double —
+    the fixture that lets a float centrality hash-match an SQL oracle
+    (VERDICT r11 #3)."""
+    base = spark.range(n_diamonds).select(F.col("id").alias("i"))
+    pair = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (3 * F.col("i")).alias("x"),
+                    (3 * F.col("i") + 1).alias("y"),
+                ),
+                F.struct(
+                    (3 * F.col("i")).alias("x"),
+                    (3 * F.col("i") + 2).alias("y"),
+                ),
+                F.struct(
+                    (3 * F.col("i") + 1).alias("x"),
+                    (3 * F.col("i") + 3).alias("y"),
+                ),
+                F.struct(
+                    (3 * F.col("i") + 2).alias("x"),
+                    (3 * F.col("i") + 3).alias("y"),
+                ),
+            )
+        ).alias("e")
+    )
+    return pair.select(
+        F.lpad(F.col("e.x").cast("string"), 6, "0").alias("u1"),
+        F.lpad(F.col("e.y").cast("string"), 6, "0").alias("u2"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+@register(
+    "betweenness_diamond_quantized",
+    """
+WITH RECURSIVE
+base AS (SELECT i FROM range(0, 12) t(i)),
+ed AS (
+  SELECT 3*i AS x, 3*i+1 AS y FROM base
+  UNION ALL SELECT 3*i, 3*i+2 FROM base
+  UNION ALL SELECT 3*i+1, 3*i+3 FROM base
+  UNION ALL SELECT 3*i+2, 3*i+3 FROM base
+),
+g AS (
+  SELECT lpad(CAST(x AS VARCHAR), 6, '0') AS u1,
+         lpad(CAST(y AS VARCHAR), 6, '0') AS u2
+  FROM ed
+),
+und2 AS MATERIALIZED (
+  SELECT u1 AS src, u2 AS dst FROM g
+  UNION ALL SELECT u2 AS src, u1 AS dst FROM g
+),
+lm AS (
+  SELECT node FROM (
+    SELECT u1 AS node FROM g UNION SELECT u2 AS node FROM g
+  ) ORDER BY node LIMIT 4
+),
+walk(seed, node, d) AS (
+  SELECT node, node, 0 FROM lm
+  UNION
+  SELECT walk.seed, und2.dst, walk.d + 1
+  FROM walk JOIN und2 ON und2.src = walk.node
+  WHERE walk.d < 30
+),
+dmat AS MATERIALIZED (
+  SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node
+),
+sig(seed, node, d, sigma) AS (
+  SELECT node, node, 0, CAST(1 AS BIGINT) FROM lm
+  UNION ALL
+  SELECT t.seed, t.node, t.d, t.sigma FROM (
+    SELECT s.seed, e.dst AS node, s.d + 1 AS d, SUM(s.sigma) AS sigma
+    FROM sig s
+    JOIN und2 e ON e.src = s.node
+    JOIN dmat m2 ON m2.seed = s.seed AND m2.node = e.dst
+               AND m2.dist = s.d + 1
+    GROUP BY s.seed, e.dst, s.d
+  ) t
+),
+sigm AS MATERIALIZED (SELECT * FROM sig),
+lmax AS MATERIALIZED (SELECT MAX(dist) AS v FROM dmat),
+back(lvl, seed, node, delta) AS (
+  SELECT (SELECT v FROM lmax), seed, node, CAST(0 AS DOUBLE)
+  FROM dmat WHERE dist = (SELECT v FROM lmax)
+  UNION ALL
+  SELECT cand.lvl, cand.seed, cand.node, COALESCE(ctr.s, 0.0)
+  FROM (
+    SELECT m3.seed, m3.node, m3.dist AS lvl
+    FROM dmat m3
+    WHERE m3.dist = (SELECT MIN(b2.lvl) FROM back b2) - 1
+      AND (SELECT MIN(b3.lvl) FROM back b3) >= 1
+  ) cand
+  LEFT JOIN (
+    SELECT b.seed, e.src AS node,
+           SUM(sv.sigma / sw.sigma * (1 + b.delta)) AS s
+    FROM back b
+    JOIN und2 e ON e.dst = b.node
+    JOIN dmat mv ON mv.seed = b.seed AND mv.node = e.src
+                AND mv.dist = b.lvl - 1
+    JOIN sigm sv ON sv.seed = b.seed AND sv.node = e.src AND sv.d = b.lvl - 1
+    JOIN sigm sw ON sw.seed = b.seed AND sw.node = b.node AND sw.d = b.lvl
+    GROUP BY b.seed, e.src
+  ) ctr ON ctr.seed = cand.seed AND ctr.node = cand.node
+)
+SELECT node,
+       CAST(FLOOR(1e9 * SUM(CASE WHEN node = seed THEN 0.0 ELSE delta END))
+            AS BIGINT) AS bc_q9
+FROM back GROUP BY node
+""",
+    doc="FULL Brandes betweenness (forward σ + backward δ dependency "
+    "sweep, 4 pivots) hash-checked against a recursive-CTE oracle "
+    "(VERDICT r11 #3): on the 12-diamond chain every σ is a power of "
+    "2, so σv/σw·(1+δw) stays dyadic-exact in double on both engines "
+    "and floor(1e9·bc) is deterministic. The oracle replays BFS "
+    "distances (deduped walk CTE), level-synchronous σ (sum over "
+    "preds, dist-filtered), and the level-DESCENDING δ recursion "
+    "(each generation = one level, consuming only the previous "
+    "level's δ — exactly the distributed loop's backward rounds, "
+    "operators/graph.py::brandes_betweenness). This stamps the δ "
+    "sweep the rows-only betweenness_sampled_scores can't.",
+)
+def q_betweenness_diamond_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        brandes_betweenness,
+    )
+
+    bc = brandes_betweenness(
+        _diamond_chain(spark, 12).select("u1", "u2"),
+        n_sources=4,
+        max_iter=30,
+    )
+    return bc.select(
+        "node",
+        F.floor(F.lit(1e9) * F.col("betweenness"))
+        .cast("bigint")
+        .alias("bc_q9"),
+    )
+
+
 @register(
     "landmark_closeness_estimates",
     f"""
@@ -2035,11 +2260,57 @@ def q_ktruss_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ktruss_user_graph",
-    None,
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+gw AS (
+    SELECT a.user_did AS u1, b.user_did AS u2, COUNT(*) AS w
+    FROM e a JOIN e b ON a.post_uri = b.post_uri AND a.user_did < b.user_did
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT u1 AS src, u2 AS dst, w FROM gw
+    UNION ALL SELECT u2 AS src, u1 AS dst, w FROM gw
+),
+g AS (
+    SELECT DISTINCT LEAST(src, dst) AS u1, GREATEST(src, dst) AS u2
+    FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM und
+    ) WHERE rk <= 10
+),
+truss(u1, u2, support, final) AS (
+  SELECT u1, u2, 0, false FROM g
+  UNION ALL
+  SELECT s.u1, s.u2, s.sup, s.minsup >= 2
+  FROM (
+    SELECT i.u1, i.u2, i.sup, MIN(i.sup) OVER () AS minsup
+    FROM (
+      SELECT a.u1, a.u2,
+             (SELECT COUNT(*)
+              FROM (SELECT u1 s2, u2 d2 FROM truss WHERE NOT final
+                    UNION ALL SELECT u2, u1 FROM truss WHERE NOT final) na
+              JOIN (SELECT u1 s2, u2 d2 FROM truss WHERE NOT final
+                    UNION ALL SELECT u2, u1 FROM truss WHERE NOT final) nb
+                ON na.d2 = nb.d2
+              WHERE na.s2 = a.u1 AND nb.s2 = a.u2) AS sup
+      FROM truss a WHERE NOT a.final
+    ) i
+  ) s
+  WHERE s.minsup >= 2 OR s.sup >= 2
+)
+SELECT u1, u2, CAST(support AS BIGINT) AS support FROM truss WHERE final
+""",
     doc="4-truss of the strong-tie backbone of the real co-engagement "
-    "graph (rows-only: the pruning fixpoint is iterative; the planted "
-    "twin ktruss_planted carries the hash signal). Support counts on "
-    "the surviving subgraph; edges outside any 4-truss are gone.",
+    "graph vs a recursive-CTE pruning-fixpoint oracle (VERDICT r11 "
+    "#1): each generation recomputes per-edge triangle support "
+    "(common-neighbor join over the alive set), drops support<2 edges "
+    "(cascading), and on the no-drop generation re-emits all edges as "
+    "terminal rows with their in-truss support — the same fixpoint "
+    "operators/triangles.py::ktruss_edges reaches by incremental "
+    "triangle-list maintenance. Support counts on the surviving "
+    "subgraph; edges outside any 4-truss are gone.",
 )
 def q_ktruss_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.triangles import (
