@@ -569,20 +569,33 @@ def _graph_scale_probes(spark, timings: dict) -> None:
                 ).alias("post_uri"),
             )
         )
-        t0 = time.perf_counter()
-        ranks = pagerank_coengagement(
-            eng, damping=0.85, max_iter=3, tol=0.0
-        ).localCheckpoint(eager=True)
-        timings[timings_key] = round(time.perf_counter() - t0, 3)
-        dev = ranks.agg(
-            F.max(F.abs(F.col("rank") - F.lit(1.0 / n))).alias("d")
-        ).first()["d"]
-        if dev > 1e-9:
-            raise AssertionError(
-                f"{timings_key}: rank deviates {dev:.3e} from the "
-                "uniform fixpoint (bound 1e-9)"
-            )
-        ranks.unpersist()
+        # 3-rep protocol with per-rep rows + median headline (the
+        # Leiden burst treatment, VERDICT r11 #2): this row's history
+        # swung 15.1/8.7/12.1/21.3 across r8-r11 with NO job-count or
+        # plan change (solo probe: jobs pinned at 41 every rep, warm
+        # median ~11s, scripts/ab_bench_synthetic_solo.py) — the swing
+        # is host-burst sampling, so the artifact now carries its own
+        # attribution: a burst inflates one rep, not the median, and
+        # the per-rep spread is visible in the JSON.
+        reps = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            ranks = pagerank_coengagement(
+                eng, damping=0.85, max_iter=3, tol=0.0
+            ).localCheckpoint(eager=True)
+            dt = round(time.perf_counter() - t0, 3)
+            reps.append(dt)
+            timings[f"{timings_key}_rep{rep + 1}"] = dt
+            dev = ranks.agg(
+                F.max(F.abs(F.col("rank") - F.lit(1.0 / n))).alias("d")
+            ).first()["d"]
+            if dev > 1e-9:
+                raise AssertionError(
+                    f"{timings_key}: rank deviates {dev:.3e} from the "
+                    "uniform fixpoint (bound 1e-9)"
+                )
+            ranks.unpersist()
+        timings[timings_key] = sorted(reps)[1]
 
     _check_pagerank_factored_celebrity("bench_pagerank_factored_celebrity")
 
@@ -782,7 +795,11 @@ def _snapshot_diff_scale_probe(spark, timings: dict) -> None:
 
 def _interarrival_scale_probe(spark, timings: dict) -> None:
     """10M-event lag-window probe with a closed-form oracle — the
-    window-function family's at-scale evidence row. 100k users x 100
+    window-function family's at-scale evidence row. (r11 watch item
+    closed: the r10->r11 doublings of both rows here — 1.7->2.5s and
+    2.5->4.5s — reproduce at ~1.95s/~2.35s warm solo with job counts
+    pinned at 3, scripts/ab_bench_synthetic_solo.py, i.e. mid-run
+    host/session drift, not plan changes.) 100k users x 100
     events each; user u's cadence is exactly (u % 7 + 1) seconds and
     the later event's type cycles seq % 3, so every aggregate has a
     closed form: per type, n_gaps = 33 * 100k, sum_gap_ms =
