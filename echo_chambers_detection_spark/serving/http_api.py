@@ -137,3 +137,55 @@ def start_server(
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def main(argv: list | None = None) -> None:
+    """One serving PROCESS per index shard — the fleet deployment unit
+    the module docstring describes (a load balancer or a thin fan-out
+    client in front of N of these is the standard ANN serving
+    topology; the reference's standing Qdrant role,
+    project/qdrant/consumer_post.py:42-49).
+
+    ``python -m echo_chambers_detection_spark.serving.http_api
+    --ivf ivf=INDEX_DIR,EMB_PARQUET [--port 0]`` prints one JSON line
+    ``{"port": N}`` once bound, then serves until killed."""
+    import argparse
+    import sys
+
+    from echo_chambers_detection_spark.serving.ivf_probe import IvfProbe
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument(
+        "--ivf",
+        action="append",
+        default=[],
+        metavar="NAME=INDEX_DIR,EMB_PARQUET",
+        help="mount an IVF index shard under route name NAME",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    args = p.parse_args(argv)
+    probes = {}
+    for spec in args.ivf:
+        name, _, rest = spec.partition("=")
+        idx_path, _, emb_path = rest.partition(",")
+        if not (name and idx_path and emb_path):
+            p.error(f"bad --ivf spec {spec!r}")
+        probes[name] = IvfProbe(
+            idx_path, emb_path, id_col=args.id_col, vec_col=args.vec_col
+        )
+    if not probes:
+        p.error("at least one --ivf shard is required")
+    server = start_server(probes, host=args.host, port=args.port)
+    print(json.dumps({"port": server.server_address[1]}), flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
