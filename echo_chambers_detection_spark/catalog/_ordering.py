@@ -27,75 +27,26 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 
 _REGISTRY_ORDER = [
     # -- ROUND-12 WINDOW (first 50 = the driver's stamp set) -----------
-    # new this round (never stamped): recursive-CTE k-core peel oracles
-    # (VERDICT r11 #1) — kcore_user_graph converted from rows-only,
-    # kcore_strong_backbone exercises the multi-round jump/orphan peel
+    # (1) new this round, never stamped: the recursive-CTE oracle
+    # family (VERDICT r11 #1/#3) — k-core peel (converted from
+    # rows-only + the multi-round jump/orphan backbone twin), k-truss
+    # pruning fixpoint (converted), and the dyadic-exact quantized
+    # full-Brandes sweep
     "kcore_user_graph",
     "kcore_strong_backbone",
     "ktruss_user_graph",
     "betweenness_diamond_quantized",
-    # (window below is still the round-11 composition; rebuilt at the
-    # end of round 12 per the standing policy)
-    "landmark_closeness_estimates",
-    "landmark_path_counts",
-    "walk_skipgram_pairs",
-    "landmark_weighted_costs",
-    # code-touched this round: the traversal family gained local numpy
-    # mirrors (probe + Arrow collect on the SAME catalog plans), and
-    # seeded/weighted random walks gained the weight>=1 replica guard
+    # (2) code-touched this round: the traversal gate was rewritten
+    # (take()-probe, <=0 short-circuit, NULL/NaN-weight bail) and the
+    # Bellman-Ford mirrors gained the unreached-source mask — every
+    # consumer of _traversal_local_tbl re-stamps
     "bfs_hop_distances",
     "khop_min_cost_paths",
     "landmark_bfs_distances",
-    "seeded_random_walks",
-    "weighted_random_walks",
-    # the displaced r7/r8-stamped cohort (the standing round-11 lead,
-    # COVERAGE.md ROUND-11 NOTE / VERDICT r10 #2)
-    "tfidf_top_terms",
-    "degree_histogram",
-    "event_interarrival_stats",
-    "incremental_dedup_new_batch",
-    "user_session_stats",
-    "chunk_dedup_scrubbed_docs",
-    "daily_hll_user_rollup",
-    "events_in_membership_intervals",
-    "revenue_by_nation",
-    "doc_fingerprints",
-    "language_id_pred",
-    "embedding_near_dup",
-    "tumbling_event_counts",
-    "engagement_union",
-    "sliding_event_counts",
-    "language_id_trigram_pred",
-    "bpe_token_stats",
-    "text_scrub_stats",
-    "ann_int8_topk",
-    # pad: oldest remaining stamps (round-7 remainder, then round-8)
-    "top_tokens_per_lang",
-    "order_value_quartiles",
-    "event_type_theta_users",
-    "exact_dedup_groups",
-    "event_value_percentiles",
-    "event_type_user_cube",
-    "order_stats_rollup",
-    "engaged_user_set_ops",
-    "user_profiles_cleaned",
-    "membership_asof_join",
-    "simhash_signatures",
-    "user_first_seen",
-    "user_running_totals",
-    "text_quality_scores",
-    "pricing_summary",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "ann_topk",
-    "multimodal_blob_stats",
-    "c4_quality_flags",
-    "winnowing_fingerprints",
-    "membership_with_labels",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    # round-8-stamped remainder (active_customers displaced from the
-    # window pad by landmark_path_counts; customers_without_orders by
-    # walk_skipgram_pairs; top_orders by landmark_weighted_costs)
+    "landmark_weighted_costs",
+    "landmark_path_counts",
+    "landmark_closeness_estimates",
+    # (3) oldest stamps: the round-8 remainder (4 rounds old)
     "top_orders",
     "customers_without_orders",
     "active_customers",
@@ -105,7 +56,8 @@ _REGISTRY_ORDER = [
     "text_token_stats",
     "knn_graph_topk",
     "doc_repetition_scores",
-    # stamped green in round 9
+    # (4) pad: the round-9-stamped cohort (3 rounds old — exactly the
+    # no-stamp-older-than-~3-rounds policy boundary, VERDICT r11 #4)
     "token_rarity_scores",
     "url_curation_stats",
     "corpus_snapshot_diff",
@@ -137,6 +89,9 @@ _REGISTRY_ORDER = [
     "multimodal_audio_stats",
     "ann_ivf_probe_topk",
     "ann_pq_probe_topk",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # round-9-stamped remainder (displaced from the window pad by the
+    # four new queries; first in line for round 13)
     "ann_lsh_topk",
     "kafka_producer_messages",
     "train_val_test_split",
@@ -144,7 +99,7 @@ _REGISTRY_ORDER = [
     "quality_head_per_lang",
     "benchmark_contamination",
     "corpus_manifest",
-    # stamped green in round 10 (freshest stamps; rotate last)
+    # stamped green in round 10
     "regional_supplier_volume",
     "promo_revenue_share",
     "butterfly_counts",
@@ -190,6 +145,51 @@ _REGISTRY_ORDER = [
     "rfc4122_layout_ids",
     "triangle_counts",
     "triangle_counts_planted",
+    # stamped green in round 11 (freshest stamps; rotate last)
+    "walk_skipgram_pairs",
+    "seeded_random_walks",
+    "weighted_random_walks",
+    "tfidf_top_terms",
+    "degree_histogram",
+    "event_interarrival_stats",
+    "incremental_dedup_new_batch",
+    "user_session_stats",
+    "chunk_dedup_scrubbed_docs",
+    "daily_hll_user_rollup",
+    "events_in_membership_intervals",
+    "revenue_by_nation",
+    "doc_fingerprints",
+    "language_id_pred",
+    "embedding_near_dup",
+    "tumbling_event_counts",
+    "engagement_union",
+    "sliding_event_counts",
+    "language_id_trigram_pred",
+    "bpe_token_stats",
+    "text_scrub_stats",
+    "ann_int8_topk",
+    "top_tokens_per_lang",
+    "order_value_quartiles",
+    "event_type_theta_users",
+    "exact_dedup_groups",
+    "event_value_percentiles",
+    "event_type_user_cube",
+    "order_stats_rollup",
+    "engaged_user_set_ops",
+    "user_profiles_cleaned",
+    "membership_asof_join",
+    "simhash_signatures",
+    "user_first_seen",
+    "user_running_totals",
+    "text_quality_scores",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "multimodal_blob_stats",
+    "c4_quality_flags",
+    "winnowing_fingerprints",
+    "membership_with_labels",
     # permanently below the window boundary: every rows-only entry
     # (VERDICT r6 what's-wrong #3, generalized). Oracle twins carrying
     # the hash signal, where one exists, in parentheses:
@@ -209,7 +209,7 @@ _REGISTRY_ORDER = [
     "simhash64_near_pairs",  # (simhash64_md5_near_pairs)
     "density_clusters_lsh",  # (density_clusters_lsh_exhaustive)
     "semantic_dedup_keep_list",  # (semantic_dedup_md5_keep)
-    "betweenness_sampled_scores",  # (landmark_path_counts) + closed-form dyadic fixtures
+    "betweenness_sampled_scores",  # (betweenness_diamond_quantized: full sigma+delta sweep)
 ]
 
 

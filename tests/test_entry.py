@@ -30,30 +30,23 @@ def test_registry_window_covers_unverified_queries():
     from echo_chambers_detection_spark.catalog import QUERY_REGISTRY
 
     window = list(QUERY_REGISTRY)[:50]
-    must_stamp_r11 = {
-        # round-11 window intent (see catalog/_ordering.py): the two
-        # new centrality queries, the code-touched traversal/walk
-        # family (local numpy mirrors + the weight>=1 replica guard),
-        # then the displaced r7/r8-stamped cohort the round-10 close
-        # flagged as the mandatory round-11 lead (COVERAGE.md
-        # ROUND-11 NOTE / VERDICT r10 #2); every rows-only entry stays
-        # pinned below the window boundary
-        "landmark_closeness_estimates", "landmark_path_counts",
-        "walk_skipgram_pairs", "landmark_weighted_costs",
+    must_stamp_r12 = {
+        # round-12 window intent (see catalog/_ordering.py): the four
+        # new recursive-CTE-oracle queries, the code-touched traversal
+        # family (gate rewrite + Bellman-Ford unreached-source mask),
+        # then the round-8-stamped remainder (the oldest stamps in the
+        # registry); every rows-only entry stays pinned below the
+        # window boundary
+        "kcore_user_graph", "kcore_strong_backbone",
+        "ktruss_user_graph", "betweenness_diamond_quantized",
         "bfs_hop_distances", "khop_min_cost_paths",
-        "landmark_bfs_distances", "seeded_random_walks",
-        "weighted_random_walks",
-        "tfidf_top_terms", "degree_histogram",
-        "event_interarrival_stats", "incremental_dedup_new_batch",
-        "user_session_stats", "chunk_dedup_scrubbed_docs",
-        "daily_hll_user_rollup", "events_in_membership_intervals",
-        "revenue_by_nation", "doc_fingerprints", "language_id_pred",
-        "embedding_near_dup", "tumbling_event_counts",
-        "engagement_union", "sliding_event_counts",
-        "language_id_trigram_pred", "bpe_token_stats",
-        "text_scrub_stats", "ann_int8_topk",
+        "landmark_bfs_distances", "landmark_weighted_costs",
+        "landmark_path_counts", "landmark_closeness_estimates",
+        "top_orders", "customers_without_orders", "active_customers",
+        "top3_orders_per_customer", "event_type_stats", "ann_extremes",
+        "text_token_stats", "knn_graph_topk", "doc_repetition_scores",
     }
-    missing = must_stamp_r11 - set(window)
+    missing = must_stamp_r12 - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # every window slot must carry a hash oracle — a no_oracle stamp is
     # a wasted slot (VERDICT r6 what's-wrong #3)
