@@ -36,6 +36,7 @@ _REGISTRY_ORDER = [
     "kcore_strong_backbone",
     "ktruss_user_graph",
     "betweenness_diamond_quantized",
+    "label_propagation_communities",
     # (2) code-touched this round: the traversal gate was rewritten
     # (take()-probe, <=0 short-circuit, NULL/NaN-weight bail) and the
     # Bellman-Ford mirrors gained the unreached-source mask — every
@@ -88,10 +89,10 @@ _REGISTRY_ORDER = [
     "graph_ann_planted_topk",
     "multimodal_audio_stats",
     "ann_ivf_probe_topk",
-    "ann_pq_probe_topk",
     # -- TAIL (51+): everything below is outside the driver stamp set --
     # round-9-stamped remainder (displaced from the window pad by the
-    # four new queries; first in line for round 13)
+    # five new/converted queries; first in line for round 13)
+    "ann_pq_probe_topk",
     "ann_lsh_topk",
     "kafka_producer_messages",
     "train_val_test_split",
@@ -197,7 +198,6 @@ _REGISTRY_ORDER = [
     "event_value_quantiles_kll",  # (event_value_percentiles) + bound test
     "event_user_cardinalities",  # HLL sketch; error-bound test
     "graph_ann_embeddings_topk",  # (graph_ann_planted_topk)
-    "label_propagation_communities",  # (lpa_planted_recovery)
     "rfc4122_point_ids",  # (rfc4122_layout_ids) + CPython bit-parity test
     "density_clusters",  # (density_clusters_lsh_exhaustive)
     "fastrp_embeddings",  # (fastrp_step_recovery) + plan-pinned tests

@@ -186,9 +186,66 @@ def q_louvain_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_propagation_communities",
-    None,
+    f"""
+WITH RECURSIVE {_ORACLE_ENGAGEMENTS_CTE},
+pg AS (
+    SELECT a.post_uri AS u1, b.post_uri AS u2
+    FROM e a JOIN e b ON a.user_did = b.user_did AND a.post_uri < b.post_uri
+    GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT u1 AS s, u2 AS d FROM pg
+  UNION ALL SELECT u2 AS s, u1 AS d FROM pg
+),
+vertices AS (SELECT DISTINCT s AS node FROM sym),
+lab(iter, node, community, final) AS (
+  SELECT 0, node, node, false FROM vertices
+  UNION ALL
+  SELECT s.iter, s.node, s.community,
+         s.nchg = 0 OR s.iter >= 10
+  FROM (
+    SELECT i.iter, i.node, i.community,
+           SUM(CASE WHEN i.community <> i.old THEN 1 ELSE 0 END)
+               OVER () AS nchg
+    FROM (
+      SELECT p.iter + 1 AS iter, p.node,
+             COALESCE(w.community, p.community) AS community,
+             p.community AS old
+      FROM lab p
+      LEFT JOIN (
+        SELECT node, community FROM (
+          SELECT cnt.node, cnt.community,
+                 ROW_NUMBER() OVER (PARTITION BY cnt.node
+                                    ORDER BY cnt.score DESC,
+                                             cnt.community) AS rk
+          FROM (
+            SELECT e2.d AS node, q.community, COUNT(*) AS score
+            FROM lab q JOIN sym e2 ON e2.s = q.node
+            WHERE NOT q.final
+            GROUP BY e2.d, q.community
+          ) cnt
+        ) WHERE rk = 1
+      ) w ON w.node = p.node
+      WHERE NOT p.final AND p.iter < 10
+    ) i
+  ) s
+)
+SELECT node, community FROM lab WHERE final
+""",
     doc="Synchronous label propagation, unweighted like the reference's "
-    "gds.labelPropagation.stream (SURVEY.md G5)",
+    "gds.labelPropagation.stream (SURVEY.md G5), vs a generation-"
+    "indexed recursive-CTE oracle (converted from rows-only, VERDICT "
+    "r11 #1 family): each generation replays one sync round — per-node "
+    "neighbor-label counts, argmax by (score DESC, community ASC) "
+    "exactly matching the engine's min_by(struct(-score, community)) "
+    "tie-break, isolated nodes keeping their own label via the LEFT "
+    "JOIN (the engine's zero-weight self-message) — and the no-change "
+    "or 10-round generation re-emits labels as terminal rows, the "
+    "engine's fixpoint-or-max_iter stop. The sf0.01 post graph "
+    "collapses to one label (dense sync-LPA monoculture) so the "
+    "DISCRIMINATING dynamics live in the lpa_planted_recovery twin; "
+    "this stamp pins round count, tie-break order, and totality on the "
+    "real projection.",
 )
 def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (

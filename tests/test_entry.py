@@ -39,6 +39,7 @@ def test_registry_window_covers_unverified_queries():
         # window boundary
         "kcore_user_graph", "kcore_strong_backbone",
         "ktruss_user_graph", "betweenness_diamond_quantized",
+        "label_propagation_communities",
         "bfs_hop_distances", "khop_min_cost_paths",
         "landmark_bfs_distances", "landmark_weighted_costs",
         "landmark_path_counts", "landmark_closeness_estimates",
