@@ -170,7 +170,14 @@ def _state_hint(small_state: bool):
 
 
 def _probe_small(nodes: DataFrame) -> bool:
-    return nodes.limit(BROADCAST_NODE_LIMIT + 1).count() <= BROADCAST_NODE_LIMIT
+    # take() = incremental CollectLimit (stops once the bound is hit,
+    # reads ~one partition at scale); limit().count() would ship up to
+    # bound+1 rows from EVERY partition through one shuffle task (same
+    # fix as _traversal_local_tbl's gate, ADVICE r11). lit(1) keeps the
+    # collected probe rows one tiny column. Runs once per operator
+    # call, not per round — the ≤64 MB transient is bounded.
+    probe = nodes.select(F.lit(1).alias("p")).take(BROADCAST_NODE_LIMIT + 1)
+    return len(probe) <= BROADCAST_NODE_LIMIT
 
 
 def _symmetrize(edges: DataFrame, weighted: bool = True) -> DataFrame:
