@@ -1250,7 +1250,51 @@ def seeded_random_walks(
     the replicas). Fan-out per step is Σw over the frontier's incident
     edges; for capped projections (the strong-tie backbone) that is a
     small constant factor.
+
+    Below LOCAL_TRAVERSAL_EDGE_LIMIT — and when the a-priori md5
+    budget (walkers x max replica-degree x length,
+    localgraph.WALK_LOCAL_OP_LIMIT) holds — the parity-tested driver
+    mirror (localgraph.random_walks_local) replays the walks from one
+    Arrow collect: the counter-based PRNG makes the trajectory set a
+    pure function of the edge list, so toy-scale runs skip ~length
+    serialized join+agg rounds (the traversal-mirror pattern,
+    round 12).
     """
+    tbl = _traversal_local_tbl(edges, weighted=weighted)
+    if tbl is not None:
+        from echo_chambers_detection_spark.operators.localgraph import (
+            random_walks_local,
+        )
+        from pyspark.sql.types import LongType
+
+        seed_tbl = None
+        seeds_ok = True
+        if seeds is not None:
+            # walker bound: the mirror is a per-walker python loop
+            if len(seeds.select(F.lit(1).alias("p")).take(200_001)) > 200_000:
+                seeds_ok = False
+            else:
+                seed_tbl = seeds.select("wid", "node").toArrow()
+        if seeds_ok:
+            pdf = random_walks_local(
+                tbl, length=length, weighted=weighted, seeds=seed_tbl
+            )
+            if pdf is not None:  # None = md5 op budget exceeded
+                node_t = edges.schema["u1"].dataType
+                wid_t = (
+                    node_t
+                    if seeds is None
+                    else seeds.schema["wid"].dataType
+                )
+                return _traversal_result(
+                    edges.sparkSession,
+                    pdf,
+                    [
+                        ("wid", wid_t),
+                        ("step", LongType()),
+                        ("node", node_t),
+                    ],
+                )
     sym = _materialize_wide(_symmetrize(edges, weighted=weighted))
     if seeds is None:
         cur = _nodes_of_sym(sym).select(

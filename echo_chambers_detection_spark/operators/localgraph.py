@@ -1056,3 +1056,117 @@ def bellman_ford_landmark_local(tbl, n_landmarks=4, k=10):
             {"seed": ids[:0], "node": ids[:0], "cost": np.array([], np.int64)}
         )
     return pd.concat(parts, ignore_index=True)
+
+
+# Operation budget for the walk mirror: each candidate evaluation is
+# one Python-side md5 (~1-2 us), so the mirror only serves frontiers
+# whose TOTAL candidate count (walks x weight-replica degree x steps,
+# bounded a priori by walkers x max replica-degree x length) stays
+# interactive. Above it graph.seeded_random_walks keeps the
+# distributed loop — at real scale per-step fan-out is exactly what
+# executors are for. 0 forces the distributed path (tests do).
+WALK_LOCAL_OP_LIMIT = 2_000_000
+
+
+def random_walks_local(tbl, length=8, weighted=False, seeds=None):
+    """Mirror of graph.seeded_random_walks: md5-argmin deterministic
+    walks replayed driver-side. Keys are (md5_digest_bytes, dst_str)
+    tuples — hex digests order identically to their digest bytes and
+    the '|' separator (0x7c) sorts above every hex char, so tuple
+    order == the distributed key's string order. `seeds` is an Arrow
+    table (wid, node) or None (one walk per node, wid = node).
+    Returns a pandas DataFrame (wid, step, node) for steps 0..length,
+    or None when the a-priori op bound exceeds WALK_LOCAL_OP_LIMIT
+    (caller falls back to the distributed loop)."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    np = _np()
+    ids, e_src, e_dst, e_w = _raw_edge_arrays(tbl, weighted=weighted)
+    n = len(ids)
+    sid = [str(v) for v in ids]
+
+    if weighted:
+        # Spark: .where(weight >= 1) then sequence(1, cast int) —
+        # sub-unit weights contribute no replicas
+        reps_f = np.where(e_w >= 1, e_w, 0.0)
+        reps = reps_f.astype(np.int64)
+    else:
+        reps = np.ones(len(e_src), dtype=np.int64)
+    order = np.argsort(e_src, kind="stable")
+    ss, ds, rr = e_src[order], e_dst[order], reps[order]
+    indptr = np.searchsorted(ss, np.arange(n + 1))
+
+    if seeds is None:
+        wids = list(ids)
+        cur = list(range(n))
+    else:
+        w_vals = seeds.column("wid").to_pylist()
+        s_vals = seeds.column("node").to_pylist()
+        wids = list(w_vals)
+        pos = {v: i for i, v in enumerate(ids.tolist())}
+        cur = [pos.get(v, -1) for v in s_vals]
+
+    # a-priori budget: walkers x max replica-degree x steps
+    if n:
+        deg_ops = np.zeros(n, dtype=np.int64)
+        np.add.at(deg_ops, ss, rr)
+        max_ops = len(wids) * int(deg_ops.max() if n else 0) * length
+        if max_ops > WALK_LOCAL_OP_LIMIT:
+            return None
+
+    # step-0 rows: the distributed gens[0] is the seed frame verbatim
+    # (raw node values, including seeds naming absent nodes)
+    out_w = list(wids)
+    out_s = [0] * len(wids)
+    out_n = list(ids) if seeds is None else list(s_vals)
+
+    active = [(w, c) for w, c in zip(wids, cur) if c >= 0]
+    for s in range(1, length + 1):
+        ws = str(s)
+        nxt = []
+        for w, c in active:
+            a, b = int(indptr[c]), int(indptr[c + 1])
+            if a == b:
+                continue
+            wstr = str(w)
+            best = None
+            best_dst = -1
+            for t in range(a, b):
+                r = int(rr[t])
+                if r <= 0:
+                    continue
+                dstr = sid[ds[t]]
+                if weighted:
+                    prefix = wstr + "|" + ws + "|" + dstr + "|"
+                    for j in range(1, r + 1):
+                        key = (
+                            md5((prefix + str(j)).encode()).digest(),
+                            dstr,
+                        )
+                        if best is None or key < best:
+                            best, best_dst = key, ds[t]
+                else:
+                    key = (
+                        md5((wstr + "|" + ws + "|" + dstr).encode()).digest(),
+                        dstr,
+                    )
+                    if best is None or key < best:
+                        best, best_dst = key, ds[t]
+            if best is None:
+                continue
+            nxt.append((w, int(best_dst)))
+            out_w.append(w)
+            out_s.append(s)
+            out_n.append(ids[best_dst])
+        active = nxt
+        if not active:
+            break
+    return pd.DataFrame(
+        {
+            "wid": out_w,
+            "step": np.asarray(out_s, dtype=np.int64),
+            "node": out_n,
+        }
+    )

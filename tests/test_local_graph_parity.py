@@ -443,3 +443,60 @@ def test_local_fallbacks_zero_landmarks(spark):
     assert len(LG.landmark_bfs_local(tbl, n_landmarks=0)) == 0
     assert len(LG.path_counts_local(tbl, n_sources=0)) == 0
     assert len(LG.bellman_ford_landmark_local(tbl, n_landmarks=0)) == 0
+
+
+# ---------------------------------------------------------------------------
+# Walk mirror (round 12): md5-argmin walks replayed driver-side must be
+# BIT-identical to the distributed join+min_by loop — same md5 keys,
+# same '|'-separator tie-break order, same weighted replica expansion,
+# same seed-frame step-0 semantics.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_random_walks_parity(spark, monkeypatch, dtype, weighted):
+    edges = _traversal_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch,
+        G.seeded_random_walks,
+        edges,
+        ("wid", "step", "node"),
+        length=5,
+        weighted=weighted,
+    )
+    assert local == dist and local
+
+
+def test_random_walks_parity_with_seed_frame(spark, monkeypatch):
+    edges = _traversal_fixture(spark, "string")
+    # includes a seed node ABSENT from the graph (step-0 row only) and
+    # a wid different from its start node
+    seeds = spark.createDataFrame(
+        [("w1", "u2"), ("w2", "u400"), ("w3", "zzz-absent")],
+        "wid string, node string",
+    )
+    local, dist = _both_traversal(
+        monkeypatch,
+        G.seeded_random_walks,
+        edges,
+        ("wid", "step", "node"),
+        length=4,
+        seeds=seeds,
+    )
+    assert local == dist and local
+    assert ("w3", 0, "zzz-absent") in local
+    assert not any(w == "w3" and s > 0 for w, s, _ in local)
+
+
+def test_random_walks_budget_falls_back_to_distributed(spark, monkeypatch):
+    from echo_chambers_detection_spark.operators import localgraph as LG
+
+    edges = _traversal_fixture(spark, "string")
+    monkeypatch.setattr(LG, "WALK_LOCAL_OP_LIMIT", 0)
+    tbl = G._traversal_local_tbl(edges)
+    assert tbl is not None
+    assert LG.random_walks_local(tbl, length=3) is None
+    # the operator still answers (distributed leg)
+    rows = G.seeded_random_walks(edges, length=3).collect()
+    assert rows
