@@ -40,18 +40,93 @@ _PROBE_OPTS = ("nprobe", "refine", "beam", "hops")
 class ServingApp:
     """Route logic, separated from the HTTP plumbing so it unit-tests
     without sockets. `probes` maps an index name (e.g. 'ivf') to an
-    object with `probe_one(vector, k=..., **opts)`."""
+    object with `probe_one(vector, k=..., **opts)`.
 
-    def __init__(self, probes: dict) -> None:
+    The optional UI trio completes the reference's interactive shell
+    (project/ui/app.py:17-85 — Streamlit title, two stat tiles with an
+    'Update stats' button, a 'Run analysis' button with spinner + live
+    log streaming, then the result charts) with stdlib only:
+
+    - ``stats_fn() -> (n_users, n_posts)`` backs ``GET /stats`` (the
+      tile refresh; app.py's two Cypher COUNTs).
+    - ``analyze_fn(log: Callable[[str], None])`` backs
+      ``POST /analyze`` — run on a daemon thread, its log lines
+      streamed to pollers of ``GET /analyze/status`` exactly like
+      app.py tails the subprocess stdout into the expander; terminal
+      states ``done``/``failed`` are the success/error banners. A
+      second POST while running answers 409 (Streamlit's single-run
+      button semantics).
+    - ``report_dir`` backs ``GET /report/<file>`` (report.html + the
+      chart PNGs from sinks/report.py) and ``GET /ui`` serves the
+      interactive page itself: tiles, both buttons, spinner, log box,
+      and the results section wired to these endpoints with fetch().
+    """
+
+    def __init__(
+        self,
+        probes: dict,
+        stats_fn=None,
+        analyze_fn=None,
+        report_dir: str | None = None,
+    ) -> None:
         self.probes = dict(probes)
+        self.stats_fn = stats_fn
+        self.analyze_fn = analyze_fn
+        self.report_dir = report_dir
+        self._analysis = {"state": "idle", "log": ""}
+        self._lock = threading.Lock()
+
+    def _analysis_log(self, line: str) -> None:
+        with self._lock:
+            self._analysis["log"] += str(line) + "\n"
+
+    def _start_analysis(self) -> tuple[int, dict]:
+        if self.analyze_fn is None:
+            return 404, {"error": "no analyze_fn configured"}
+        with self._lock:
+            if self._analysis["state"] == "running":
+                return 409, {"error": "analysis already running"}
+            self._analysis = {"state": "running", "log": ""}
+
+        def run() -> None:
+            try:
+                self.analyze_fn(self._analysis_log)
+            except Exception as exc:  # surface, don't kill the server
+                self._analysis_log(f"ERROR: {exc}")
+                with self._lock:
+                    self._analysis["state"] = "failed"
+                return
+            with self._lock:
+                self._analysis["state"] = "done"
+
+        threading.Thread(target=run, daemon=True).start()
+        return 202, {"state": "running"}
 
     def handle(self, path: str, payload: dict) -> tuple[int, dict]:
         if path == "/health":
             return 200, {"status": "ok", "indexes": sorted(self.probes)}
+        if path == "/stats":
+            if self.stats_fn is None:
+                return 404, {"error": "no stats_fn configured"}
+            n_users, n_posts = self.stats_fn()
+            return 200, {"users": int(n_users), "posts": int(n_posts)}
+        if path == "/analyze":
+            return self._start_analysis()
+        if path == "/analyze/status":
+            with self._lock:
+                return 200, dict(self._analysis)
         if path != "/search":
             return 404, {
                 "error": f"no route {path!r}",
-                "routes": ["/health", "/search"],
+                "routes": [
+                    "/health",
+                    "/search",
+                    "/stats",
+                    "/analyze",
+                    "/analyze/status",
+                    "/ui",
+                    "/report/<file>",
+                ],
             }
         name = payload.get("index", "ivf")
         probe = self.probes.get(name)
@@ -85,6 +160,83 @@ class ServingApp:
         }
 
 
+# The interactive page (reference project/ui/app.py:17-85 rendered as
+# plain HTML+JS over this module's endpoints): title, the two stat
+# tiles + 'Update stats', 'Run analysis' with spinner + live log box
+# polling /analyze/status, and the results section revealing the chart
+# images once the run lands.
+_UI_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Echo Chamber Analysis</title>
+<style>
+body { font-family: sans-serif; margin: 2rem; }
+.tiles { display: flex; gap: 1rem; }
+.tile { border: 1px solid #ccc; border-radius: 8px; padding: 1rem 2rem; }
+.num { font-size: 2rem; font-weight: bold; }
+.lbl { color: #666; }
+#log { background: #111; color: #ddd; padding: 8px; min-height: 6rem;
+       white-space: pre-wrap; font-family: monospace; display: none; }
+#spinner { display: none; }
+button { margin: 0.5rem 0.5rem 0.5rem 0; padding: 0.4rem 1rem; }
+img { max-width: 100%; }
+</style></head><body>
+<h1>Echo Chamber Analysis</h1>
+<div class="tiles">
+  <div class="tile"><div class="num" id="n-users">-</div>
+    <div class="lbl">Number of users</div></div>
+  <div class="tile"><div class="num" id="n-posts">-</div>
+    <div class="lbl">Number of posts</div></div>
+</div>
+<button id="update-stats">Update stats</button>
+<button id="run-analysis">Run analysis</button>
+<div id="spinner">Running analysis... this may take a few minutes</div>
+<div id="log"></div>
+<div id="status"></div>
+<div id="results"></div>
+<script>
+async function updateStats() {
+  const r = await fetch('/stats');
+  if (!r.ok) return;
+  const s = await r.json();
+  document.getElementById('n-users').textContent = s.users;
+  document.getElementById('n-posts').textContent = s.posts;
+}
+async function poll() {
+  const r = await fetch('/analyze/status');
+  const s = await r.json();
+  document.getElementById('log').textContent = s.log;
+  if (s.state === 'running') { setTimeout(poll, 500); return; }
+  document.getElementById('spinner').style.display = 'none';
+  document.getElementById('status').textContent =
+    s.state === 'done' ? 'Analysis completed successfully'
+                       : 'Analysis failed';
+  if (s.state === 'done') {
+    document.getElementById('results').innerHTML =
+      ['ecs', 'conductance', 'variance'].map(m =>
+        `<figure><img src="/report/${m}_by_community.png"/>` +
+        `<figcaption>${m}_by_community.png</figcaption></figure>`
+      ).join('');
+  }
+}
+document.getElementById('update-stats').onclick = updateStats;
+document.getElementById('run-analysis').onclick = async () => {
+  const r = await fetch('/analyze', {method: 'POST'});
+  if (r.status === 409) return;
+  document.getElementById('spinner').style.display = 'block';
+  document.getElementById('log').style.display = 'block';
+  poll();
+};
+updateStats();
+</script></body></html>
+"""
+
+_CONTENT_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".png": "image/png",
+    ".csv": "text/csv",
+    ".json": "application/json",
+}
+
+
 class _Handler(BaseHTTPRequestHandler):
     app: ServingApp  # injected by start_server via a subclass attribute
 
@@ -96,8 +248,43 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _respond_raw(self, code: int, ctype: str, body: bytes) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _serve_report_file(self, path: str) -> None:
+        import os
+
+        if self.app.report_dir is None:
+            self._respond(404, {"error": "no report_dir configured"})
+            return
+        name = path[len("/report/"):]
+        # basename-only: no separators, no traversal
+        if not name or os.path.basename(name) != name or name.startswith("."):
+            self._respond(400, {"error": "bad report file name"})
+            return
+        full = os.path.join(self.app.report_dir, name)
+        if not os.path.isfile(full):
+            self._respond(404, {"error": f"no report file {name!r}"})
+            return
+        ext = os.path.splitext(name)[1].lower()
+        ctype = _CONTENT_TYPES.get(ext, "application/octet-stream")
+        with open(full, "rb") as fh:
+            self._respond_raw(200, ctype, fh.read())
+
     def do_GET(self) -> None:  # noqa: N802 (http.server contract)
         url = urlparse(self.path)
+        if url.path == "/ui":
+            self._respond_raw(
+                200, "text/html; charset=utf-8", _UI_PAGE.encode("utf-8")
+            )
+            return
+        if url.path.startswith("/report/"):
+            self._serve_report_file(url.path)
+            return
         qs = {k: v[-1] for k, v in parse_qs(url.query).items()}
         payload: dict = dict(qs)
         if "vector" in payload:
@@ -125,13 +312,29 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def start_server(
-    probes: dict, host: str = "127.0.0.1", port: int = 0
+    probes: dict,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    stats_fn=None,
+    analyze_fn=None,
+    report_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the serving shell on a daemon thread; returns the server
     (``server.server_address`` carries the bound port — port=0 picks a
-    free one). ``server.shutdown()`` stops it."""
+    free one). ``server.shutdown()`` stops it. The optional UI trio
+    (stats_fn / analyze_fn / report_dir) enables /ui, /stats,
+    /analyze(+/status) and /report/<file> — see ServingApp."""
     handler = type(
-        "BoundHandler", (_Handler,), {"app": ServingApp(probes)}
+        "BoundHandler",
+        (_Handler,),
+        {
+            "app": ServingApp(
+                probes,
+                stats_fn=stats_fn,
+                analyze_fn=analyze_fn,
+                report_dir=report_dir,
+            )
+        },
     )
     server = ThreadingHTTPServer((host, port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -166,6 +369,12 @@ def main(argv: list | None = None) -> None:
     p.add_argument("--port", type=int, default=0)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+    p.add_argument(
+        "--report-dir",
+        default=None,
+        help="serve /ui and /report/<file> from this directory "
+        "(sinks/report.py output)",
+    )
     args = p.parse_args(argv)
     probes = {}
     for spec in args.ivf:
@@ -176,9 +385,11 @@ def main(argv: list | None = None) -> None:
         probes[name] = IvfProbe(
             idx_path, emb_path, id_col=args.id_col, vec_col=args.vec_col
         )
-    if not probes:
-        p.error("at least one --ivf shard is required")
-    server = start_server(probes, host=args.host, port=args.port)
+    if not probes and not args.report_dir:
+        p.error("at least one --ivf shard or a --report-dir is required")
+    server = start_server(
+        probes, host=args.host, port=args.port, report_dir=args.report_dir
+    )
     print(json.dumps({"port": server.server_address[1]}), flush=True)
     try:
         threading.Event().wait()

@@ -5,9 +5,11 @@ post count tiles, run-the-analysis, show the metric charts).
 The reference UI is a thin client: two COUNT tiles, a subprocess run of
 the analysis, and the chart PNGs. Everything it DISPLAYS is engine
 output, so the engine ships a report generator producing the same
-content as one self-contained artifact; the only thing deliberately
-left out of scope is the interactive client shell itself (buttons,
-spinners, log streaming).
+content as one self-contained artifact. The interactive client shell
+itself (buttons, spinner, live log streaming) is served by
+serving/http_api.py's /ui route (round 12) over this module's output
+directory — stats, run-analysis lifecycle, and chart serving each have
+socket-level tests (tests/test_serving_ui.py).
 
 All inputs are bounded: two scalar counts, the ≤|communities|-row
 metrics table, and the chart quartet from sinks/charts.py.
