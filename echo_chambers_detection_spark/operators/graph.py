@@ -106,12 +106,13 @@ def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
     ship up to half+1 rows from EVERY input partition through one
     shuffle task; the lit(1) projection keeps the collected probe rows
     one tiny column regardless of id width. At 100 TB the probe
-    therefore reads roughly one partition and stops. CAVEAT (same as
-    coengagement's encode probe): the probe EAGERLY executes the
-    caller's upstream plan at gate time — callers with expensive lazy
-    inputs (e.g. the co-engagement projection) should materialize
-    first. The full collect only ever runs on graphs that passed the
-    gate. NULL endpoints are dropped up front — the distributed joins
+    therefore reads roughly one partition and stops. The selected
+    frame is persist()ed for the gate's duration so the probe and the
+    Arrow collect share ONE execution of the caller's upstream plan
+    (partitions cache as take() touches them; the collect reads the
+    cache). CAVEAT (same as coengagement's encode probe): the gate
+    still EAGERLY executes the caller's upstream plan at gate time.
+    The full collect only ever runs on graphs that passed the gate. NULL endpoints are dropped up front — the distributed joins
     never match them and the final isNotNull filter would drop their
     rows anyway. Weighted traversals with NULL or NaN weights BAIL to
     the distributed loop: the distributed min-plus join produces NULL
@@ -132,13 +133,29 @@ def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
     ):
         return None
     half = LOCAL_TRAVERSAL_EDGE_LIMIT // 2
-    e = edges.where(F.col("u1").isNotNull() & F.col("u2").isNotNull())
     cols = ["u1", "u2"]
     if weighted and "weight" in edges.columns:
         cols.append("weight")
-    if len(e.select(F.lit(1).alias("p")).take(half + 1)) > half:
-        return None
-    tbl = e.select(*cols).toArrow()
+    e = edges.where(
+        F.col("u1").isNotNull() & F.col("u2").isNotNull()
+    ).select(*cols)
+    # persist() for the gate's duration so probe + collect share ONE
+    # execution of the caller's upstream plan: Spark caches partitions
+    # as the incremental take() touches them, and the toArrow below
+    # reads the cache instead of recomputing (round 12 — the probe +
+    # collect pair used to execute an expensive projection twice,
+    # measured +4-9s per walk-family row at sf0.1). Over the bound the
+    # probe caches ~one partition, we unpersist and the distributed
+    # leg re-reads from source — a bounded partial waste.
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if len(e.select(F.lit(1).alias("p")).take(half + 1)) > half:
+            return None
+        tbl = e.toArrow()
+    finally:
+        e.unpersist(False)
     if weighted and "weight" in cols:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -1260,41 +1277,68 @@ def seeded_random_walks(
     serialized join+agg rounds (the traversal-mirror pattern,
     round 12).
     """
-    tbl = _traversal_local_tbl(edges, weighted=weighted)
-    if tbl is not None:
-        from echo_chambers_detection_spark.operators.localgraph import (
-            random_walks_local,
-        )
-        from pyspark.sql.types import LongType
+    from pyspark import StorageLevel
 
-        seed_tbl = None
-        seeds_ok = True
-        if seeds is not None:
-            # walker bound: the mirror is a per-walker python loop
-            if len(seeds.select(F.lit(1).alias("p")).take(200_001)) > 200_000:
-                seeds_ok = False
-            else:
-                seed_tbl = seeds.select("wid", "node").toArrow()
-        if seeds_ok:
-            pdf = random_walks_local(
-                tbl, length=length, weighted=weighted, seeds=seed_tbl
+    # Pin the CALLER's edge plan for the whole gate/mirror attempt:
+    # seed frames are usually derived from the same expensive
+    # projection (the weighted catalog row builds both from one
+    # backbone), so populating this cache once lets the gate probe,
+    # the Arrow collect, AND the seed collection all share a single
+    # upstream execution. Unpersisted before the distributed loop —
+    # which at 100 TB (gate declines after ~one cached partition)
+    # proceeds from source exactly as before.
+    pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tbl = _traversal_local_tbl(pinned, weighted=weighted)
+        if tbl is not None:
+            from echo_chambers_detection_spark.operators.localgraph import (
+                random_walks_local,
             )
-            if pdf is not None:  # None = md5 op budget exceeded
-                node_t = edges.schema["u1"].dataType
-                wid_t = (
-                    node_t
-                    if seeds is None
-                    else seeds.schema["wid"].dataType
+            from pyspark.sql.types import LongType
+
+            seed_tbl = None
+            seeds_ok = True
+            if seeds is not None:
+                # walker bound: the mirror is a per-walker python loop
+                sframe = seeds.select("wid", "node")
+                if (
+                    len(sframe.select(F.lit(1).alias("p")).take(200_001))
+                    > 200_000
+                ):
+                    seeds_ok = False
+                else:
+                    seed_tbl = sframe.toArrow()
+            if seeds_ok:
+                pdf = random_walks_local(
+                    tbl, length=length, weighted=weighted, seeds=seed_tbl
                 )
-                return _traversal_result(
-                    edges.sparkSession,
-                    pdf,
-                    [
-                        ("wid", wid_t),
-                        ("step", LongType()),
-                        ("node", node_t),
-                    ],
-                )
+                if pdf is not None:  # None = md5 op budget exceeded
+                    node_t = edges.schema["u1"].dataType
+                    wid_t = (
+                        node_t
+                        if seeds is None
+                        else seeds.schema["wid"].dataType
+                    )
+                    return _traversal_result(
+                        edges.sparkSession,
+                        pdf,
+                        [
+                            ("wid", wid_t),
+                            ("step", LongType()),
+                            ("node", node_t),
+                        ],
+                    )
+            # Mirror declined (walker-skew budget) but the edge list is
+            # ALREADY collected and bounded — replay it (and the
+            # collected seed frame) as LOCAL relations so the
+            # distributed loop below never re-executes the caller's
+            # expensive upstream plan.
+            spark = edges.sparkSession
+            edges = spark.createDataFrame(tbl)
+            if seed_tbl is not None:
+                seeds = spark.createDataFrame(seed_tbl)
+    finally:
+        pinned.unpersist(False)
     sym = _materialize_wide(_symmetrize(edges, weighted=weighted))
     if seeds is None:
         cur = _nodes_of_sym(sym).select(

@@ -1108,12 +1108,28 @@ def random_walks_local(tbl, length=8, weighted=False, seeds=None):
         pos = {v: i for i, v in enumerate(ids.tolist())}
         cur = [pos.get(v, -1) for v in s_vals]
 
-    # a-priori budget: walkers x max replica-degree x steps
+    # Budget = ACTUAL md5 evaluations, counted as the walk advances
+    # (an a-priori walkers x MAX-replica-degree x steps bound
+    # overestimated ~50x on real backbones — walkers spread over the
+    # degree distribution, they don't all sit on the hub — and kept
+    # the mirror from ever firing at bench scale). Exceeding the
+    # budget mid-walk returns None and the caller's distributed loop
+    # answers; the wasted partial mirror is bounded by the budget
+    # itself (~2M Python md5s ≈ 2s). A first-step estimate (the
+    # replica-degree mass of the ACTUAL start positions x length)
+    # pre-bails the skewed-walker case without paying any md5s.
+    ops_left = WALK_LOCAL_OP_LIMIT
     if n:
-        deg_ops = np.zeros(n, dtype=np.int64)
-        np.add.at(deg_ops, ss, rr)
-        max_ops = len(wids) * int(deg_ops.max() if n else 0) * length
-        if max_ops > WALK_LOCAL_OP_LIMIT:
+        deg_reps = np.zeros(n, dtype=np.int64)
+        np.add.at(deg_reps, ss, rr)
+        start_idx = np.asarray([c for c in cur if c >= 0], dtype=np.int64)
+        first_ops = int(deg_reps[start_idx].sum()) if len(start_idx) else 0
+        # x2 drift margin: weight-proportional walkers drift toward
+        # HEAVIER nodes, so later steps cost more than step 1 — without
+        # the margin the skewed case burns the whole budget in the md5
+        # loop before the in-loop bail fires (measured 1.6s wasted on
+        # the 200-walker weighted backbone at sf0.1).
+        if first_ops * length * 2 > WALK_LOCAL_OP_LIMIT:
             return None
 
     # step-0 rows: the distributed gens[0] is the seed frame verbatim
@@ -1130,6 +1146,9 @@ def random_walks_local(tbl, length=8, weighted=False, seeds=None):
             a, b = int(indptr[c]), int(indptr[c + 1])
             if a == b:
                 continue
+            ops_left -= int(rr[a:b].sum()) if weighted else (b - a)
+            if ops_left < 0:
+                return None
             wstr = str(w)
             best = None
             best_dst = -1
