@@ -931,6 +931,15 @@ def main() -> None:
         ANN indexes are disk-parquet + driver-resident numpy), so
         between queries every persisted block is garbage by
         construction."""
+        # Cancel zombie jobs first: AQE can leave an already-submitted
+        # broadcast/stage materialization running after runtime
+        # replanning pruned its branch — the query's own action has
+        # returned, so anything still running is by definition not
+        # needed, and unpersisting its checkpointed inputs below would
+        # otherwise abort it with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+        # (observed on analysis_run_metrics; benign but noisy, and a
+        # cancel is cleaner than an abort).
+        spark.sparkContext.cancelAllJobs()
         jsc = spark.sparkContext._jsc
         jmap = jsc.getPersistentRDDs()
         had_persisted = jmap.size() > 0
