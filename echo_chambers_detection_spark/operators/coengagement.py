@@ -261,11 +261,44 @@ def coengagement_edges_bitmap(
         # stream n²/2 mask pairs). Fall back to the general self-join
         # rather than silently dropping items or exploding pairs.
         max_auto_slots = 64
-        row = engagements.agg(
-            F.max(item).alias("mx"),
-            F.min(item).alias("mn"),
-            F.sum(F.when(item.isNull() & F.col(post_col).isNotNull(), 1).otherwise(0)).alias("bad"),
-            F.approx_count_distinct(user_col).alias("nu"),
+        # ONE probe pass for every guard quantity (round 12; this used
+        # to be two full passes — a plain agg for the key-domain/user
+        # bounds plus a dedup+groupBy for Σ deg² — costing ~2 job
+        # rounds per construction, paid by every graph-family query):
+        # rollup(k) computes the per-item groups AND the grand-total
+        # row in one shuffle, the per-item approx-distinct-user counts
+        # price the self-join stream (Σ deg²; ±2% sketch error is
+        # irrelevant against the n²/2-vs-Σdeg² decision's dynamic
+        # range), and the grand-total row carries max/min key, the
+        # bad-cast count, and the global user estimate.
+        probe = (
+            engagements.select(
+                F.col(user_col).alias("u"),
+                item.alias("k"),
+                F.when(
+                    item.isNull() & F.col(post_col).isNotNull(), 1
+                ).otherwise(0).alias("bad"),
+            )
+            .rollup("k")
+            .agg(
+                F.approx_count_distinct("u").alias("d"),
+                F.sum("bad").alias("bad"),
+                F.grouping("k").alias("g"),
+            )
+        )
+        row = probe.agg(
+            F.max(F.when(F.col("g") == 0, F.col("k"))).alias("mx"),
+            F.min(F.when(F.col("g") == 0, F.col("k"))).alias("mn"),
+            F.max(F.when(F.col("g") == 1, F.col("bad"))).alias("bad"),
+            F.max(F.when(F.col("g") == 1, F.col("d"))).alias("nu"),
+            F.sum(
+                F.when(
+                    (F.col("g") == 0)
+                    & F.col("k").isNotNull()
+                    & (F.col("k") >= 0),
+                    F.col("d") * F.col("d"),
+                )
+            ).alias("s"),
         ).first()
         if (
             row["mx"] is None
@@ -277,19 +310,9 @@ def coengagement_edges_bitmap(
             return coengagement_edges(engagements, user_col, post_col)
         # Stream-size compare: bitmap emits n²/2 mask pairs no matter how
         # sparse the engagement matrix is; the self-join emits Σ_item deg²
-        # shared-item rows. One cheap agg on the (deduped) engagement
-        # relation prices both; per-row costs are within 2x (docstring),
-        # so the smaller stream wins.
-        deg2_row = (
-            engagements.select(F.col(user_col).alias("u"), item.alias("k"))
-            .where(F.col("k").isNotNull() & (F.col("k") >= 0))
-            .dropDuplicates(["u", "k"])
-            .groupBy("k")
-            .agg(F.count("*").alias("d"))
-            .agg(F.sum(F.col("d") * F.col("d")).alias("s"))
-            .first()
-        )
-        sum_deg2 = int(deg2_row["s"] or 0)
+        # shared-item rows; per-row costs are within 2x (docstring), so
+        # the smaller stream wins.
+        sum_deg2 = int(row["s"] or 0)
         n_users = int(row["nu"])
         if n_users * n_users / 2 >= sum_deg2:
             return coengagement_edges(engagements, user_col, post_col)
