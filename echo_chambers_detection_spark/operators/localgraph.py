@@ -1189,3 +1189,207 @@ def random_walks_local(tbl, length=8, weighted=False, seeds=None):
             "node": out_n,
         }
     )
+
+
+# Wedge budget for the triangle mirrors: oriented enumeration touches
+# sum-over-apexes od*(od-1)/2 candidate pairs (bounded ~m^1.5 by the
+# degree orientation); all pair arrays below are materialized numpy,
+# so the mirror only serves graphs whose wedge total stays in the
+# tens of millions. 0 forces the distributed path (tests do).
+WEDGE_LOCAL_OP_LIMIT = 20_000_000
+
+
+def _canon_edge_arrays(tbl):
+    """(ids, e1, e2) index arrays from a CANONICAL undirected edge
+    table (u1 < u2, one row per edge) — NO symmetrization. Returns
+    None when duplicate rows exist (the distributed operators count
+    rows, so a multigraph input must take the distributed path)."""
+    np = _np()
+    import pandas as pd
+
+    a1 = _col_np(tbl, "u1")
+    a2 = _col_np(tbl, "u2")
+    m = len(a1)
+    if m == 0:
+        return None
+    both = np.concatenate([a1, a2])
+    codes, uniq = pd.factorize(both)
+    order = np.argsort(uniq)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    bc = rank[codes]
+    e1, e2 = bc[:m], bc[m:]
+    ids = np.asarray(uniq)[order]
+    n = len(ids)
+    lo = np.minimum(e1, e2)
+    hi = np.maximum(e1, e2)
+    ek = lo * n + hi
+    if len(np.unique(ek)) != m:
+        return None
+    return ids, e1, e2
+
+
+def _triangles_np(ids, e1, e2):
+    """Vectorized degree-oriented triangle enumeration (Suri &
+    Vassilvitskii node-iterator, numpy form). Returns (ta, tb, tc)
+    index arrays — one entry per triangle, a = apex (lowest
+    (deg, id) rank), b/c rank-ordered — or None when the wedge total
+    exceeds WEDGE_LOCAL_OP_LIMIT."""
+    np = _np()
+    n = len(ids)
+    m = len(e1)
+    deg = np.bincount(e1, minlength=n) + np.bincount(e2, minlength=n)
+    # rank key encodes (deg, node-index); index order == id order
+    rk = deg.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+    lower1 = rk[e1] < rk[e2]
+    src = np.where(lower1, e1, e2)
+    dst = np.where(lower1, e2, e1)
+    # sort out-edges by (src, rank(dst)) so within-block pairs are
+    # wedge-ordered (bd < cd, ties by id) by construction
+    ordm = np.lexsort((rk[dst], src))
+    s_s, d_s = src[ordm], dst[ordm]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    lens = np.diff(np.r_[starts, m])
+    total = int((lens * (lens - 1) // 2).sum())
+    if WEDGE_LOCAL_OP_LIMIT <= 0 or total > WEDGE_LOCAL_OP_LIMIT:
+        return None
+    if total == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    # per sorted position t: within-block offset i, pair count l-1-i
+    block_of = np.repeat(np.arange(len(starts)), lens)
+    within = np.arange(m) - np.repeat(starts, lens)
+    cnt = (lens[block_of] - 1 - within).astype(np.int64)
+    first = np.repeat(np.arange(m), cnt)
+    before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    second = np.arange(total) - np.repeat(before, cnt) + first + 1
+    b = d_s[first]
+    c = d_s[second]
+    a = s_s[first]
+    # closure: oriented edge (b -> c) must exist
+    okeys = np.sort(s_s.astype(np.int64) * n + d_s)
+    want = b.astype(np.int64) * n + c
+    pos = np.searchsorted(okeys, want)
+    hit = (pos < len(okeys)) & (okeys[np.minimum(pos, len(okeys) - 1)] == want)
+    return a[hit], b[hit], c[hit]
+
+
+def tricount_local(tbl):
+    """Mirror of triangles.triangle_counts: pandas
+    (node, triangles, deg, wedges) over every node in the edge list.
+    None = duplicates / over the wedge budget / empty (distributed)."""
+    import pandas as pd
+
+    np = _np()
+    canon = _canon_edge_arrays(tbl)
+    if canon is None:
+        return None
+    ids, e1, e2 = canon
+    tri = _triangles_np(ids, e1, e2)
+    if tri is None:
+        return None
+    ta, tb, tc = tri
+    n = len(ids)
+    deg = np.bincount(e1, minlength=n) + np.bincount(e2, minlength=n)
+    t = np.zeros(n, dtype=np.int64)
+    np.add.at(t, ta, 1)
+    np.add.at(t, tb, 1)
+    np.add.at(t, tc, 1)
+    return pd.DataFrame(
+        {
+            "node": ids,
+            "triangles": t,
+            "deg": deg.astype(np.int64),
+            "wedges": deg.astype(np.int64) * (deg - 1) // 2,
+        }
+    )
+
+
+def transitivity_local(tbl):
+    """Mirror of triangles.transitivity_stats: one-row pandas
+    (n_nodes, n_edges, n_triangles, n_wedges)."""
+    import pandas as pd
+
+    np = _np()
+    canon = _canon_edge_arrays(tbl)
+    if canon is None:
+        return None
+    ids, e1, e2 = canon
+    tri = _triangles_np(ids, e1, e2)
+    if tri is None:
+        return None
+    n = len(ids)
+    deg = np.bincount(e1, minlength=n) + np.bincount(e2, minlength=n)
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(n)],
+            "n_edges": [np.int64(len(e1))],
+            "n_triangles": [np.int64(len(tri[0]))],
+            "n_wedges": [np.int64((deg.astype(np.int64) * (deg - 1) // 2).sum())],
+        }
+    )
+
+
+def ktruss_local(tbl, k, max_rounds=50):
+    """Mirror of triangles.ktruss_edges: enumerate triangles once, map
+    each to its three canonical edge ids, then iterate the
+    support-recount / drop cascade on boolean masks. The k-truss is
+    the UNIQUE maximal subgraph with per-edge support >= k-2, so no
+    move-schedule parity is involved — any correct fixpoint matches
+    the distributed loop bit-for-bit (integer supports). Returns a
+    pandas DataFrame (u1, u2, support) of surviving edges; None =
+    duplicates / over the wedge budget (distributed path); raises the
+    same RuntimeError contract on max_rounds exhaustion."""
+    import pandas as pd
+
+    np = _np()
+    canon = _canon_edge_arrays(tbl)
+    if canon is None:
+        return None
+    ids, e1, e2 = canon
+    tri = _triangles_np(ids, e1, e2)
+    if tri is None:
+        return None
+    ta, tb, tc = tri
+    n = len(ids)
+    m = len(e1)
+    lo = np.minimum(e1, e2)
+    hi = np.maximum(e1, e2)
+    ek = lo * n + hi
+    order = np.argsort(ek)
+    ek_sorted = ek[order]
+
+    def eid(x, y):
+        key = np.minimum(x, y).astype(np.int64) * n + np.maximum(x, y)
+        return order[np.searchsorted(ek_sorted, key)]
+
+    t_ab, t_ac, t_bc = eid(ta, tb), eid(ta, tc), eid(tb, tc)
+    alive = np.ones(m, dtype=bool)
+    tri_alive = np.ones(len(ta), dtype=bool)
+    need = k - 2
+    for _ in range(max_rounds):
+        edge_ids = np.concatenate(
+            [t_ab[tri_alive], t_ac[tri_alive], t_bc[tri_alive]]
+        )
+        support = np.bincount(edge_ids, minlength=m)
+        keep = alive & (support >= need)
+        if keep.sum() == alive.sum():
+            out = keep
+            return pd.DataFrame(
+                {
+                    "u1": ids[lo[out]],
+                    "u2": ids[hi[out]],
+                    "support": support[out].astype(np.int64),
+                }
+            )
+        dropped = alive & ~keep
+        tri_alive &= ~(
+            dropped[t_ab] | dropped[t_ac] | dropped[t_bc]
+        )
+        alive = keep
+    raise RuntimeError(
+        f"ktruss k={k} exhausted max_rounds={max_rounds} WITHOUT "
+        f"reaching a fixpoint ({m} -> {int(alive.sum())} edges): the "
+        f"subgraph at this point is not a k-truss. Raise max_rounds "
+        f"(each round is one support recount + one anti-join)."
+    )

@@ -101,9 +101,38 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     count, degree, and deg*(deg-1)/2 open-wedge capacity — the local
     clustering coefficient is triangles/wedges, left as an exact
     integer pair so comparisons stay float-free. Nodes in no triangle
-    appear with triangles = 0."""
-    from echo_chambers_detection_spark.operators.graph import _materialize
+    appear with triangles = 0. Triangle counts are GRAPH FACTS (unique
+    answers), so below the traversal gate + wedge budget the numpy
+    mirror (localgraph.tricount_local) answers driver-side with no
+    move-schedule parity concerns; the oriented wedge+closure joins
+    stay the at-scale plan."""
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _traversal_local_tbl,
+        _traversal_result,
+    )
 
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from pyspark.sql.types import LongType
+
+        from echo_chambers_detection_spark.operators.localgraph import (
+            tricount_local,
+        )
+
+        pdf = tricount_local(tbl)
+        if pdf is not None:
+            node_t = edges.schema["u1"].dataType
+            return _traversal_result(
+                edges.sparkSession,
+                pdf,
+                [
+                    ("node", node_t),
+                    ("triangles", LongType()),
+                    ("deg", LongType()),
+                    ("wedges", LongType()),
+                ],
+            )
     deg = _materialize(node_degrees(edges))
     tri = triangle_vertices(edges, deg)
     # one explode, not a 3-way unionAll of tri: Catalyst does not reuse
@@ -130,9 +159,33 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def transitivity_stats(edges: DataFrame) -> DataFrame:
     """One-row global summary: n_nodes, n_edges, n_triangles, n_wedges
     (global transitivity = 3*n_triangles/n_wedges, derivable from the
-    exact integers)."""
-    from echo_chambers_detection_spark.operators.graph import _materialize
+    exact integers). Same mirror crossover as triangle_counts."""
+    from echo_chambers_detection_spark.operators.graph import (
+        _materialize,
+        _traversal_local_tbl,
+        _traversal_result,
+    )
 
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from pyspark.sql.types import LongType
+
+        from echo_chambers_detection_spark.operators.localgraph import (
+            transitivity_local,
+        )
+
+        pdf = transitivity_local(tbl)
+        if pdf is not None:
+            return _traversal_result(
+                edges.sparkSession,
+                pdf,
+                [
+                    ("n_nodes", LongType()),
+                    ("n_edges", LongType()),
+                    ("n_triangles", LongType()),
+                    ("n_wedges", LongType()),
+                ],
+            )
     deg = _materialize(node_degrees(edges))
     tri_n = triangle_vertices(edges, deg).agg(
         F.count("*").alias("n_triangles")
@@ -260,7 +313,36 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     from echo_chambers_detection_spark.operators.graph import (
         _materialize,
         _release_checkpoint,
+        _traversal_local_tbl,
+        _traversal_result,
     )
+
+    # The k-truss is the UNIQUE maximal subgraph with per-edge support
+    # >= k-2, so the numpy mirror (localgraph.ktruss_local: enumerate
+    # once, then boolean-mask support recounts) needs correctness
+    # only — below the traversal gate + wedge budget it answers
+    # driver-side; the incremental distributed loop stays the at-scale
+    # plan (and the forced-distributed bench probe keeps exercising it).
+    tbl = _traversal_local_tbl(edges)
+    if tbl is not None:
+        from pyspark.sql.types import LongType
+
+        from echo_chambers_detection_spark.operators.localgraph import (
+            ktruss_local,
+        )
+
+        pdf = ktruss_local(tbl, k, max_rounds=max_rounds)
+        if pdf is not None:
+            node_t = edges.schema["u1"].dataType
+            return _traversal_result(
+                edges.sparkSession,
+                pdf,
+                [
+                    ("u1", node_t),
+                    ("u2", node_t),
+                    ("support", LongType()),
+                ],
+            )
 
     log = logging.getLogger(__name__)
     cur = _materialize(edges.select("u1", "u2"))

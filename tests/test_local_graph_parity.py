@@ -500,3 +500,115 @@ def test_random_walks_budget_falls_back_to_distributed(spark, monkeypatch):
     # the operator still answers (distributed leg)
     rows = G.seeded_random_walks(edges, length=3).collect()
     assert rows
+
+
+# ---------------------------------------------------------------------------
+# Triangle-family mirrors (round 12): counts / transitivity / k-truss
+# are GRAPH FACTS (unique answers), so parity is plain equality of the
+# integer outputs across paths.
+# ---------------------------------------------------------------------------
+
+
+def _tri_fixture(spark, dtype):
+    """Two overlapping cliques + a triangle strip that unravels under
+    4-truss pruning over TWO rounds + pendant edges."""
+    rows = []
+    k5 = [1, 2, 3, 4, 5]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            rows.append((k5[i], k5[j]))
+    rows += [(5, 6), (6, 7), (5, 7)]       # triangle hanging off
+    rows += [(7, 8), (8, 9)]               # pendant path
+    rows += [(10, 11), (11, 12), (10, 12), (12, 13), (10, 13)]  # strip
+    if dtype == "string":
+        rows = [(f"v{a:02d}", f"v{b:02d}") for a, b in rows]
+        return spark.createDataFrame(rows, "u1 string, u2 string")
+    return spark.createDataFrame(rows, "u1 long, u2 long")
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_triangle_counts_parity(spark, monkeypatch, dtype):
+    from echo_chambers_detection_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    edges = _tri_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch,
+        triangle_counts,
+        edges,
+        ("node", "triangles", "deg", "wedges"),
+    )
+    assert local == dist and local
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+def test_transitivity_parity(spark, monkeypatch, dtype):
+    from echo_chambers_detection_spark.operators.triangles import (
+        transitivity_stats,
+    )
+
+    edges = _tri_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch,
+        transitivity_stats,
+        edges,
+        ("n_nodes", "n_edges", "n_triangles", "n_wedges"),
+    )
+    assert local == dist and local
+
+
+@pytest.mark.parametrize("dtype", ["string", "long"])
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_parity(spark, monkeypatch, dtype, k):
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+    )
+
+    edges = _tri_fixture(spark, dtype)
+    local, dist = _both_traversal(
+        monkeypatch, ktruss_edges, edges, ("u1", "u2", "support"), k=k
+    )
+    assert local == dist
+    if k == 3:
+        assert local  # triangles survive a 3-truss
+
+
+def test_ktruss_mirror_cascade_unravels(spark):
+    """The strip 10-11-12-13 has two triangles sharing edge (10,12);
+    under k=4 the outer edges die first and the shared edge only on
+    the NEXT round — the cascade the single-pass filter misses."""
+    from echo_chambers_detection_spark.operators.triangles import (
+        ktruss_edges,
+    )
+
+    edges = _tri_fixture(spark, "string")
+    out = {
+        (r["u1"], r["u2"])
+        for r in ktruss_edges(edges, k=4).collect()
+    }
+    assert not any("v10" in e or "v12" in e for p in out for e in p)
+    assert ("v01", "v02") in out  # K5 survives 4-truss
+
+
+def test_triangle_mirror_declines_duplicates_and_budget(spark, monkeypatch):
+    from echo_chambers_detection_spark.operators import localgraph as LG
+    import echo_chambers_detection_spark.operators.graph as GG
+
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")], "u1 string, u2 string"
+    )
+    tbl = GG._traversal_local_tbl(dup)
+    assert LG.tricount_local(tbl) is None          # duplicate rows
+    tri = _tri_fixture(spark, "string")
+    tbl2 = GG._traversal_local_tbl(tri)
+    monkeypatch.setattr(LG, "WEDGE_LOCAL_OP_LIMIT", 0)
+    assert LG.tricount_local(tbl2) is None          # budget
+    assert LG.ktruss_local(tbl2, 4) is None
+    monkeypatch.undo()
+    # the operators still answer via the distributed leg
+    from echo_chambers_detection_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    assert triangle_counts(dup).count() == 3
