@@ -1223,6 +1223,8 @@ def _canon_edge_arrays(tbl):
     n = len(ids)
     lo = np.minimum(e1, e2)
     hi = np.maximum(e1, e2)
+    if bool((lo == hi).any()):
+        return None  # self-loops: not a canonical edge list — distribute
     ek = lo * n + hi
     if len(np.unique(ek)) != m:
         return None
