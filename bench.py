@@ -498,11 +498,21 @@ def _graph_scale_probes(spark, timings: dict) -> None:
             spark, NB, BS, 25, bridges=False, partitions=64,
             offsets="linear",
         )
-        t0 = time.perf_counter()
-        tc = triangle_counts(edges.select("u1", "u2")).localCheckpoint(
-            eager=True
-        )
-        timings[timings_key] = round(time.perf_counter() - t0, 3)
+        # force the DISTRIBUTED wedge+closure joins: this row is the
+        # at-scale triangle evidence (round 12 — the new numpy mirror's
+        # gate would otherwise collect the 2.5M-row fixture and only
+        # then decline on the 30M wedge budget, wasting ~2s and muddying
+        # the row's meaning)
+        saved = G.LOCAL_TRAVERSAL_EDGE_LIMIT
+        G.LOCAL_TRAVERSAL_EDGE_LIMIT = 0
+        try:
+            t0 = time.perf_counter()
+            tc = triangle_counts(edges.select("u1", "u2")).localCheckpoint(
+                eager=True
+            )
+            timings[timings_key] = round(time.perf_counter() - t0, 3)
+        finally:
+            G.LOCAL_TRAVERSAL_EDGE_LIMIT = saved
         bad = tc.where(
             (F.col("triangles") != 900) | (F.col("deg") != 50)
         ).count()
@@ -677,8 +687,23 @@ def _ktruss_scale_probe(spark, timings: dict) -> None:
     edges = cliques.unionAll(rungs).unionAll(chords).localCheckpoint(
         eager=True
     )
-    t0 = time.perf_counter()
-    out = ktruss_edges(edges, k=4)
+    # force the DISTRIBUTED pruning loop: this row is the at-scale
+    # evidence for the incremental triangle-list maintenance (round 12:
+    # the fixture's low max degree keeps its wedge total under the
+    # numpy mirror's budget, so without the override the mirror would
+    # silently answer — same treatment as the layered-BFS/betweenness
+    # probes)
+    from echo_chambers_detection_spark.operators import graph as _G
+
+    saved_tl = _G.LOCAL_TRAVERSAL_EDGE_LIMIT
+    _G.LOCAL_TRAVERSAL_EDGE_LIMIT = 0
+    try:
+        t0 = time.perf_counter()
+        # the pruning loop runs eagerly inside the call (materialized
+        # generations), so restoring the limit after it is safe
+        out = ktruss_edges(edges, k=4)
+    finally:
+        _G.LOCAL_TRAVERSAL_EDGE_LIMIT = saved_tl
     stats = out.agg(
         F.count("*").alias("n"),
         F.min("support").alias("lo"),
