@@ -86,6 +86,33 @@ LOCAL_TRAVERSAL_EDGE_LIMIT = 24_000_000
 REFINE_GROUP_EDGE_LIMIT = 4_000_000
 
 
+def _exceeds_rows(df: DataFrame, bound: int) -> bool:
+    """True iff df has more than `bound` rows, probed JVM-side.
+
+    Dataset.take(bound+1) drives CollectLimit's incremental
+    grow-the-prefix scan — it reads roughly one partition and stops
+    at scale, and never plans the LocalLimit -> single-partition
+    Exchange that limit(n).count() would (ADVICE r11). Crucially the
+    probe rows materialize ONLY in the driver JVM: the py4j call
+    returns an array handle and we read its length, so no Python Row
+    deserialization. A Python-side take() of the same probe decodes
+    up to bound+1 Row objects in the driver CPython loop — measured
+    round 12 at 31s for a 10.1M-row under-bound probe vs 2.2s for
+    this JVM probe (and 2.3s at a 2B-row over-bound frame, where the
+    incremental scan stops after ~bound rows). lit(1) keeps probe
+    rows one tiny column regardless of input width; the transient
+    JVM array is ~tens of bytes/row, bounded by the caller's limit.
+    Falls back to the Python take() on sessions with no py4j handle
+    (Spark Connect)."""
+    probe = df.select(F.lit(1).alias("p"))
+    try:
+        arr = probe._jdf.take(bound + 1)
+        jvm = probe.sparkSession._jvm
+        return jvm.java.lang.reflect.Array.getLength(arr) > bound
+    except AttributeError:
+        return len(probe.take(bound + 1)) > bound
+
+
 def _local_path_ok(edges: DataFrame, sym_rows: int) -> bool:
     from pyspark.sql.types import StringType
 
@@ -99,14 +126,12 @@ def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
     on the RAW edge list (sym rows = exactly 2x input rows — unionAll,
     no dedup), then one Arrow collect of the raw edges (half the bytes
     of the symmetrized frame; symmetrization is two numpy concatenates
-    in the mirror). The probe is `take(half + 1)` on a constant-1
-    projection — take() drives an INCREMENTAL CollectLimit (growing
-    partition prefixes, stops as soon as half+1 rows exist), unlike
-    `limit(n).count()` whose LocalLimit→single-partition Exchange would
-    ship up to half+1 rows from EVERY input partition through one
-    shuffle task; the lit(1) projection keeps the collected probe rows
-    one tiny column regardless of id width. At 100 TB the probe
-    therefore reads roughly one partition and stops. The selected
+    in the mirror). The probe is _exceeds_rows (JVM-side incremental
+    take, see its docstring): at 100 TB it reads roughly one partition
+    and stops, and under the bound it never decodes probe rows into
+    Python — the round-12 Python-take() probe cost ~31s of driver Row
+    decoding on a 10.1M-edge under-bound frame
+    (bench_bfs_layered_500k 12.1->69.4s, fixed back here). The selected
     frame is persist()ed for the gate's duration so the probe and the
     Arrow collect share ONE execution of the caller's upstream plan
     (partitions cache as take() touches them; the collect reads the
@@ -151,7 +176,7 @@ def _traversal_local_tbl(edges: DataFrame, weighted: bool = False):
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        if len(e.select(F.lit(1).alias("p")).take(half + 1)) > half:
+        if _exceeds_rows(e, half):
             return None
         tbl = e.toArrow()
     finally:
@@ -187,14 +212,10 @@ def _state_hint(small_state: bool):
 
 
 def _probe_small(nodes: DataFrame) -> bool:
-    # take() = incremental CollectLimit (stops once the bound is hit,
-    # reads ~one partition at scale); limit().count() would ship up to
-    # bound+1 rows from EVERY partition through one shuffle task (same
-    # fix as _traversal_local_tbl's gate, ADVICE r11). lit(1) keeps the
-    # collected probe rows one tiny column. Runs once per operator
-    # call, not per round — the ≤64 MB transient is bounded.
-    probe = nodes.select(F.lit(1).alias("p")).take(BROADCAST_NODE_LIMIT + 1)
-    return len(probe) <= BROADCAST_NODE_LIMIT
+    # JVM-side incremental take (stops once the bound is hit, reads
+    # ~one partition at scale, no Python Row decoding — see
+    # _exceeds_rows). Runs once per operator call, not per round.
+    return not _exceeds_rows(nodes, BROADCAST_NODE_LIMIT)
 
 
 def _symmetrize(edges: DataFrame, weighted: bool = True) -> DataFrame:
@@ -1301,10 +1322,7 @@ def seeded_random_walks(
             if seeds is not None:
                 # walker bound: the mirror is a per-walker python loop
                 sframe = seeds.select("wid", "node")
-                if (
-                    len(sframe.select(F.lit(1).alias("p")).take(200_001))
-                    > 200_000
-                ):
+                if _exceeds_rows(sframe, 200_000):
                     seeds_ok = False
                 else:
                     seed_tbl = sframe.toArrow()

@@ -782,8 +782,15 @@ def _raw_edge_arrays(tbl, weighted=False):
             present = np.zeros(rng, dtype=bool)
             present[a1 - lo] = True
             present[a2 - lo] = True
-            rank = np.cumsum(present, dtype=np.int64) - 1
-            ids = (np.flatnonzero(present) + lo).astype(a1.dtype)
+            pos = np.flatnonzero(present)
+            # rank via scatter at the n present slots — O(n), not the
+            # O(range) prefix-sum (np.cumsum over a 50M-slot bool mask
+            # measured 9-19s on this host vs <1s for the scatter; the
+            # n <= range untouched slots stay uninitialized and are
+            # never gathered because every a1/a2 is present).
+            rank = np.empty(rng, dtype=np.int64)
+            rank[pos] = np.arange(len(pos), dtype=np.int64)
+            ids = (pos + lo).astype(a1.dtype)
             c1 = rank[a1 - lo]
             c2 = rank[a2 - lo]
             return (
