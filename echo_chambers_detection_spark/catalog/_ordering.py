@@ -27,6 +27,13 @@ from echo_chambers_detection_spark.catalog._core import QUERY_REGISTRY
 
 _REGISTRY_ORDER = [
     # -- ROUND-12 WINDOW (first 50 = the driver's stamp set) -----------
+    # (0) newest, never stamped: the disjoint-clique closed-form family
+    # — the provable-optimum external hash signal for the REAL
+    # distributed Louvain/Leiden/modularity-optimization loops (long
+    # ids, so the string-only mirrors cannot absorb them)
+    "louvain_clique_modules",
+    "leiden_clique_modules",
+    "modularity_opt_clique_modules",
     # (1) new this round, never stamped: the recursive-CTE oracle
     # family (VERDICT r11 #1/#3) — k-core peel (converted from
     # rows-only + the multi-round jump/orphan backbone twin), k-truss
@@ -86,12 +93,13 @@ _REGISTRY_ORDER = [
     "language_temperature_resample",
     "bernoulli_lang_sample",
     "fastrp_step_recovery",
+    # -- TAIL (51+): everything below is outside the driver stamp set --
+    # round-9-stamped remainder (displaced from the window pad by the
+    # new/converted queries, latest by the clique-modules trio; first
+    # in line for round 13)
     "graph_ann_planted_topk",
     "multimodal_audio_stats",
     "ann_ivf_probe_topk",
-    # -- TAIL (51+): everything below is outside the driver stamp set --
-    # round-9-stamped remainder (displaced from the window pad by the
-    # five new/converted queries; first in line for round 13)
     "ann_pq_probe_topk",
     "ann_lsh_topk",
     "kafka_producer_messages",

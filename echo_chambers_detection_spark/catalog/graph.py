@@ -289,6 +289,125 @@ def q_modularity_optimization_communities(
     return carry_ckpt(modularity_optimization(g, max_rounds=4), g)
 
 
+def _clique_modules_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 12-cliques keyed off the customer table: clique id =
+    c_custkey % 97, members = the 12 smallest custkeys per residue
+    (row_number cap, so the fixture is bounded at 97 x 12 nodes and
+    97 x 66 edges at ANY scale factor — a correctness stamp, not a
+    perf row; the planted bench_ fixtures carry the at-scale load).
+    LONG node ids on purpose: the community mirrors serve string ids
+    only (_local_path_ok), so these queries pin the REAL distributed
+    multilevel loops, which is the point of the stamp."""
+    from pyspark.sql import Window
+
+    mem = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .withColumn("grp", F.col("k") % 97)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("k")),
+        )
+        .where(F.col("rk") <= 12)
+        .select("grp", "k")
+    )
+    return (
+        mem.alias("a")
+        .join(mem.alias("b"), "grp")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("u1"),
+            F.col("b.k").alias("u2"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+# On a disjoint union of cliques the modularity optimum is exactly one
+# community per clique: merging communities from different components
+# strictly DECREASES modularity (zero internal gain, positive degree
+# penalty), and inside a clique any split is dominated by the merged
+# community (a minority-side node always gains by moving to the
+# majority side), so local moves coalesce each clique and no level can
+# merge across components. The min-member canonical label then makes
+# the whole answer closed-form: community = MIN(k) over the clique —
+# an external hash signal for the REAL Louvain/Leiden/modularity-
+# optimization code paths (VERDICT r11 #1 family; prototype-verified
+# exact on all three distributed loops before registration).
+_CLIQUE_MODULES_ORACLE = """
+WITH mem AS (
+  SELECT grp, k FROM (
+    SELECT CAST(c_custkey AS BIGINT) % 97 AS grp,
+           CAST(c_custkey AS BIGINT) AS k,
+           ROW_NUMBER() OVER (PARTITION BY CAST(c_custkey AS BIGINT) % 97
+                              ORDER BY c_custkey) AS rk
+    FROM customer) t
+  WHERE rk <= 12
+)
+SELECT k AS node, MIN(k) OVER (PARTITION BY grp) AS community
+FROM mem
+QUALIFY COUNT(*) OVER (PARTITION BY grp) >= 2
+"""
+
+
+@register(
+    "louvain_clique_modules",
+    _CLIQUE_MODULES_ORACLE,
+    doc="The distributed multilevel Louvain loop (operators/graph.py::"
+    "louvain, long ids so the string-only mirror CANNOT absorb it) on "
+    "the disjoint-clique fixture, where the modularity optimum — one "
+    "community per clique, min-member label — is provable and closed-"
+    "form in SQL. Stamps the local-move gain math, the coarsen/compose "
+    "joins, and label canonicalization end-to-end (reference "
+    "gds.louvain.stream; SURVEY.md G7).",
+)
+def q_louvain_clique_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import louvain
+
+    return louvain(
+        _clique_modules_edges(spark, sf_dir), max_levels=2, max_rounds=4
+    )
+
+
+@register(
+    "leiden_clique_modules",
+    _CLIQUE_MODULES_ORACLE,
+    doc="The distributed Leiden loop (local moves + gamma-connectivity "
+    "refinement + coarsen; operators/graph.py::leiden) on the disjoint-"
+    "clique fixture: every clique is gamma-well-connected, so "
+    "refinement must keep each clique whole and the provable optimum "
+    "is the same closed form as louvain_clique_modules (reference "
+    "gds.leiden.stream; SURVEY.md G6).",
+)
+def q_leiden_clique_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import leiden
+
+    return leiden(
+        _clique_modules_edges(spark, sf_dir), max_levels=2, max_rounds=4
+    )
+
+
+@register(
+    "modularity_opt_clique_modules",
+    _CLIQUE_MODULES_ORACLE,
+    doc="Single-level modularity-gain local moves (operators/graph.py::"
+    "modularity_optimization) on the disjoint-clique fixture — same "
+    "provable closed form; stamps the one-level move loop without the "
+    "coarsen stage (reference gds.modularityOptimization.stream; "
+    "SURVEY.md G8).",
+)
+def q_modularity_opt_clique_modules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from echo_chambers_detection_spark.operators.graph import (
+        modularity_optimization,
+    )
+
+    return modularity_optimization(
+        _clique_modules_edges(spark, sf_dir), max_rounds=4
+    )
+
+
 @register(
     "fastrp_embeddings",
     None,

@@ -37,6 +37,8 @@ def test_registry_window_covers_unverified_queries():
         # then the round-8-stamped remainder (the oldest stamps in the
         # registry); every rows-only entry stays pinned below the
         # window boundary
+        "louvain_clique_modules", "leiden_clique_modules",
+        "modularity_opt_clique_modules",
         "kcore_user_graph", "kcore_strong_backbone",
         "ktruss_user_graph", "betweenness_diamond_quantized",
         "label_propagation_communities",
