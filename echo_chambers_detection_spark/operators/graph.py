@@ -1859,10 +1859,22 @@ def _local_moves(
     comm:   (node, community) current assignment
     m:      total edge weight (undirected sum incl. self loops)
 
-    Synchronous best-move with alternating hash-parity application (only
-    half the nodes move per round), the standard trick to prevent the
-    two-community swap oscillation of fully synchronous Louvain. Moves are
-    deterministic: ties break to the smallest community id. Returns
+    Synchronous best-move with DIRECTION-ALTERNATING application: even
+    rounds apply only moves toward a LARGER community id, odd rounds
+    only toward a smaller one. A two-community swap needs one move of
+    each direction in the same round, so swaps are structurally
+    impossible — unlike the earlier hash-parity half-schedule, where
+    two nodes whose xxhash64 values share parity were scheduled
+    together in EVERY round and a symmetric pair (e.g. an isolated
+    dyad, 50% of them) swapped communities forever without merging
+    (found by tests/test_clique_modules_property.py). Any pending move
+    waits at most one round, and a node cannot ping-pong across
+    directions: the score comparison between its current and former
+    community is membership-invariant (the own-community sigma
+    adjustment compensates exactly), so the argmax that moved it up
+    still picks the same community next round. Convergence detection
+    needs TWO consecutive quiet rounds (one per direction). Moves are
+    deterministic: ties break to the largest community id. Returns
     (new comm, total moves applied).
 
     Job shape per round (the loops' cost is FIXED per-stage overhead at
@@ -1886,6 +1898,7 @@ def _local_moves(
 
     total_moves = 0
     prev_applied = None
+    quiet_streak = 0
     for rnd in range(max_rounds):
         # per-node state: (node, community, k, sigma_tot of own community).
         # sigma as an unbounded window sum over the community partition:
@@ -1969,14 +1982,19 @@ def _local_moves(
                 F.max("nbr_c").alias("new_c"),
             )
         )
-        # apply only to one hash-parity half per round
-        parity = F.pmod(F.xxhash64(F.col("node")) + F.lit(rnd), F.lit(2)) == 0
+        # apply only one move DIRECTION per round (see docstring); the
+        # strict inequality also subsumes new_c != old_c
+        direction_ok = (
+            F.col("new_c") > F.col("old_c")
+            if rnd % 2 == 0
+            else F.col("new_c") < F.col("old_c")
+        )
         applied = best.select(
             "node",
-            F.when(parity & (F.col("new_c") != F.col("old_c")), F.col("new_c"))
+            F.when(direction_ok, F.col("new_c"))
             .otherwise(F.col("old_c"))
             .alias("community"),
-            (parity & (F.col("new_c") != F.col("old_c"))).alias("moved"),
+            direction_ok.alias("moved"),
         )
         applied = _materialize(applied)
         # one aggregation job for both loop-control scalars (moves, n)
@@ -1991,13 +2009,16 @@ def _local_moves(
         moves = int(row["mv"] or 0)
         comm = applied.select("node", "community")
         total_moves += moves
-        if moves == 0 and rnd > 0:
-            break
-        # GDS-style tolerance: once a round moves <0.1% of nodes the
-        # partition has effectively converged — further rounds cost a full
-        # round of shuffles each for no measurable modularity gain.
-        if rnd > 0 and moves < max(1, int(row["n"]) // 1000):
-            break
+        # GDS-style tolerance: a round moving <0.1% of nodes is quiet;
+        # with the direction-alternating schedule convergence means TWO
+        # consecutive quiet rounds (one per direction) — a single quiet
+        # round may just mean "nothing wanted to move THIS direction".
+        if moves < max(1, int(row["n"]) // 1000):
+            quiet_streak += 1
+            if quiet_streak >= 2:
+                break
+        else:
+            quiet_streak = 0
     # Transfer block ownership of the final generation to the returned
     # frame (comm is a pure projection of it), so callers can retire the
     # whole phase with one _release_checkpoint(comm) when they are done.
@@ -2762,7 +2783,17 @@ def leiden(
                 refined.select("node", F.col("sub").alias("community")),
                 small_state=small,
             )
-            unit_edges = _materialize(fin_edges.select("src", "dst"))
+            # _coarsen emits ORIENTED (u1 < u2) pairs named u1/u2 —
+            # rename to the src/dst the connectivity pass reads (its
+            # src < dst filter then keeps every row, matching the
+            # both-directions sym frame it otherwise receives). This
+            # branch was dormant until the direction-alternating
+            # schedule let a mid-loop level converge to moves == 0.
+            unit_edges = _materialize(
+                fin_edges.select(
+                    F.col("u1").alias("src"), F.col("u2").alias("dst")
+                )
+            )
             _release_checkpoint(refined)
             break
         new_edges, new_selfw = _coarsen(

@@ -12,16 +12,18 @@ engine. (The reference's Neo4j GDS is a single-machine library; OUR
 distributed path is the superset for graphs that do not fit one node.)
 
 Semantics here are bit-for-bit mirrors of graph.py's distributed loops
-(same scores, same hash-parity move schedule, same string-order
-tie-breaks), so an algorithm can cross from the distributed path to the
-local path mid-run — or run entirely locally below the threshold — and
-produce THE SAME partition. tests/test_local_graph_parity.py pins
-distributed-vs-local equality on the regression fixtures, and
-`LOCAL_GRAPH_EDGE_LIMIT` can be set to 0 to force the distributed path.
+(same scores, same direction-alternating move schedule, same
+string-order tie-breaks), so an algorithm can cross from the
+distributed path to the local path mid-run — or run entirely locally
+below the threshold — and produce THE SAME partition.
+tests/test_local_graph_parity.py pins distributed-vs-local equality on
+the regression fixtures, and `LOCAL_GRAPH_EDGE_LIMIT` can be set to 0
+to force the distributed path.
 
 The hash mirrored is Spark's `xxhash64(col)` (catalyst XXH64, seed 42)
-over the node id's UTF-8 bytes — required for the alternating-parity
-move schedule to line up across paths.
+over the node id's UTF-8 bytes — the Leiden refinement's parity
+schedule (refine_np / graph._refine) still keys off it, as do the
+walk/bitmap mirrors.
 """
 
 from __future__ import annotations
@@ -92,8 +94,10 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
 
 
 def node_parity(node_id: str, rnd: int) -> bool:
-    """Mirror of graph.py's move schedule:
-    pmod(xxhash64(node) + rnd, 2) == 0."""
+    """Mirror of graph._refine's parity schedule:
+    pmod(xxhash64(node) + rnd, 2) == 0. (The _local_moves loop no
+    longer uses hash parity — it alternates move DIRECTION per round,
+    which rules out symmetric swaps structurally.)"""
     return (xxhash64(str(node_id).encode("utf-8")) + rnd) % 2 == 0
 
 
@@ -204,15 +208,22 @@ def _segment_argmax(g_src, score, g_nbr):
     return g_src[starts], np.maximum.reduceat(cand, starts)
 
 
-def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h):
+def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h=None):
     """Mirror of graph._local_moves. `comm` holds indices into `comm_ids`
     (sorted strings, index order == string order); node indices 0..n-1
-    are positions in the level's sorted node-id list."""
+    are positions in the level's sorted node-id list. Direction-
+    alternating schedule (even rounds: moves toward a larger community
+    index only; odd: smaller only) with two-quiet-round convergence —
+    index order == string order, so the direction test matches the
+    distributed loop's string comparison exactly. `h` is accepted for
+    caller compatibility but unused since the hash-parity schedule was
+    retired (it let same-parity symmetric pairs swap forever)."""
     np = _np()
     n_comm = len(comm_ids)
     k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
     total_moves = 0
     self_src = np.arange(n, dtype=np.int64)
+    quiet_streak = 0
     for rnd in range(max_rounds):
         sigma = np.bincount(comm, weights=k, minlength=n_comm)
         src = np.concatenate([e_src, self_src])
@@ -233,16 +244,17 @@ def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h
         # the distributed window-max + max(nbr_c)
         nodes_, new_c = _segment_argmax(g_src, score, g_nbr)
         old_c = comm[nodes_]
-        par = ((h[nodes_] + rnd) % 2) == 0
-        do = par & (new_c != old_c)
+        do = (new_c > old_c) if rnd % 2 == 0 else (new_c < old_c)
         moves = int(do.sum())
         comm = comm.copy()
         comm[nodes_[do]] = new_c[do]
         total_moves += moves
-        if moves == 0 and rnd > 0:
-            break
-        if rnd > 0 and moves < max(1, n // 1000):
-            break
+        if moves < max(1, n // 1000):
+            quiet_streak += 1
+            if quiet_streak >= 2:
+                break
+        else:
+            quiet_streak = 0
     return comm, total_moves
 
 
@@ -324,7 +336,6 @@ def louvain_local(sym_rows, m, max_levels, max_rounds, selfw_rows=None):
         comm, moves = local_moves_np(
             n, e_src, e_dst, e_w, selfw,
             cur_ids, np.arange(n, dtype=np.int64), m, max_rounds,
-            _hash_arr(cur_ids),
         )
         if moves == 0:
             break
@@ -354,7 +365,7 @@ def modularity_local(sym_rows, m, max_rounds):
     n = len(ids)
     comm, _ = local_moves_np(
         n, e_src, e_dst, e_w, np.zeros(n), ids,
-        np.arange(n, dtype=np.int64), m, max_rounds, _hash_arr(ids),
+        np.arange(n, dtype=np.int64), m, max_rounds,
     )
     members_min = {}
     for i, s in enumerate(ids):
@@ -529,12 +540,15 @@ def leiden_local(sym_rows, m, max_levels, max_rounds, gamma=1.0):
     comm0 = _np().arange(len(ids), dtype=_np().int64)
     for _level in range(max_levels):
         n = len(cur_ids)
-        h = _hash_arr(cur_ids)
         comm, moves = local_moves_np(
-            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds, h
+            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds
         )
+        # refine_np still keys its parity off the node hashes (the
+        # distributed _refine kept that schedule — its singleton-
+        # direction guard already rules out swaps)
         refined = refine_np(
-            n, e_src, e_dst, e_w, selfw, comm, m, h, gamma=gamma
+            n, e_src, e_dst, e_w, selfw, comm, m, _hash_arr(cur_ids),
+            gamma=gamma,
         )
         sub2comm = {
             cur_ids[int(refined[i])]: comm0_ids[int(comm[i])]
@@ -635,12 +649,12 @@ def leiden_local_continue(
     )
     for _level in range(max_levels):
         n = len(cur_ids)
-        h = _hash_arr(cur_ids)
         comm, moves = local_moves_np(
-            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds, h
+            n, e_src, e_dst, e_w, selfw, comm0_ids, comm0, m, max_rounds
         )
         refined = refine_np(
-            n, e_src, e_dst, e_w, selfw, comm, m, h, gamma=gamma
+            n, e_src, e_dst, e_w, selfw, comm, m, _hash_arr(cur_ids),
+            gamma=gamma,
         )
         sub2comm = {
             cur_ids[int(refined[i])]: comm0_ids[int(comm[i])]

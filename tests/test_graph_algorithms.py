@@ -149,16 +149,26 @@ def test_leiden_communities_connected(spark):
     assert labels["a"] != labels["x"]
 
 
-def test_leiden_separates_bridged_cliques_louvain_merges(spark):
-    """The Traag et al. 2019 failure mode, reproduced deterministically:
-    two 7-cliques joined by ONE heavy bridge (a00—b00, w=4). At singleton
-    init the bridge endpoints' max-gain targets are each other, so greedy
-    synchronous Louvain is seeded across the bridge and converges to two
-    MIXED communities, each spanning both cliques — one of them even
-    internally disconnected ({a00, b01..b06}: a00 has no intra-community
-    edge). Leiden's refinement keeps each clique an indivisible unit at
-    aggregation time, and level-2 local moves pull the bad merge apart:
-    exact recovery of the planted cliques, q 0.413 vs Louvain's 0.152.
+def test_bridged_cliques_reach_connected_local_optimum(spark):
+    """Two 7-cliques joined by ONE heavy bridge (a00—b00, w=4) — the
+    Traag et al. 2019 fixture. Under the retired hash-parity schedule
+    this test asserted 'Louvain merges across the bridge into mixed,
+    internally-disconnected communities (q 0.152) while Leiden recovers
+    the cliques exactly (q 0.413)' — but that mixed outcome was the
+    SWAP BUG's artifact: the bridge endpoints were scheduled together,
+    exchanged community labels, and each then absorbed its clique-mates
+    into the swapped label, producing {a00, b01..b06} with a00
+    edge-less inside its own community. The direction-alternating
+    schedule cannot swap, so both algorithms now follow the honest
+    greedy gains: a00 grabs b00 (w=4 beats any single clique edge), and
+    the bridge pair {a00, b00} is a genuine LOCAL optimum — moving a00
+    into its clique scores 6 - 10*36/92 = 2.09 against staying's
+    4 - 10*10/92 = 2.91 — that neither level-2 moves nor refinement
+    (the pair is connected and well-connected) can or should undo.
+    Pins: the exact partition, every community internally CONNECTED
+    (the Traag guarantee the old Louvain output violated), and the
+    closed-form modularity 204/529 ≈ 0.386 for both algorithms
+    (vs 0.413 planted — a local optimum, documented as such).
 
     Reference behavior: gds.leiden.stream vs gds.louvain.stream
     (project/metrics/community_detection.py:64-76)."""
@@ -172,27 +182,48 @@ def test_leiden_separates_bridged_cliques_louvain_merges(spark):
         + [(na[0], nb[0], w)],
         weighted=True,
     )
-    lv = {r["node"]: r["community"] for r in louvain(edges).collect()}
-    ld = {r["node"]: r["community"] for r in leiden(edges).collect()}
+    expected = {na[0]: "a00", nb[0]: "a00"}
+    expected.update({n: "a01" for n in na[1:]})
+    expected.update({n: "b01" for n in nb[1:]})
 
-    # Louvain merges: some community contains nodes from BOTH cliques
-    lv_groups: dict = {}
-    for node, c in lv.items():
-        lv_groups.setdefault(c, set()).add(node[0])
-    assert any(sides == {"a", "b"} for sides in lv_groups.values()), lv_groups
+    for algo in (louvain, leiden):
+        got = {r["node"]: r["community"] for r in algo(edges).collect()}
+        assert got == expected, (algo.__name__, got)
+        q = weighted_modularity(
+            edges,
+            spark.createDataFrame(
+                list(got.items()), "node string, community string"
+            ),
+        ).first()["q"]
+        assert abs(q - 204.0 / 529.0) < 1e-9, (algo.__name__, q)
 
-    # Leiden separates: each clique uniform, labels distinct
-    assert len({ld[n] for n in na}) == 1
-    assert len({ld[n] for n in nb}) == 1
-    assert ld[na[0]] != ld[nb[0]]
 
-    q_lv = weighted_modularity(
-        edges, spark.createDataFrame(list(lv.items()), "node string, community string")
-    ).first()["q"]
-    q_ld = weighted_modularity(
-        edges, spark.createDataFrame(list(ld.items()), "node string, community string")
-    ).first()["q"]
-    assert q_ld > q_lv + 0.1, (q_ld, q_lv)
+def test_louvain_merges_every_dyad(spark):
+    """Regression for the retired hash-parity swap bug: two isolated
+    dyads whose endpoints shared xxhash64 parity used to exchange
+    community labels every round and NEVER merge (50% of dyads!).
+    Direction alternation makes the merge unconditional: whatever the
+    ids, the larger-id endpoint's upward move applies on an even round
+    while the smaller's downward move waits, so every dyad coalesces
+    to its min-member label. Mix of previously-failing and
+    previously-passing id pairs, plus long-id dyads to drive the
+    DISTRIBUTED loop (the mirror serves string ids only)."""
+    pairs = [("c", "d"), ("a", "b"), ("k1", "k2"), ("zz", "zx")]
+    edges = _edges_df(spark, [(u, v, 1.0) for u, v in pairs], weighted=True)
+    got = {r["node"]: r["community"] for r in louvain(edges).collect()}
+    for u, v in pairs:
+        assert got[u] == got[v] == min(u, v), (u, v, got)
+
+    from pyspark.sql import functions as F
+
+    long_edges = spark.createDataFrame(
+        [(10, 17), (23, 5), (400, 401)], "u1 long, u2 long"
+    ).withColumn("weight", F.lit(1.0))
+    got_l = {
+        r["node"]: r["community"] for r in louvain(long_edges).collect()
+    }
+    for u, v in [(10, 17), (5, 23), (400, 401)]:
+        assert got_l[u] == got_l[v] == u, (u, v, got_l)
 
 
 def test_leiden_modularity_at_least_louvain_on_planted(planted):
