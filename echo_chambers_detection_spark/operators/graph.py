@@ -1859,22 +1859,37 @@ def _local_moves(
     comm:   (node, community) current assignment
     m:      total edge weight (undirected sum incl. self loops)
 
-    Synchronous best-move with DIRECTION-ALTERNATING application: even
-    rounds apply only moves toward a LARGER community id, odd rounds
-    only toward a smaller one. A two-community swap needs one move of
-    each direction in the same round, so swaps are structurally
+    Synchronous best-move with ADAPTIVE single-direction application:
+    each round applies only moves toward a larger community id, or only
+    toward a smaller one — whichever direction the round's candidate
+    set wants MORE of (ties to larger). One direction per round keeps
+    the structural guarantee of the round-12 direction-alternating
+    schedule — a two-community swap (or any cyclic relabeling) needs
+    moves of both directions in the same round, so oscillation is
     impossible — unlike the earlier hash-parity half-schedule, where
     two nodes whose xxhash64 values share parity were scheduled
     together in EVERY round and a symmetric pair (e.g. an isolated
     dyad, 50% of them) swapped communities forever without merging
-    (found by tests/test_clique_modules_property.py). Any pending move
-    waits at most one round, and a node cannot ping-pong across
-    directions: the score comparison between its current and former
+    (found by tests/test_clique_modules_property.py). Choosing the
+    MAJORITY direction instead of strict alternation fixes that
+    schedule's throughput collapse: greedy merge cascades point
+    overwhelmingly one way (label mass concentrates toward the
+    tie-break side), so alternation wasted every other round applying
+    the minority direction — measured on the 100k-node d=31 planted
+    bench fixture as Leiden under-converging at max_rounds=4 to
+    split-purity 0.777 (recovery bar 0.9); the adaptive schedule
+    recovers the blocks exactly (split = merge = 1.0) in FEWER rounds.
+    A node cannot ping-pong across rounds regardless of the direction
+    sequence: the score comparison between its current and former
     community is membership-invariant (the own-community sigma
     adjustment compensates exactly), so the argmax that moved it up
-    still picks the same community next round. Convergence detection
-    needs TWO consecutive quiet rounds (one per direction). Moves are
-    deterministic: ties break to the largest community id. Returns
+    still picks the same community next round. Both direction counts
+    are visible to the loop control, so convergence detection is ONE
+    quiet round (total wanted moves below the GDS-style 0.1%
+    tolerance) — the alternating schedule needed two. Moves are
+    deterministic: ties break to the largest community id; the
+    direction counts are exact integers off the materialized candidate
+    frame, so the direction choice is deterministic too. Returns
     (new comm, total moves applied).
 
     Job shape per round (the loops' cost is FIXED per-stage overhead at
@@ -1897,9 +1912,9 @@ def _local_moves(
     )
 
     total_moves = 0
-    prev_applied = None
-    quiet_streak = 0
-    for rnd in range(max_rounds):
+    prev_best = None
+    comm_is_projection = False
+    for _ in range(max_rounds):
         # per-node state: (node, community, k, sigma_tot of own community).
         # sigma as an unbounded window sum over the community partition:
         # ONE exchange produces both the per-node rows and their
@@ -1971,7 +1986,7 @@ def _local_moves(
         # loops' cost at test scale is serialized-stage count, so the
         # shuffle saved matters as much as the CPU.
         wnode = Window.partitionBy("node")
-        best = (
+        best = _materialize(
             scored.withColumn("best", F.max("score").over(wnode))
             .where(F.col("score") == F.col("best"))
             .groupBy("node")
@@ -1982,49 +1997,50 @@ def _local_moves(
                 F.max("nbr_c").alias("new_c"),
             )
         )
-        # apply only one move DIRECTION per round (see docstring); the
-        # strict inequality also subsumes new_c != old_c
+        # one aggregation job for ALL loop-control scalars: the wanted
+        # moves of each direction plus n. The direction choice is made
+        # driver-side from these exact integers; `comm` then becomes a
+        # lazy projection over the checkpointed `best` leaf — no extra
+        # materialization job vs the old applied-frame shape.
+        row = best.agg(
+            F.sum((F.col("new_c") > F.col("old_c")).cast("long")).alias("up"),
+            F.sum((F.col("new_c") < F.col("old_c")).cast("long")).alias("dn"),
+            F.count("*").alias("n"),
+        ).first()
+        # generation r-1 and this round's state are dead: every later
+        # plan reads `best` (generation r), which is on storage
+        _release_checkpoint(prev_best, state)
+        prev_best = best
+        comm_is_projection = True
+        up, dn = int(row["up"] or 0), int(row["dn"] or 0)
+        if up + dn < max(1, int(row["n"]) // 1000):
+            # quiet: total wanted movement (BOTH directions are visible
+            # here) is below the GDS-style 0.1% tolerance — stop without
+            # applying the residue
+            comm = best.select(
+                "node", F.col("old_c").alias("community")
+            )
+            break
+        # apply only one move DIRECTION per round — the majority one
+        # (see docstring); strict inequality also subsumes new_c != old_c
         direction_ok = (
             F.col("new_c") > F.col("old_c")
-            if rnd % 2 == 0
+            if up >= dn
             else F.col("new_c") < F.col("old_c")
         )
-        applied = best.select(
+        comm = best.select(
             "node",
             F.when(direction_ok, F.col("new_c"))
             .otherwise(F.col("old_c"))
             .alias("community"),
-            direction_ok.alias("moved"),
         )
-        applied = _materialize(applied)
-        # one aggregation job for both loop-control scalars (moves, n)
-        row = applied.agg(
-            F.sum(F.col("moved").cast("long")).alias("mv"),
-            F.count("*").alias("n"),
-        ).first()
-        # generation r-1 and this round's state are dead: every later
-        # plan reads `applied` (generation r), which is on storage
-        _release_checkpoint(prev_applied, state)
-        prev_applied = applied
-        moves = int(row["mv"] or 0)
-        comm = applied.select("node", "community")
-        total_moves += moves
-        # GDS-style tolerance: a round moving <0.1% of nodes is quiet;
-        # with the direction-alternating schedule convergence means TWO
-        # consecutive quiet rounds (one per direction) — a single quiet
-        # round may just mean "nothing wanted to move THIS direction".
-        if moves < max(1, int(row["n"]) // 1000):
-            quiet_streak += 1
-            if quiet_streak >= 2:
-                break
-        else:
-            quiet_streak = 0
+        total_moves += up if up >= dn else dn
     # Transfer block ownership of the final generation to the returned
     # frame (comm is a pure projection of it), so callers can retire the
     # whole phase with one _release_checkpoint(comm) when they are done.
-    if prev_applied is not None:
-        comm._ckpt_rdd_ids = getattr(prev_applied, "_ckpt_rdd_ids", [])
-        prev_applied._ckpt_rdd_ids = []
+    if comm_is_projection and prev_best is not None:
+        comm._ckpt_rdd_ids = getattr(prev_best, "_ckpt_rdd_ids", [])
+        prev_best._ckpt_rdd_ids = []
     _release_checkpoint(k_i)
     return comm, total_moves
 
@@ -2787,8 +2803,8 @@ def leiden(
             # rename to the src/dst the connectivity pass reads (its
             # src < dst filter then keeps every row, matching the
             # both-directions sym frame it otherwise receives). This
-            # branch was dormant until the direction-alternating
-            # schedule let a mid-loop level converge to moves == 0.
+            # branch was dormant until the single-direction-per-round
+            # schedules let a mid-loop level converge to moves == 0.
             unit_edges = _materialize(
                 fin_edges.select(
                     F.col("u1").alias("src"), F.col("u2").alias("dst")

@@ -12,7 +12,7 @@ engine. (The reference's Neo4j GDS is a single-machine library; OUR
 distributed path is the superset for graphs that do not fit one node.)
 
 Semantics here are bit-for-bit mirrors of graph.py's distributed loops
-(same scores, same direction-alternating move schedule, same
+(same scores, same adaptive majority-direction move schedule, same
 string-order tie-breaks), so an algorithm can cross from the
 distributed path to the local path mid-run — or run entirely locally
 below the threshold — and produce THE SAME partition.
@@ -96,8 +96,8 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
 def node_parity(node_id: str, rnd: int) -> bool:
     """Mirror of graph._refine's parity schedule:
     pmod(xxhash64(node) + rnd, 2) == 0. (The _local_moves loop no
-    longer uses hash parity — it alternates move DIRECTION per round,
-    which rules out symmetric swaps structurally.)"""
+    longer uses hash parity — it applies ONE move direction per round,
+    the majority one, which rules out symmetric swaps structurally.)"""
     return (xxhash64(str(node_id).encode("utf-8")) + rnd) % 2 == 0
 
 
@@ -211,20 +211,22 @@ def _segment_argmax(g_src, score, g_nbr):
 def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h=None):
     """Mirror of graph._local_moves. `comm` holds indices into `comm_ids`
     (sorted strings, index order == string order); node indices 0..n-1
-    are positions in the level's sorted node-id list. Direction-
-    alternating schedule (even rounds: moves toward a larger community
-    index only; odd: smaller only) with two-quiet-round convergence —
-    index order == string order, so the direction test matches the
-    distributed loop's string comparison exactly. `h` is accepted for
-    caller compatibility but unused since the hash-parity schedule was
-    retired (it let same-parity symmetric pairs swap forever)."""
+    are positions in the level's sorted node-id list. ADAPTIVE
+    single-direction schedule: each round applies only the MAJORITY
+    direction of wanted moves (larger-index vs smaller-index targets,
+    ties to larger), with one-quiet-round convergence (total wanted
+    below the 0.1% tolerance) — index order == string order, so the
+    direction test matches the distributed loop's string comparison
+    exactly, and the up/dn counts it majorities on are the same exact
+    integers. `h` is accepted for caller compatibility but unused since
+    the hash-parity schedule was retired (it let same-parity symmetric
+    pairs swap forever)."""
     np = _np()
     n_comm = len(comm_ids)
     k = np.bincount(e_src, weights=e_w, minlength=n) + 2.0 * selfw
     total_moves = 0
     self_src = np.arange(n, dtype=np.int64)
-    quiet_streak = 0
-    for rnd in range(max_rounds):
+    for _rnd in range(max_rounds):
         sigma = np.bincount(comm, weights=k, minlength=n_comm)
         src = np.concatenate([e_src, self_src])
         nbr = np.concatenate([comm[e_dst], comm])
@@ -244,17 +246,14 @@ def local_moves_np(n, e_src, e_dst, e_w, selfw, comm_ids, comm, m, max_rounds, h
         # the distributed window-max + max(nbr_c)
         nodes_, new_c = _segment_argmax(g_src, score, g_nbr)
         old_c = comm[nodes_]
-        do = (new_c > old_c) if rnd % 2 == 0 else (new_c < old_c)
-        moves = int(do.sum())
+        up = int((new_c > old_c).sum())
+        dn = int((new_c < old_c).sum())
+        if up + dn < max(1, n // 1000):
+            break
+        do = (new_c > old_c) if up >= dn else (new_c < old_c)
         comm = comm.copy()
         comm[nodes_[do]] = new_c[do]
-        total_moves += moves
-        if moves < max(1, n // 1000):
-            quiet_streak += 1
-            if quiet_streak >= 2:
-                break
-        else:
-            quiet_streak = 0
+        total_moves += up if up >= dn else dn
     return comm, total_moves
 
 

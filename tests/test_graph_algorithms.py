@@ -158,8 +158,9 @@ def test_bridged_cliques_reach_connected_local_optimum(spark):
     SWAP BUG's artifact: the bridge endpoints were scheduled together,
     exchanged community labels, and each then absorbed its clique-mates
     into the swapped label, producing {a00, b01..b06} with a00
-    edge-less inside its own community. The direction-alternating
-    schedule cannot swap, so both algorithms now follow the honest
+    edge-less inside its own community. The single-direction-per-round
+    schedule (round 12: adaptive majority direction) cannot swap, so
+    both algorithms now follow the honest
     greedy gains: a00 grabs b00 (w=4 beats any single clique edge), and
     the bridge pair {a00, b00} is a genuine LOCAL optimum — moving a00
     into its clique scores 6 - 10*36/92 = 2.09 against staying's
@@ -202,10 +203,10 @@ def test_louvain_merges_every_dyad(spark):
     """Regression for the retired hash-parity swap bug: two isolated
     dyads whose endpoints shared xxhash64 parity used to exchange
     community labels every round and NEVER merge (50% of dyads!).
-    Direction alternation makes the merge unconditional: whatever the
-    ids, the larger-id endpoint's upward move applies on an even round
-    while the smaller's downward move waits, so every dyad coalesces
-    to its min-member label. Mix of previously-failing and
+    The single-direction-per-round schedule makes the merge
+    unconditional: whatever the ids, only one endpoint's move is in the
+    round's chosen direction (the other waits), so every dyad coalesces
+    to its min-member label instead of swapping. Mix of previously-failing and
     previously-passing id pairs, plus long-id dyads to drive the
     DISTRIBUTED loop (the mirror serves string ids only)."""
     pairs = [("c", "d"), ("a", "b"), ("k1", "k2"), ("zz", "zx")]
