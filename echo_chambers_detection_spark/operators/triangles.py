@@ -303,7 +303,21 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     cascade oracle (`ktruss_planted`) pins this. Dropping an edge can
     destroy a neighbor's triangle, so pruning cascades — a single-pass
     support filter is NOT a truss (pinned by a test whose triangle
-    strip unravels only over two rounds). Frames materialize through
+    strip unravels only over two rounds).
+
+    Round shape (round 12, guide §2.4): ONE materialized frame per
+    round — every current edge with its freshly-counted support — from
+    which the kept set (support >= k-2) and the dropped set (the
+    complement) are both pure FILTERS over the checkpointed leaf. The
+    earlier shape materialized only the kept side and re-derived the
+    dropped side as a cur-vs-keep anti-join that Catalyst re-executed
+    once per triangle-retirement anti-join (three SortMergeJoin antis
+    of two ~|E|-row string frames per round, plus a separate count
+    job); the filter form deletes that subplan outright — measured 41
+    -> 37 jobs on the bench cascade (3-round 1.84M-edge fixture),
+    identical output (multigraph duplicate rows included:
+    an anti-join on the edge pair and a support filter classify
+    duplicate rows identically). Frames materialize through
     graph._materialize with dead-generation retirement (including the
     one-shot degree frame), the standing loop hygiene of the community
     detectors.
@@ -351,6 +365,7 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     deg = _materialize(node_degrees(cur))
     tri = _materialize(triangle_vertices(cur, deg))
     _release_checkpoint(deg)
+    prev_flagged = None
     out = None
     rounds = 0
     converged = False
@@ -375,23 +390,35 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             ).alias("e")
         ).select("e.u1", "e.u2")
         sup = pairs.groupBy("u1", "u2").agg(F.count("*").alias("support"))
-        keep = _materialize(
-            cur.join(sup, ["u1", "u2"], "left")
-            .where(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select(
+        # ONE materialized frame per round: every current edge with its
+        # recounted support. keep and dropped are opposite FILTERS over
+        # this leaf (see docstring) — no separate keep checkpoint, no
+        # cur-vs-keep anti-join subplan for the dropped side.
+        flagged = _materialize(
+            cur.join(sup, ["u1", "u2"], "left").select(
                 "u1",
                 "u2",
                 F.coalesce("support", F.lit(0)).alias("support"),
             )
         )
-        n_keep = keep.count()
+        keep = flagged.where(F.col("support") >= k - 2)
+        # one agg job for both loop-control scalars (the old shape paid
+        # a separate count job on the keep checkpoint)
+        n_keep = int(
+            flagged.agg(
+                F.sum(
+                    (F.col("support") >= k - 2).cast("long")
+                ).alias("nk")
+            ).first()["nk"]
+            or 0
+        )
         if n_keep == n_cur:
             # fixpoint: no drops this round, so `support` was computed
             # on exactly the surviving subgraph
-            _release_checkpoint(cur)
-            if out is not None:
-                _release_checkpoint(out)
+            _release_checkpoint(cur, prev_flagged)
             out = keep
+            out._ckpt_rdd_ids = getattr(flagged, "_ckpt_rdd_ids", [])
+            flagged._ckpt_rdd_ids = []
             converged = True
             log.info(
                 "ktruss k=%d converged in %d rounds: %d -> %d edges",
@@ -399,11 +426,12 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             )
             break
         # incremental maintenance: retire every triangle that contains a
-        # dropped edge (three anti-joins; the dropped set is the small,
-        # broadcastable side)
-        dropped = cur.join(
-            keep.select("u1", "u2"), ["u1", "u2"], "left_anti"
-        ).select(F.col("u1").alias("_du1"), F.col("u2").alias("_du2"))
+        # dropped edge (three broadcast anti-joins in one pass over tri;
+        # the dropped set is a filter of the flagged leaf — small, and
+        # never re-derives a join)
+        dropped = flagged.where(F.col("support") < k - 2).select(
+            F.col("u1").alias("_du1"), F.col("u2").alias("_du2")
+        )
         tri_new = tri
         for ca, cb in (("a", "b"), ("a", "c"), ("b", "c")):
             tri_new = tri_new.join(
@@ -413,13 +441,12 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
                 "left_anti",
             )
         tri_new = _materialize(tri_new)
-        # new generations (keep, tri_new) are materialized: the previous
-        # cur / out / tri frames are provably dead
+        # new generations (flagged, tri_new) are materialized: the
+        # previous cur / flagged / tri frames are provably dead
         _release_checkpoint(tri)
         tri = tri_new
-        _release_checkpoint(cur)
-        if out is not None:
-            _release_checkpoint(out)
+        _release_checkpoint(cur, prev_flagged)
+        prev_flagged = flagged
         out = keep
         cur, n_cur = keep.select("u1", "u2"), n_keep
     _release_checkpoint(tri)
@@ -427,9 +454,9 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         # connected_components raises in the analogous case for the
         # same reason (ADVICE r9): a silently-partial result corrupts
         # downstream contracts, and callers have no programmatic way to
-        # detect it from the returned frame
-        if out is not None:
-            _release_checkpoint(out)
+        # detect it from the returned frame. `out` is a filter over the
+        # last flagged leaf (tracked as prev_flagged), plus cur's blocks.
+        _release_checkpoint(prev_flagged, cur)
         raise RuntimeError(
             f"ktruss k={k} exhausted max_rounds={max_rounds} WITHOUT "
             f"reaching a fixpoint ({n_start} -> {n_cur} edges): the "
