@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import echo_chambers_detection_spark.operators.graph as G
+from tests.conftest import lane
 from echo_chambers_detection_spark.operators.hdbscan import (
     _kruskal_local,
     condense_and_select,
@@ -435,7 +436,9 @@ def _contracted_labels(spark, nodes, edges, mcs):
     return out, len(f_rows), len(node_rows)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+# quick lane: seeds 0 (one tree), 1/3 (two trees); full sweep behind
+# SPARK_GRAFT_FULL_TESTS=1 (VERDICT r12 #2 verify-budget trim)
+@pytest.mark.parametrize("seed", lane([0, 1, 2, 3, 4], [0, 1, 3]))
 @pytest.mark.parametrize("mcs", [3, 5, 8])
 def test_contracted_condense_matches_uncontracted(spark, seed, mcs):
     """Fringe contraction is label-INVISIBLE: on random spanning

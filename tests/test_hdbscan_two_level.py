@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import lane
+
 from echo_chambers_detection_spark.operators.hdbscan import (
     condense_and_select,
     condense_two_level,
@@ -52,7 +54,10 @@ def _two_level_labels(spark, nodes, edges, mcs, driver_rows):
     }
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+# quick lane keeps seed 0 (single tree), 1 (two trees) and 3 (two trees,
+# different topology) per mcs; seeds 2/4/5/6 are the same generator
+# family and run under SPARK_GRAFT_FULL_TESTS=1 (VERDICT r12 #2)
+@pytest.mark.parametrize("seed", lane([0, 1, 2, 3, 4, 5, 6], [0, 1, 3]))
 @pytest.mark.parametrize("mcs", [3, 5, 8])
 def test_two_level_matches_driver_condense(spark, seed, mcs):
     """θ-cut + per-component condense is label-invisible: on random

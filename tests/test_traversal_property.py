@@ -11,6 +11,11 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# quick lane trims the DISTRIBUTED-loop property sweep (50 s of
+# serialized Spark rounds on tiny graphs); SPARK_GRAFT_FULL_TESTS=1
+# restores 8 examples (VERDICT r12 #2 verify-budget trim)
+from tests.conftest import FULL_TESTS
+
 NODES = [f"n{i}" for i in range(8)]
 
 
@@ -78,7 +83,7 @@ def model_khop_cost(edges, seed, k):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=8,
+    max_examples=8 if FULL_TESTS else 3,
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
