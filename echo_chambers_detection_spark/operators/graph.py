@@ -1889,7 +1889,16 @@ def _local_moves(
     tolerance) — the alternating schedule needed two. Moves are
     deterministic: ties break to the largest community id; the
     direction counts are exact integers off the materialized candidate
-    frame, so the direction choice is deterministic too. Returns
+    frame, so the direction choice is deterministic too. Determinism
+    caveat (ADVICE r12): the counts are exact integers, but each node's
+    argmax compares FLOAT scores — exact when k and w_ic are
+    integral-valued (every catalog input; xxhash-free sums of 1.0-width
+    weights associate exactly in double), while arbitrary caller-
+    supplied fractional edge weights can differ by an ULP across
+    partitionings, flip one argmax, and flip a round's majority
+    direction. The result is then a different but still valid greedy
+    partition; callers needing cross-environment bit-reproducibility on
+    fractional weights should quantize weights upstream. Returns
     (new comm, total moves applied).
 
     Job shape per round (the loops' cost is FIXED per-stage overhead at
@@ -2090,12 +2099,18 @@ def louvain(
     """
     spark = edges.sparkSession
     sym = _materialize_wide(_symmetrize(edges))
-    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    # one scan of the checkpointed sym leaf yields BOTH loop-entry
+    # scalars (m and the local-gate row count) — the old shape paid a
+    # second full-scan job for sym.count() (guide S2.4: every scalar
+    # read here is a serialized driver round-trip)
+    m_row = sym.agg(
+        (F.sum("weight") / 2).alias("m"), F.count("*").alias("n")
+    ).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
 
-    if _local_path_ok(edges, sym.count()):
+    if _local_path_ok(edges, int(m_row["n"])):
         # bounded collect (≤ LOCAL_GRAPH_EDGE_LIMIT rows by the probe):
         # finish the whole multilevel loop driver-side, bit-identical
         # semantics (tests/test_local_graph_parity.py)
@@ -2200,11 +2215,14 @@ def modularity_optimization(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     without coarsening. Returns (node, community) canonicalized to min
     member node id."""
     sym = _materialize_wide(_symmetrize(edges))
-    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    # fused m + gate-count scalar read (see louvain)
+    m_row = sym.agg(
+        (F.sum("weight") / 2).alias("m"), F.count("*").alias("n")
+    ).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
-    if _local_path_ok(edges, sym.count()):
+    if _local_path_ok(edges, int(m_row["n"])):
         from echo_chambers_detection_spark.operators.localgraph import (
             modularity_local,
         )
@@ -2712,12 +2730,15 @@ def leiden(
     refined subs are connected by construction (see the tail comment).
     Returns (node, community), ids = min member node."""
     sym = _materialize_wide(_symmetrize(edges))
-    m_row = sym.agg((F.sum("weight") / 2).alias("m")).first()
+    # fused m + gate-count scalar read (see louvain)
+    m_row = sym.agg(
+        (F.sum("weight") / 2).alias("m"), F.count("*").alias("n")
+    ).first()
     m = float(m_row["m"] or 0.0)
     if m <= 0:
         return _nodes(edges).withColumn("community", F.col("node"))
 
-    if _local_path_ok(edges, sym.count()):
+    if _local_path_ok(edges, int(m_row["n"])):
         # bounded collect (see louvain): whole multilevel loop plus the
         # split-only connectivity pass, driver-side, same semantics
         from echo_chambers_detection_spark.operators.localgraph import (
@@ -3055,7 +3076,16 @@ def fastrp(
         )
         .where(F.col("val") != 0.0)
     )
-    cur = _materialize(init)
+    if iteration_weights and iteration_weights[0] != 0.0:
+        cur = _materialize(init)
+    else:
+        # weight-0 init (the default and the reference configuration) is
+        # consumed exactly ONCE — the t=1 propagation join; checkpointing
+        # it paid a full write+read of the sparse projection for nothing
+        # (guide §2.4: one fewer job + one fewer storage round-trip per
+        # fastrp call). Non-zero init weight keeps the checkpoint: init
+        # then feeds both the propagation and the term union.
+        cur = init
 
     terms: list[DataFrame] = []
     _gens: list[DataFrame] = [cur]  # every checkpointed generation stays

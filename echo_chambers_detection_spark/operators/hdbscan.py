@@ -418,7 +418,11 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .select("u1", "u2", "w")
             .distinct()
         )
-        if picked.limit(1).count() == 0:
+        # full count off the checkpointed leaf: serves both the emptiness
+        # break AND the contraction-path gate below (the old shape paid a
+        # limit(1).count() here and the nested CC's own count probe)
+        n_picked = picked.count()
+        if n_picked == 0:
             _release_checkpoint(picked)
             break
         mst_parts.append(picked)
@@ -428,23 +432,59 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .join(lab2, "u2")
             .select(F.col("c1").alias("u1"), F.col("c2").alias("u2"))
         )
-        # Borůvka's min-out-edge graph can form long pointer chains at
-        # extreme scale; min-label CC needs O(diameter) rounds and now
-        # RAISES instead of silently splitting a component (which would
-        # let a later round re-pick edges and break the forest
-        # contract), so give the contraction a generous budget.
-        remap = connected_components(c_edges, max_iter=200)
-        new_comp = _materialize(
-            comp.join(
-                remap.withColumnRenamed("node", "comp"), "comp", "left"
-            ).select(
-                "node",
-                F.coalesce("component", F.col("comp")).alias("comp"),
+        from pyspark.sql.types import StringType
+
+        from echo_chambers_detection_spark.operators import graph as _G
+
+        spark_s = edges.sparkSession
+        if n_picked <= _G.LOCAL_GRAPH_EDGE_LIMIT and isinstance(
+            comp.schema["comp"].dataType, StringType
+        ):
+            # Borůvka picks at most one out-edge per live component, so
+            # c_edges is <= n_picked rows; when that is driver-bounded
+            # (the community-mirror limit, graph.LOCAL_GRAPH_EDGE_LIMIT's
+            # standing 4M-row budget) contract via ONE Arrow collect +
+            # the parity-pinned union-find mirror instead of the nested
+            # distributed-CC call, which paid its own symmetrize
+            # checkpoint + gate count + collect every round (guide §2.4:
+            # ~3 fewer jobs per Borůvka round). component = min member
+            # id under string order — connected_components' exact
+            # labeling convention (connected_components_local is the
+            # same mirror CC itself dispatches to under the bound).
+            from echo_chambers_detection_spark.operators.localgraph import (
+                connected_components_local,
             )
-        )
-        # remap (the CC labels frame) is only needed to build new_comp —
-        # retire its checkpoint generation in-loop like everything else
-        _release_checkpoint(comp, remap)
+
+            labels = connected_components_local(c_edges.toPandas())
+            remap_df = spark_s.createDataFrame(
+                list(labels.items()), "comp string, component string"
+            )
+            new_comp = _materialize(
+                comp.join(F.broadcast(remap_df), "comp", "left").select(
+                    "node",
+                    F.coalesce("component", F.col("comp")).alias("comp"),
+                )
+            )
+            _release_checkpoint(comp)
+        else:
+            # Borůvka's min-out-edge graph can form long pointer chains
+            # at extreme scale; min-label CC needs O(diameter) rounds and
+            # RAISES instead of silently splitting a component (which
+            # would let a later round re-pick edges and break the forest
+            # contract), so give the contraction a generous budget.
+            remap = connected_components(c_edges, max_iter=200)
+            new_comp = _materialize(
+                comp.join(
+                    remap.withColumnRenamed("node", "comp"), "comp", "left"
+                ).select(
+                    "node",
+                    F.coalesce("component", F.col("comp")).alias("comp"),
+                )
+            )
+            # remap (the CC labels frame) is only needed to build
+            # new_comp — retire its generation in-loop like everything
+            # else
+            _release_checkpoint(comp, remap)
         comp = new_comp
     _release_checkpoint(comp, e)
     spark = edges.sparkSession
@@ -975,7 +1015,22 @@ def contract_runt_fringes(
             )
         )
         _stage("candidates")
-        if acc.limit(1).count() == 0:
+        # ONE scalar job for both loop-control reads off the checkpointed
+        # acc leaf (guide S2.4): emptiness (the old acc.limit(1).count())
+        # and the exact early-exit probe (the old tgt...limit(1).count()
+        # at the bottom of the round) — each was its own serialized job.
+        probe = (
+            acc.groupBy("target")
+            .agg(F.max("tdeg").alias("_td"), F.count("*").alias("_na"))
+            .agg(
+                F.count("*").alias("n_targets"),
+                F.sum(
+                    ((F.col("_td") - F.col("_na")) == 1).cast("long")
+                ).alias("new_leaves"),
+            )
+            .first()
+        )
+        if int(probe["n_targets"] or 0) == 0:
             _release_checkpoint(acc)
             rounds_run -= 1  # empty round: nothing absorbed
             break
@@ -1018,24 +1073,11 @@ def contract_runt_fringes(
         else:
             amap_new = _materialize(amap_new)
         # EXACT early exit (round 10): another round can absorb only if
-        # a NEW degree-1 node appeared. Every other blocking reason is
-        # stable across rounds: an absorbed prefix removes a target's
-        # SMALLEST incident edges, so a (c)-blocked leaf stays behind
-        # the same non-candidate edge; sizes only grow, so (d) stays
-        # blocked; merge-order keys (a)/(b) change only on the nodes
-        # that absorbed, whose rank-1 prefix was already taken. Only a
-        # TARGET can become a new leaf (an absorption deletes exactly
-        # its leaf's edge and one of the target's), so the probe is
-        # pure arithmetic on the absorption aggregate — new degree
-        # tdeg - n_abs == 1 — instead of the 2|E|-row degree rebuild
-        # the old empty final round paid (round 10; tdeg >= 2 is
-        # implied, which covers the old old-degree>1 semi-join).
-        new_leaf_exists = (
-            tgt.where(F.col("tdeg") - F.col("n_abs") == 1)
-            .limit(1)
-            .count()
-            > 0
-        )
+        # a NEW degree-1 node appeared (new degree tdeg - n_abs == 1;
+        # only a TARGET can become a new leaf — see the round-10 note in
+        # the git history). Since round 13 the scalar is read off the
+        # SAME fused probe job as the emptiness check above.
+        new_leaf_exists = int(probe["new_leaves"] or 0) > 0
         _stage("apply_round")
         _release_checkpoint(nodes, e, acc)
         nodes, e, absorptions = nodes_new, e_new, amap_new
@@ -1657,8 +1699,17 @@ def condense_two_level(
             node_comp_fine.withColumnRenamed("node", "u1"), "u1"
         )
     )
-    fine_cnt = _materialize(comp_edges_fine.groupBy("comp").count())
-    fine_max = (fine_cnt.agg(F.max("count")).first()[0]) or 0
+    # single scalar job off the checkpointed comp_edges_fine leaf — the
+    # old shape checkpointed the per-component counts (a write + an extra
+    # job) although only this max and, rarely, the touched-component
+    # counts below ever read them (guide S2.4)
+    fine_max = int(
+        comp_edges_fine.groupBy("comp")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 0
+    )
     if fine_max > TWO_LEVEL_MAX_COMPONENT_EDGES:
         # coarser cuts only merge components, so every level fails
         log.info(
@@ -1668,9 +1719,7 @@ def condense_two_level(
             fine_max,
             TWO_LEVEL_MAX_COMPONENT_EDGES,
         )
-        _release_checkpoint(
-            e, attrs, node_comp_fine, comp_edges_fine, fine_cnt
-        )
+        _release_checkpoint(e, attrs, node_comp_fine, comp_edges_fine)
         return None
 
     def _uf_find(parent: dict, x: str) -> str:
@@ -1711,7 +1760,9 @@ def condense_two_level(
         if touched:
             t_cnt = {
                 r["comp"]: int(r["count"])
-                for r in fine_cnt.join(
+                for r in comp_edges_fine.groupBy("comp")
+                .count()
+                .join(
                     F.broadcast(
                         spark.createDataFrame(
                             [(c,) for c in touched], "comp string"
@@ -1790,7 +1841,6 @@ def condense_two_level(
             )
         )
         _release_checkpoint(node_comp_fine, comp_edges_fine)
-    _release_checkpoint(fine_cnt)
     _stage("node_comp")
     comp_summary = (
         node_comp.join(attrs, "node")

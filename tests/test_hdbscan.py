@@ -120,6 +120,38 @@ def test_hdbscan_blobs_end_to_end(spark):
     assert len({next(iter({out[m] for m in ms})) for ms in blobs.values()}) == 3
 
 
+def test_boruvka_unionfind_contraction_matches_kruskal(spark, monkeypatch):
+    """Round-13 contraction fast path: distributed Borůvka whose picked
+    frame fits the driver bound contracts via ONE collect + the
+    union-find mirror (not the nested distributed CC). Force it with a
+    limit below the edge count (distributed Borůvka) but above the
+    node count (picked <= nodes <= limit -> union-find leg), and pin
+    the EXACT edge set against local Kruskal (both deterministic under
+    the (w, u1, u2) total order)."""
+    rng = np.random.default_rng(11)
+    n = 30
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < 0.3:
+                rows.append(
+                    (f"v{i:02d}", f"v{j:02d}", float(rng.integers(1, 9)))
+                )
+    assert len(rows) > 60  # must exceed the forced limit below
+    edges = spark.createDataFrame(rows, "u1 string, u2 string, w double")
+    want = sorted(
+        (r["u1"], r["u2"], r["w"])
+        for r in minimum_spanning_forest(edges).collect()
+    )
+    monkeypatch.setattr(G, "LOCAL_GRAPH_EDGE_LIMIT", 60)
+    got = sorted(
+        (r["u1"], r["u2"], r["w"])
+        for r in minimum_spanning_forest(edges).collect()
+    )
+    monkeypatch.undo()
+    assert got == want
+
+
 def test_forest_parity_local_vs_boruvka(spark, monkeypatch):
     """Same fixture through local Kruskal and distributed Borůvka: both
     must be spanning forests of equal total weight (strict (w,u1,u2)
